@@ -1,0 +1,129 @@
+"""Graph algebra tests, ported from the reference busTests
+(/root/reference/Tests/swiftVideoTests/busTests.swift:71-117): dispatch
+ordering, heterogeneous filtering, plus gone-propagation / each() semantics.
+"""
+
+import gc
+from dataclasses import dataclass
+from typing import Optional
+
+from swiftvideo_tpu.core import (Bus, EventBox, ResultEvent, StepClock,
+                                 TimePoint, Tx, asset_filter, mix, type_filter)
+
+
+@dataclass
+class TEvent:
+    idx: int = 0
+
+    def type(self) -> str:
+        return "test"
+
+    def time(self) -> TimePoint:
+        return TimePoint(0, 1000)
+
+    def asset_id(self) -> str:
+        return "assetId"
+
+    def workspace_id(self) -> str:
+        return "workspaceId"
+
+    def workspace_token(self) -> Optional[str]:
+        return "workspaceToken"
+
+    def info(self):
+        return None
+
+
+@dataclass
+class TEvent2(TEvent):
+    def type(self) -> str:
+        return "test2"
+
+    def asset_id(self) -> str:
+        return "assetId2"
+
+
+def test_bus_dispatch_ordering():
+    bus = Bus(StepClock(TimePoint(1, 1000)))
+    seen = []
+    txn = Tx(lambda e: (seen.append(e.idx), EventBox.just(e))[1])
+    tx2 = Tx(lambda e: EventBox.nothing(None))
+    bus.subscribe(txn)
+    bus.subscribe(tx2)
+    for idx in range(100):
+        bus.append(EventBox.just(TEvent(idx)))
+    assert seen == list(range(100))
+
+
+def test_bus_type_filter():
+    bus = Bus(StepClock(TimePoint(1, 1000)))
+    count = [0]
+
+    def check(e):
+        assert e.idx == count[0]
+        count[0] += 1
+        return EventBox.just(e)
+
+    pipe = mix() >> bus
+    pipe2 = mix() >> bus
+    rcv = bus.subscribe(type_filter(TEvent2) >> Tx(lambda e: EventBox.nothing(None)))
+    # TEvent2 subclasses TEvent, so filter TEvent2 first and exclude in check
+    seen2 = []
+    rcv2 = bus.subscribe(
+        Tx(lambda e: EventBox.just(e) if type(e) is TEvent else EventBox.nothing(None))
+        >> Tx(check))
+    for idx in range(100):
+        pipe(TEvent(idx))
+        pipe2(TEvent2())
+    assert count[0] == 100
+    del rcv, rcv2
+
+
+def test_asset_filter():
+    tx = asset_filter("assetId")
+    assert tx(TEvent(1)).is_just()
+    assert tx(TEvent2()).is_nothing()
+
+
+def test_gone_unsubscribes():
+    bus = Bus(StepClock(TimePoint(1, 1000)))
+    calls = [0]
+
+    def obs(e):
+        calls[0] += 1
+        return EventBox.gone()
+
+    bus.add_observer(obs)
+    bus.append(EventBox.just(TEvent(0)))
+    bus.append(EventBox.just(TEvent(1)))
+    assert calls[0] == 1  # observer removed after returning gone
+
+
+def test_weak_subscription_auto_drops():
+    bus = Bus(StepClock(TimePoint(1, 1000)))
+    calls = [0]
+    tx = Tx(lambda e: (calls.__setitem__(0, calls[0] + 1), EventBox.just(e))[1])
+    bus.subscribe(tx)
+    bus.append(EventBox.just(TEvent(0)))
+    assert calls[0] == 1
+    del tx
+    gc.collect()
+    bus.append(EventBox.just(TEvent(1)))
+    bus.append(EventBox.just(TEvent(2)))
+    assert calls[0] == 1  # dead tx produced gone, observer dropped
+
+
+def test_each_maps_list_output():
+    splitter = Tx(lambda v: EventBox.just([v, v + 1, v + 2]))
+    doubler = Tx(lambda v: EventBox.just(v * 2))
+    pipe = splitter.each(doubler)
+    out = pipe(10)
+    assert out.value() == [20, 22, 24]
+
+
+def test_error_and_nothing_pass_through():
+    from swiftvideo_tpu.core import EventError
+    t1 = Tx(lambda v: EventBox.error(EventError("t1", -1)))
+    t2 = Tx(lambda v: EventBox.just(v))
+    pipe = t1 >> t2
+    assert pipe(5).is_error()
