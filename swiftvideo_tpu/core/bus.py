@@ -152,35 +152,69 @@ def mix() -> Tx:
 
 # --- composition internals ------------------------------------------------
 
+def _async_parts(left: Tx) -> Tuple[Optional["AsyncTx"], Optional[Tx]]:
+    """If ``left`` is (or wraps) an async element, return (root, tail) where
+    ``tail`` is the downstream-of-root pipeline (None when left IS the root).
+
+    The reference's ``>>>`` is right-associative, so
+    ``src >>> a >>> b >>> bus`` naturally installs the whole downstream chain
+    as src's emit fn (bus.swift:289-302, 304-324).  Python's ``>>`` is
+    left-associative, so composed transforms track their async root and
+    re-install a longer emit chain on every further composition.
+    """
+    if isinstance(left, AsyncTx):
+        return left, None
+    root = getattr(left, "_async_root", None)
+    if root is not None:
+        root = root()
+    return root, getattr(left, "_emit_tail", None)
+
+
+def _install_emit(composed: Tx, root: "AsyncTx", tail: Tx) -> None:
+    composed._async_root = weakref.ref(root)  # type: ignore[attr-defined]
+    composed._emit_tail = tail  # type: ignore[attr-defined]
+    txn_ref = weakref.ref(composed)
+    tail_ref = weakref.ref(tail)
+
+    def emit_chain(value: Any) -> EventBox[Event]:
+        t = tail_ref()
+        if t is None or txn_ref() is None:
+            return EventBox.gone()
+        return t(value)
+
+    root.set_emit_fn(emit_chain)
+
+
 def _compose(left: Tx, right: Tx) -> Tx:
     composed = Tx(lambda v: right.apply(left(v)))
-    if isinstance(left, AsyncTx):
-        txn_ref = weakref.ref(composed)
-        right_ref = weakref.ref(right)
-
-        def emit_chain(value: Any) -> EventBox[Event]:
-            r = right_ref()
-            if r is None or txn_ref() is None:
-                return EventBox.gone()
-            return r(value)
-
-        left.set_emit_fn(emit_chain)
+    root, tail = _async_parts(left)
+    if root is not None:
+        new_tail = Tx(lambda v: right.apply(tail(v))) if tail is not None else right
+        _install_emit(composed, root, new_tail)
     return composed
 
 
 def _compose_into_bus(left: Tx, bus: "Bus") -> Tx:
     composed = Tx(lambda v: bus.append(left(v)))
-    if isinstance(left, AsyncTx):
-        txn_ref = weakref.ref(composed)
+    root, tail = _async_parts(left)
+    if root is not None:
         bus_ref = weakref.ref(bus)
+        if tail is not None:
+            tail_strong = tail
 
-        def emit_chain(value: Any) -> EventBox[Event]:
-            b = bus_ref()
-            if b is None or txn_ref() is None:
-                return EventBox.gone()
-            return b.append(EventBox.just(value))
+            def into_bus(value: Any) -> EventBox[Event]:
+                b = bus_ref()
+                if b is None:
+                    return EventBox.gone()
+                return b.append(tail_strong(value))
+        else:
+            def into_bus(value: Any) -> EventBox[Event]:
+                b = bus_ref()
+                if b is None:
+                    return EventBox.gone()
+                return b.append(EventBox.just(value))
 
-        left.set_emit_fn(emit_chain)
+        _install_emit(composed, root, Tx(into_bus))
     return composed
 
 

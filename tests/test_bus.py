@@ -127,3 +127,24 @@ def test_error_and_nothing_pass_through():
     t2 = Tx(lambda v: EventBox.just(v))
     pipe = t1 >> t2
     assert pipe(5).is_error()
+
+
+def test_async_emit_chain_survives_left_assoc_composition():
+    """Regression: src >> mix() >> bus must install the full emit chain into
+    the bus even though Python's >> is left-associative (the reference's >>>
+    was right-associative, bus.swift:289-302)."""
+    bus = Bus(StepClock(TimePoint(1, 1000)))
+    src = Tx.__new__(Tx)  # placeholder to appease linters; real source below
+    from swiftvideo_tpu.core import Source
+    src = Source()
+    seen = []
+    pipeline = src >> mix() >> bus
+    sub = bus.subscribe(Tx(lambda e: (seen.append(e.idx), EventBox.just(e))[1]))
+    src.emit(TEvent(7))
+    assert seen == [7]
+    # three-stage chain through an intermediate transform
+    src2 = Source()
+    bump = Tx(lambda e: EventBox.just(TEvent(e.idx + 1)))
+    pipeline2 = src2 >> bump >> mix() >> bus
+    src2.emit(TEvent(10))
+    assert seen == [7, 11]
