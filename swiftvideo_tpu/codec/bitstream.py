@@ -1,0 +1,245 @@
+"""Bitstream parsing: Exp-Golomb reader, H.264 SPS, AAC AudioSpecificConfig.
+
+Native path: ``csrc/bitstream.cpp`` compiled to ``libsvbitstream.so`` and
+loaded via ctypes (built lazily with ``make -C csrc`` on first import when a
+compiler is available).  The pure-Python implementations below are the
+behavioral spec and the fallback; both parse the same ITU-T H.264 7.3.2.1.1
+and ISO/IEC 14496-3 ASC syntax.
+
+Role parity: the reference's native helper surface
+(/root/reference/Sources/CSwiftVideo/include/CSwiftVideo.h:30-37 —
+``h264_sps_frame_size``, ``aac_parse_asc``, ``generateRandomBytes``,
+``test_golomb_dec``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libsvbitstream.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and os.path.exists(
+            os.path.join(_CSRC, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", _CSRC], capture_output=True,
+                           timeout=120, check=False)
+        except Exception:
+            pass
+    if os.path.exists(_LIB_PATH):
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.h264_sps_frame_size.restype = ctypes.c_int
+            lib.h264_sps_frame_size.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+            lib.aac_parse_asc.restype = ctypes.c_int
+            lib.aac_parse_asc.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.sv_generate_random_bytes.restype = None
+            lib.sv_generate_random_bytes.argtypes = [ctypes.c_char_p,
+                                                     ctypes.c_int64]
+            lib.test_golomb_dec.restype = ctypes.c_int
+            _lib = lib
+        except OSError:
+            _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+# --- pure-Python reference implementation ---------------------------------
+
+class ExpGolomb:
+    """MSB-first bit reader with Exp-Golomb decode, optionally stripping
+    H.264 emulation prevention bytes (00 00 03 -> 00 00)."""
+
+    def __init__(self, data: bytes, strip_epb: bool = False):
+        if strip_epb:
+            out = bytearray()
+            zeros = 0
+            for b in data:
+                if zeros >= 2 and b == 0x03:
+                    zeros = 0
+                    continue
+                zeros = zeros + 1 if b == 0 else 0
+                out.append(b)
+            data = bytes(out)
+        self._data = data
+        self._pos = 0
+        self.overrun = False
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self._pos >= len(self._data) * 8:
+                self.overrun = True
+                return 0
+            byte = self._data[self._pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bits(1) == 0 and not self.overrun and zeros < 32:
+            zeros += 1
+        if self.overrun:
+            return 0
+        return (1 << zeros) - 1 + self.bits(zeros)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k & 1 else -(k // 2)
+
+
+def _skip_scaling_list(br: ExpGolomb, size: int) -> None:
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + br.se() + 256) % 256
+        last = last if nxt == 0 else nxt
+
+
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def _h264_sps_frame_size_py(data: bytes) -> Tuple[int, int]:
+    off = 1 if (data[0] & 0x1F) == 7 else 0
+    br = ExpGolomb(data[off:], strip_epb=True)
+    profile_idc = br.bits(8)
+    br.bits(8)
+    br.bits(8)
+    br.ue()
+    chroma_format_idc = 1
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = br.ue()
+        if chroma_format_idc == 3:
+            br.bits(1)
+        br.ue()
+        br.ue()
+        br.bits(1)
+        if br.bits(1):
+            for i in range(8 if chroma_format_idc != 3 else 12):
+                if br.bits(1):
+                    _skip_scaling_list(br, 16 if i < 6 else 64)
+    br.ue()
+    poc_type = br.ue()
+    if poc_type == 0:
+        br.ue()
+    elif poc_type == 1:
+        br.bits(1)
+        br.se()
+        br.se()
+        for _ in range(br.ue()):
+            br.se()
+    br.ue()
+    br.bits(1)
+    pw = br.ue()
+    ph = br.ue()
+    frame_mbs_only = br.bits(1)
+    if not frame_mbs_only:
+        br.bits(1)
+    br.bits(1)
+    crop_l = crop_r = crop_t = crop_b = 0
+    if br.bits(1):
+        crop_l, crop_r, crop_t, crop_b = br.ue(), br.ue(), br.ue(), br.ue()
+    if br.overrun:
+        raise ValueError("SPS parse overrun")
+    sub_w, sub_h = {0: (1, 1), 1: (2, 2), 2: (2, 1), 3: (1, 1)}[chroma_format_idc]
+    unit_x = 1 if chroma_format_idc == 0 else sub_w
+    unit_y = (1 if chroma_format_idc == 0 else sub_h) * (2 - frame_mbs_only)
+    width = (pw + 1) * 16 - (crop_l + crop_r) * unit_x
+    height = (2 - frame_mbs_only) * (ph + 1) * 16 - (crop_t + crop_b) * unit_y
+    return width, height
+
+
+_AAC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350, 0, 0, 0]
+_GA_AOTS = {1, 2, 3, 4, 6, 7, 17, 19, 20, 21, 22, 23}
+
+
+def _aac_parse_asc_py(data: bytes) -> Tuple[int, int, int]:
+    br = ExpGolomb(data)
+    aot = br.bits(5)
+    if aot == 31:
+        aot = 32 + br.bits(6)
+    freq_index = br.bits(4)
+    rate = br.bits(24) if freq_index == 15 else _AAC_RATES[freq_index]
+    chan_config = br.bits(4)
+    if aot in (5, 29):  # explicit SBR/PS
+        ext = br.bits(4)
+        rate = br.bits(24) if ext == 15 else _AAC_RATES[ext]
+        aot = br.bits(5)
+        if aot == 31:
+            aot = 32 + br.bits(6)
+    frame_len = 1024
+    if aot in _GA_AOTS and br.bits(1):
+        frame_len = 960
+    if br.overrun:
+        raise ValueError("ASC parse overrun")
+    channels = 8 if chan_config == 7 else chan_config
+    return channels, rate, frame_len
+
+
+# --- public API -----------------------------------------------------------
+
+def h264_sps_frame_size(sps: bytes) -> Tuple[int, int]:
+    """Coded frame (width, height) from an SPS NAL payload."""
+    lib = _load_native()
+    if lib is not None:
+        w = ctypes.c_int32()
+        h = ctypes.c_int32()
+        if lib.h264_sps_frame_size(sps, len(sps), ctypes.byref(w),
+                                   ctypes.byref(h)) == 0:
+            return int(w.value), int(h.value)
+        raise ValueError("SPS parse failed")
+    return _h264_sps_frame_size_py(sps)
+
+
+def aac_parse_asc(asc: bytes) -> Tuple[int, int, int]:
+    """(channels, sample_rate, samples_per_frame) from an ASC."""
+    lib = _load_native()
+    if lib is not None:
+        c = ctypes.c_int32()
+        r = ctypes.c_int32()
+        s = ctypes.c_int32()
+        if lib.aac_parse_asc(asc, len(asc), ctypes.byref(c), ctypes.byref(r),
+                             ctypes.byref(s)) == 0:
+            return int(c.value), int(r.value), int(s.value)
+        raise ValueError("ASC parse failed")
+    return _aac_parse_asc_py(asc)
+
+
+def generate_random_bytes(n: int) -> bytes:
+    lib = _load_native()
+    if lib is not None:
+        buf = ctypes.create_string_buffer(n)
+        lib.sv_generate_random_bytes(buf, n)
+        return buf.raw
+    return os.urandom(n)
+
+
+def test_golomb_dec() -> int:
+    """Self-test: fold a canned Exp-Golomb sequence; expected 254."""
+    lib = _load_native()
+    if lib is not None:
+        return int(lib.test_golomb_dec())
+    buf = bytes([0b00011000, 0b00000011, 0b11000101, 0b10100000])
+    br = ExpGolomb(buf)
+    return br.ue() + br.ue() + br.ue() + br.se()

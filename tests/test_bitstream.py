@@ -1,0 +1,125 @@
+"""Bitstream parser tests: Exp-Golomb self-test, H.264 SPS, AAC ASC.
+
+The SPS test vector is a baseline-profile 1280x720 SPS generated from the
+spec syntax; ASC vectors are hand-assembled (AAC-LC 44.1kHz stereo and the
+960-frame / explicit-rate variants).  Native (C++) and Python paths must
+agree (csrc/bitstream.cpp vs swiftvideo_tpu/codec/bitstream.py).
+"""
+
+from swiftvideo_tpu.codec import bitstream
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def u(self, val: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+        return self
+
+    def ue(self, val: int):
+        k = val + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+        return self
+
+    def se(self, val: int):
+        k = 2 * val - 1 if val > 0 else -2 * val
+        return self.ue(k)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [0] * ((8 - len(self.bits) % 8) % 8)
+        return bytes(int("".join(map(str, bits[i:i + 8])), 2)
+                     for i in range(0, len(bits), 8))
+
+
+def make_sps(width_mbs: int, height_mbs: int, crop=(0, 0, 0, 0),
+             profile: int = 66) -> bytes:
+    w = _BitWriter()
+    w.u(0x67, 8)          # NAL header: type 7 (SPS)
+    w.u(profile, 8)       # profile_idc
+    w.u(0, 8)             # constraint flags
+    w.u(31, 8)            # level_idc
+    w.ue(0)               # sps_id
+    if profile == 100:
+        w.ue(1)           # chroma_format_idc 4:2:0
+        w.ue(0).ue(0)     # bit depths
+        w.u(0, 1)         # qpprime
+        w.u(0, 1)         # no scaling matrix
+    w.ue(4)               # log2_max_frame_num_minus4
+    w.ue(0)               # poc type 0
+    w.ue(4)               # log2_max_poc_lsb_minus4
+    w.ue(1)               # max_num_ref_frames
+    w.u(0, 1)             # gaps allowed
+    w.ue(width_mbs - 1)
+    w.ue(height_mbs - 1)
+    w.u(1, 1)             # frame_mbs_only
+    w.u(1, 1)             # direct_8x8
+    if any(crop):
+        w.u(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(0, 1)
+    return w.bytes()
+
+
+def test_golomb_self_test():
+    assert bitstream.test_golomb_dec() == 254
+
+
+def test_sps_720p():
+    sps = make_sps(80, 45)
+    assert bitstream.h264_sps_frame_size(sps) == (1280, 720)
+
+
+def test_sps_1080p_with_crop():
+    # 1920x1088 coded, bottom crop of 8 px -> crop_bottom = 4 chroma units
+    sps = make_sps(120, 68, crop=(0, 0, 0, 4))
+    assert bitstream.h264_sps_frame_size(sps) == (1920, 1080)
+
+
+def test_sps_high_profile():
+    sps = make_sps(80, 45, profile=100)
+    assert bitstream.h264_sps_frame_size(sps) == (1280, 720)
+
+
+def test_sps_python_matches_native():
+    sps = make_sps(120, 68, crop=(0, 0, 0, 4))
+    py = bitstream._h264_sps_frame_size_py(sps)
+    assert py == bitstream.h264_sps_frame_size(sps)
+
+
+def _asc(aot=2, freq_index=4, chan=2, frame960=False) -> bytes:
+    w = _BitWriter()
+    w.u(aot, 5).u(freq_index, 4).u(chan, 4)
+    w.u(1 if frame960 else 0, 1)  # frameLengthFlag
+    w.u(0, 1).u(0, 1)             # dependsOnCoreCoder, extensionFlag
+    return w.bytes()
+
+
+def test_asc_lc_44100_stereo():
+    assert bitstream.aac_parse_asc(_asc()) == (2, 44100, 1024)
+
+
+def test_asc_960_frames():
+    assert bitstream.aac_parse_asc(_asc(freq_index=3, frame960=True)) == (2, 48000, 960)
+
+
+def test_asc_explicit_rate():
+    w = _BitWriter()
+    w.u(2, 5).u(15, 4).u(41000, 24).u(1, 4).u(0, 3)
+    assert bitstream.aac_parse_asc(w.bytes()) == (1, 41000, 1024)
+
+
+def test_asc_python_matches_native():
+    blob = _asc(freq_index=3, frame960=True)
+    assert bitstream._aac_parse_asc_py(blob) == bitstream.aac_parse_asc(blob)
+
+
+def test_random_bytes():
+    a = bitstream.generate_random_bytes(64)
+    b = bitstream.generate_random_bytes(64)
+    assert len(a) == 64 and a != b

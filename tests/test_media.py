@@ -1,0 +1,94 @@
+"""Media sample type tests: plane geometry, copy-on-modify, wire roundtrip."""
+
+import numpy as np
+
+from swiftvideo_tpu.core import TimePoint
+from swiftvideo_tpu.media import (AudioFormat, BufferType, CodedMediaSample,
+                                  MediaConstituent, MediaFormat, MediaType,
+                                  PixelFormat, bytes_per_sample,
+                                  create_picture_sample, is_keyframe,
+                                  make_audio_sample, number_of_buffers,
+                                  plane_array_shape, planes_for_format, wire)
+from swiftvideo_tpu.utils import matrix as m4
+
+
+def test_plane_geometry_y420p():
+    planes = planes_for_format(PixelFormat.y420p, (1920, 1080))
+    assert len(planes) == 3
+    assert planes[0].size == (1920, 1080) and planes[0].stride == 1920
+    assert planes[1].size == (960, 540) and planes[1].stride == 960
+    assert plane_array_shape(PixelFormat.y420p, (1920, 1080), 1) == (540, 960)
+
+
+def test_plane_geometry_nv12_rgba():
+    nv12 = planes_for_format(PixelFormat.nv12, (1280, 720))
+    assert len(nv12) == 2 and nv12[1].stride == 1280
+    assert plane_array_shape(PixelFormat.nv12, (1280, 720), 1) == (360, 640, 2)
+    rgba = planes_for_format(PixelFormat.RGBA, (64, 64))
+    assert rgba[0].stride == 256
+    assert plane_array_shape(PixelFormat.RGBA, (64, 64), 0) == (64, 64, 4)
+
+
+def test_create_picture_sample():
+    s = create_picture_sample((320, 240), PixelFormat.y420p,
+                              asset_id="a", workspace_id="w")
+    assert s.size() == (320, 240)
+    assert s.buffer_type() == BufferType.cpu
+    assert [b.shape for b in s.planes()] == [(240, 320), (120, 160), (120, 160)]
+    assert all(b.dtype == np.uint8 for b in s.planes())
+    # copy-on-modify preserves buffers, changes state
+    s2 = s.with_(opacity=0.5, matrix=m4.translation(1, 2, 3))
+    assert s2.opacity() == 0.5 and s.opacity() == 1.0
+    assert s2.z_index() == 3
+    assert s2.planes() is s.planes()
+
+
+def test_audio_sample_helpers():
+    assert number_of_buffers(AudioFormat.s16i, 2) == 1
+    assert number_of_buffers(AudioFormat.s16p, 2) == 2
+    assert bytes_per_sample(AudioFormat.s16i, 2) == 4
+    assert bytes_per_sample(AudioFormat.f32p, 2) == 4
+    s = make_audio_sample([np.zeros(960 * 2, np.int16)], frequency=48000,
+                          channels=2, fmt=AudioFormat.s16i, sample_count=960)
+    assert s.duration() == TimePoint(960, 48000)
+    pos, gain = m4.audio_position_gain(s.transform)
+    assert gain == 1.0 and np.allclose(pos, [0, 0])
+
+
+def test_audio_transform_position_gain():
+    t = m4.translation3(0.5, -0.25) @ m4.scale3(0.7)
+    pos, gain = m4.audio_position_gain(t)
+    assert np.allclose(pos, [0.5, -0.25], atol=1e-6)
+    assert abs(gain - 0.7) < 1e-6
+
+
+def test_coded_sample_keyframe_and_wire():
+    sample = CodedMediaSample(
+        buffer=b"\x00\x00\x00\x01\x65rest-of-idr",
+        pts_value=TimePoint(3003, 30000), dts_value=TimePoint(3003, 30000),
+        media_type=MediaType.video, media_format=MediaFormat.avc,
+        id_asset="cam1", id_workspace="ws", side={"config": b"\x01conf"},
+        constituents_value=(MediaConstituent(
+            "src", TimePoint(0, 1000),
+            constituents=(MediaConstituent("nested", TimePoint(5, 10)),)),))
+    assert is_keyframe(sample)  # byte 4 = 0x65 -> nal type 5
+    blob = wire.serialize(sample)
+    out = wire.deserialize(blob)
+    assert out.data() == sample.data()
+    assert out.pts() == sample.pts()
+    assert out.media_format == MediaFormat.avc
+    assert out.side_data() == {"config": b"\x01conf"}
+    assert out.constituents()[0].id_asset == "src"
+    assert out.constituents()[0].constituents[0].id_asset == "nested"
+    assert out.asset_id() == "cam1"
+
+
+def test_non_keyframe():
+    s = CodedMediaSample(buffer=b"\x00\x00\x00\x01\x41x", pts_value=TimePoint(0, 1),
+                         dts_value=TimePoint(0, 1), media_type=MediaType.video,
+                         media_format=MediaFormat.avc)
+    assert not is_keyframe(s)
+    audio = CodedMediaSample(buffer=b"", pts_value=TimePoint(0, 1),
+                             dts_value=TimePoint(0, 1), media_type=MediaType.audio,
+                             media_format=MediaFormat.aac)
+    assert is_keyframe(audio)
