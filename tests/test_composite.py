@@ -1,0 +1,161 @@
+"""Composite kernel tests: golden-oracle semantics + JAX device parity.
+
+The reference never numerically tested its kernels (SURVEY.md §4 notes the
+gap); here the numpy oracle defines the spec and the jitted XLA path must
+match it at <=1 LSB on every format pair of the coverage matrix
+(SURVEY.md §2.3 — the union across OpenCL/Metal/CUDA backends, extended to
+the full format cross-product).
+"""
+
+import numpy as np
+import pytest
+
+from swiftvideo_tpu.media import PixelFormat, allocate_planes
+from swiftvideo_tpu.ops import golden, composite, identity_uniforms, rect_uniforms
+
+
+def _rand_planes(fmt, size, seed):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, p.shape, dtype=np.uint8).astype(np.uint8)
+            for p in allocate_planes(fmt, size)]
+
+
+YUV_FMTS = [PixelFormat.y420p, PixelFormat.nv12, PixelFormat.nv21]
+RGBA_FMTS = [PixelFormat.RGBA, PixelFormat.BGRA]
+OUT_FMTS = [PixelFormat.y420p, PixelFormat.nv12, PixelFormat.RGBA, PixelFormat.BGRA]
+
+
+def test_clear_values():
+    planes = golden.clear_planes(PixelFormat.y420p, (64, 32))
+    assert planes[0].max() == 0 and planes[1].min() == 128 == planes[2].max()
+    nv = golden.clear_planes(PixelFormat.nv12, (64, 32))
+    assert nv[1].min() == 128
+    rgba = golden.clear_planes(PixelFormat.RGBA, (64, 32))
+    assert rgba[0][..., 3].min() == 255 and rgba[0][..., :3].max() == 0
+
+
+def test_fullscreen_composite_opaque_copies_source():
+    """Opacity-1 full-canvas composite at identical size reproduces the
+    source up to the reference's half-texel sampling offset: interior
+    pixels are the average of horizontally/vertically adjacent texels."""
+    src = _rand_planes(PixelFormat.y420p, (32, 16), 1)
+    uni = identity_uniforms((32, 16), (32, 16))
+    out = golden.composite_stack(PixelFormat.y420p, (32, 16),
+                                 [(src, PixelFormat.y420p, uni)])
+    # pixel (y,x) samples at (x-0.5, y-0.5): mean of the 2x2 neighborhood
+    y = src[0].astype(np.float32) / 255.0
+    pad = np.pad(y, ((1, 0), (1, 0)), mode="edge")
+    expect = (pad[:-1, :-1] + pad[:-1, 1:] + pad[1:, :-1] + pad[1:, 1:]) / 4.0
+    expect_u8 = np.clip(np.rint(expect * 255), 0, 255).astype(np.uint8)
+    assert np.abs(out[0].astype(int) - expect_u8.astype(int)).max() <= 1
+
+
+def test_opacity_blend():
+    """opacity 0 leaves the cleared target untouched inside the element."""
+    src = _rand_planes(PixelFormat.y420p, (16, 16), 2)
+    uni = identity_uniforms((16, 16), (16, 16), opacity=0.0)
+    out = golden.composite_stack(PixelFormat.y420p, (16, 16),
+                                 [(src, PixelFormat.y420p, uni)])
+    assert out[0].max() == 0 and out[1].min() == 128
+
+
+def test_rect_placement_and_z_order():
+    """Two sources in rects; the later one paints over the overlap."""
+    a = [np.full((16, 16), 50, np.uint8), np.full((8, 8), 128, np.uint8),
+         np.full((8, 8), 128, np.uint8)]
+    b = [np.full((16, 16), 200, np.uint8), np.full((8, 8), 128, np.uint8),
+         np.full((8, 8), 128, np.uint8)]
+    ua = rect_uniforms((16, 16), (64, 32), x=0, y=0, w=32, h=32)
+    ub = rect_uniforms((16, 16), (64, 32), x=16, y=0, w=32, h=32)
+    out = golden.composite_stack(PixelFormat.y420p, (64, 32),
+                                 [(a, PixelFormat.y420p, ua),
+                                  (b, PixelFormat.y420p, ub)])
+    assert abs(int(out[0][16, 8]) - 50) <= 1      # only a
+    assert abs(int(out[0][16, 24]) - 200) <= 1    # overlap -> b wins
+    assert abs(int(out[0][16, 40]) - 200) <= 1    # only b
+    assert out[0][16, 60] == 0                    # cleared background
+
+
+def test_fill_color_outside_texture():
+    """Aspect-fit letterboxing: fill color shows where uv lands outside."""
+    from swiftvideo_tpu.utils import matrix as m4
+    # texture matrix insets the texture vertically (like aspectFit)
+    tex = m4.translation(0.0, 0.25) @ m4.scale(1.0, 0.5)
+    uni = rect_uniforms((16, 16), (32, 32), x=0, y=0, w=32, h=32,
+                        fill_color=(1.0, 0.0, 0.0, 1.0), texture_matrix=tex)
+    src = [np.full((16, 16), 100, np.uint8), np.full((8, 8), 128, np.uint8),
+           np.full((8, 8), 128, np.uint8)]
+    out = golden.composite_stack(PixelFormat.y420p, (32, 32),
+                                 [(src, PixelFormat.y420p, uni)])
+    # top rows: outside uv -> fill red (Y of red = 0.299)
+    assert abs(out[0][2, 16] / 255.0 - 0.299) < 0.01
+    # middle rows: texture
+    assert abs(int(out[0][16, 16]) - 100) <= 1
+
+
+def test_rgba_to_yuv_conversion_values():
+    """rgba->y420p csc: solid mid-gray converts to its BT.601 Y value."""
+    rgba = [np.zeros((16, 16, 4), np.uint8)]
+    rgba[0][..., :3] = 200
+    rgba[0][..., 3] = 255
+    uni = identity_uniforms((16, 16), (16, 16))
+    out = golden.composite_stack(PixelFormat.y420p, (16, 16),
+                                 [(rgba, PixelFormat.RGBA, uni)])
+    g = 200 / 255.0
+    y_expect = g * (0.299 + 0.587 + 0.113)  # reference constants
+    assert abs(out[0][8, 8] / 255.0 - y_expect) < 2 / 255.0
+    assert abs(int(out[1][4, 4]) - 128) <= 1  # gray -> neutral chroma
+
+
+def test_yuv_to_rgba_roundtrip():
+    """y420p->RGBA (the convert benchmark config) inverts rgba->y420p."""
+    yuv = [np.full((16, 16), 120, np.uint8), np.full((8, 8), 140, np.uint8),
+           np.full((8, 8), 110, np.uint8)]
+    uni = identity_uniforms((16, 16), (16, 16))
+    out = golden.composite_stack(PixelFormat.RGBA, (16, 16),
+                                 [(yuv, PixelFormat.y420p, uni)])
+    rgba = out[0]
+    from swiftvideo_tpu.ops import yuv_to_rgb
+    expect = yuv_to_rgb(np.array([[120 / 255, 140 / 255, 110 / 255]],
+                                 np.float32))[0]
+    assert np.abs(rgba[8, 8, :3] / 255.0 - expect).max() < 2 / 255.0
+    assert rgba[8, 8, 3] == 255
+
+
+@pytest.mark.parametrize("in_fmt", YUV_FMTS + RGBA_FMTS)
+@pytest.mark.parametrize("out_fmt", OUT_FMTS)
+def test_device_parity(in_fmt, out_fmt):
+    """JAX path must match the numpy oracle <=1 LSB for every format pair,
+    with rotation + fill + partial opacity exercised."""
+    src = _rand_planes(in_fmt, (24, 16), 3)
+    uni = rect_uniforms((24, 16), (32, 32), x=4, y=2, w=20, h=24,
+                        opacity=0.8, fill_color=(0.2, 0.5, 0.8, 0.7),
+                        rotation=0.3)
+    ref = golden.composite_stack(out_fmt, (32, 32), [(src, in_fmt, uni)])
+    dev = composite.composite_stack_device(out_fmt, (32, 32),
+                                           [(src, in_fmt, uni)])
+    for r, d in zip(ref, dev):
+        assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_device_parity_multi_source():
+    srcs = [(_rand_planes(PixelFormat.y420p, (16, 16), s), PixelFormat.y420p,
+             rect_uniforms((16, 16), (64, 64), x=8 * s, y=4 * s, w=24, h=24,
+                           opacity=0.9))
+            for s in range(4)]
+    ref = golden.composite_stack(PixelFormat.y420p, (64, 64), srcs)
+    dev = composite.composite_stack_device(PixelFormat.y420p, (64, 64), srcs)
+    for r, d in zip(ref, dev):
+        assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_border_matrix_limits_writes():
+    """Pixels outside the border rect keep the previous target contents."""
+    src = [np.full((8, 8), 255, np.uint8), np.full((4, 4), 128, np.uint8),
+           np.full((4, 4), 128, np.uint8)]
+    uni = rect_uniforms((8, 8), (32, 32), x=8, y=8, w=16, h=16,
+                        border=(12, 12, 8, 8))
+    out = golden.composite_stack(PixelFormat.y420p, (32, 32),
+                                 [(src, PixelFormat.y420p, uni)])
+    assert out[0][16, 16] == 255      # inside border: texture
+    assert out[0][9, 9] == 0          # inside tx but outside border: untouched
