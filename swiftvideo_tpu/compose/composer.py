@@ -1,0 +1,189 @@
+"""Composer: scene-graph orchestration binding assets into mixers.
+
+Reference semantics: ``/root/reference/Sources/SwiftVideo/composer.swift``.
+
+Owns one composition: an AudioMixer (audio frame duration + delay from the
+manifest) and a VideoMixer share buses; ``bind(asset, element)`` splices a
+per-asset chain —
+
+  picture: pictureBus <- assetFilter >> GPUBarrierUpload >> Repeater
+           >> PictureAnimator >> videoMixer            (composer.swift:210-211)
+  audio:   audioBus <- assetFilter >> AudioSampleRateConversion
+           >> SoundAnimator >> audioMixer              (composer.swift:212-214)
+
+``set_scene`` / ``set_state`` drive animator transitions with futures;
+``run_command`` executes recursive command trees with ``after``
+continuations (composer.swift:141-183).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
+
+from ..core import (Bus, Clock, EventBox, StatsReport, TimePoint,
+                    asset_filter)
+from ..media.audio import AudioFormat
+from ..media.pixel import PixelFormat
+from ..mix.animator import PictureAnimator, SoundAnimator
+from ..mix.audio_mixer import AudioMixer
+from ..mix.audio_stats import audio_stats
+from ..mix.repeater import Repeater
+from ..mix.src_audio import AudioSampleRateConversion
+from ..mix.video_mixer import VideoMixer
+from ..ops.barriers import GPUBarrierUpload
+from ..ops.registry import ComputeContext, make_compute_context
+from ..scene import (ComposerCommand, Composition, Element, ElementState,
+                      Scene)
+
+
+class ComposerError(Exception):
+    pass
+
+
+class Composer:
+    def __init__(self, clock: Clock, *, workspace_id: str,
+                 composition: Composition,
+                 audio_bus: Bus, picture_bus: Bus,
+                 asset_id: Optional[str] = None,
+                 compute_context: Optional[ComputeContext] = None,
+                 output_format: PixelFormat = PixelFormat.y420p,
+                 epoch: Optional[int] = None):
+        self.clock = clock
+        self.composition = composition
+        self.audio_bus = audio_bus
+        self.picture_bus = picture_bus
+        self.ctx = compute_context or make_compute_context()
+        self.id_workspace = workspace_id
+        self.id_asset = asset_id or composition.name
+
+        # mixers (composer.swift:58-75); both publish into the shared buses
+        self.audio_mixer = AudioMixer(
+            clock, workspace_id=workspace_id,
+            frame_duration=composition.audio_frame_duration,
+            sample_rate=composition.sample_rate,
+            channel_count=composition.channel_count,
+            delay=composition.audio_frame_duration * 4,  # 40 ms at 10 ms frames
+            output_format=AudioFormat.s16i, asset_id=self.id_asset,
+            epoch=epoch)
+        self.video_mixer = VideoMixer(
+            clock, workspace_id=workspace_id,
+            frame_duration=composition.frame_duration,
+            output_size=composition.canvas_size,
+            output_format=output_format, compute_context=self.ctx,
+            asset_id=self.id_asset, epoch=epoch)
+        # composer.swift:76-77
+        self._picture_tx = self.video_mixer >> picture_bus
+        self._audio_tx = self.audio_mixer >> audio_stats() >> audio_bus
+
+        self._scenes: Dict[str, Scene] = {s.name: s for s in composition.scenes}
+        self._elements: Dict[str, Tuple[Element, PictureAnimator,
+                                        SoundAnimator]] = {}
+        self._bindings: Dict[str, Tuple[str, object, object]] = {}
+        if composition.initial_scene:
+            self.set_scene(composition.initial_scene)
+
+    # --- scene management (composer.swift:111-195) ------------------------
+    def set_scene(self, name: str) -> None:
+        scene = self._scenes.get(name)
+        if scene is None:
+            raise ComposerError(f"unknown scene {name}")
+        self._elements.clear()
+        # parents first so children can link
+        for element in scene.elements:
+            pic = PictureAnimator(self.clock, self.composition.canvas_size,
+                                  parent_anchors=element.initial_state.parent_anchor
+                                  or (), z_index=element.z_index)
+            soun = SoundAnimator(self.clock)
+            self._elements[element.name] = (element, pic, soun)
+        for element, pic, soun in self._elements.values():
+            if element.parent and element.parent in self._elements:
+                _, ppic, psoun = self._elements[element.parent]
+                pic.set_parent(ppic)
+                soun.set_parent(psoun)
+            pic.set_state(element.initial_state, TimePoint(0, 1000))
+            soun.set_state(element.initial_state, TimePoint(0, 1000))
+
+    def set_state(self, element_id: str, state: ElementState,
+                  duration: Optional[TimePoint] = None) -> Future:
+        entry = self._elements.get(element_id)
+        if entry is None:
+            fut: Future = Future()
+            fut.set_exception(ComposerError(f"unknown element {element_id}"))
+            return fut
+        _, pic, soun = entry
+        d = duration if duration is not None else TimePoint(0, 1000)
+        soun.set_state(state, d)
+        return pic.set_state(state, d)
+
+    def get_element_state(self, element_id: str) -> Optional[ElementState]:
+        entry = self._elements.get(element_id)
+        return entry[1].current_state if entry else None
+
+    # --- binding (composer.swift:93-101, 203-224) -------------------------
+    def bind(self, asset_id: str, element_id: str) -> None:
+        entry = self._elements.get(element_id)
+        if entry is None:
+            raise ComposerError(f"unknown element {element_id}")
+        element, pic_anim, soun_anim = entry
+        pic_chain = self.picture_bus.subscribe(
+            asset_filter(asset_id) >> GPUBarrierUpload(self.ctx)
+            >> Repeater(self.clock, self.composition.frame_duration)
+            >> pic_anim >> self.video_mixer)
+        soun_chain = self.audio_bus.subscribe(
+            asset_filter(asset_id)
+            >> AudioSampleRateConversion(self.composition.sample_rate,
+                                         self.composition.channel_count,
+                                         AudioFormat.s16i)
+            >> soun_anim >> self.audio_mixer)
+        self._bindings[asset_id] = (element_id, pic_chain, soun_chain)
+        pic_anim.set_state(element.initial_state, TimePoint(0, 1000))
+
+    def unbind(self, asset_id: str) -> None:
+        # dropping the chains unsubscribes them (weak bus observers)
+        binding = self._bindings.pop(asset_id, None)
+        if binding is not None:
+            self.audio_mixer.remove_asset(asset_id)
+
+    # --- command trees (composer.swift:141-183) ---------------------------
+    def run_command(self, command: ComposerCommand) -> Future:
+        done: Future = Future()
+
+        def run_after(_=None):
+            futures = [self.run_command(sub) for sub in command.after]
+            if not futures:
+                if not done.done():
+                    done.set_result(True)
+                return
+            pending = len(futures)
+
+            def one_done(_f):
+                nonlocal pending
+                pending -= 1
+                if pending == 0 and not done.done():
+                    done.set_result(True)
+
+            for f in futures:
+                f.add_done_callback(one_done)
+
+        if command.set_scene is not None:
+            self.set_scene(command.set_scene.scene)
+            run_after()
+        elif command.set_state is not None:
+            fut = self.set_state(command.set_state.element,
+                                 command.set_state.state,
+                                 command.set_state.duration)
+            fut.add_done_callback(run_after)
+        elif command.bind is not None:
+            self.bind(command.bind.asset_id, command.bind.element)
+            run_after()
+        elif command.unbind is not None:
+            self.unbind(command.unbind.asset_id)
+            run_after()
+        else:
+            run_after()
+        return done
+
+    def close(self) -> None:
+        self.video_mixer.close()
+        self.audio_mixer.close()

@@ -152,69 +152,79 @@ def mix() -> Tx:
 
 # --- composition internals ------------------------------------------------
 
-def _async_parts(left: Tx) -> Tuple[Optional["AsyncTx"], Optional[Tx]]:
-    """If ``left`` is (or wraps) an async element, return (root, tail) where
-    ``tail`` is the downstream-of-root pipeline (None when left IS the root).
+def _async_pairs(tx: Tx) -> List[Tuple["AsyncTx", Optional[Tx]]]:
+    """Every async element inside ``tx`` paired with its downstream tail
+    (None when nothing follows it within ``tx``).
 
     The reference's ``>>>`` is right-associative, so
-    ``src >>> a >>> b >>> bus`` naturally installs the whole downstream chain
-    as src's emit fn (bus.swift:289-302, 304-324).  Python's ``>>`` is
-    left-associative, so composed transforms track their async root and
-    re-install a longer emit chain on every further composition.
+    ``src >>> a >>> repeater >>> b >>> bus`` naturally installs the full
+    downstream chain as every async element's emit fn (bus.swift:289-324).
+    Python's ``>>`` is left-associative, so composed transforms track all
+    their async roots and re-install longer emit chains on every further
+    composition — including async elements appearing mid-chain (Repeater).
     """
-    if isinstance(left, AsyncTx):
-        return left, None
-    root = getattr(left, "_async_root", None)
-    if root is not None:
-        root = root()
-    return root, getattr(left, "_emit_tail", None)
+    if isinstance(tx, AsyncTx):
+        return [(tx, None)]
+    pairs = []
+    for root_ref, tail in getattr(tx, "_async_pairs", ()):
+        root = root_ref()
+        if root is not None:
+            pairs.append((root, tail))
+    return pairs
 
 
-def _install_emit(composed: Tx, root: "AsyncTx", tail: Tx) -> None:
-    composed._async_root = weakref.ref(root)  # type: ignore[attr-defined]
-    composed._emit_tail = tail  # type: ignore[attr-defined]
+def _install_emits(composed: Tx,
+                   pairs: List[Tuple["AsyncTx", Optional[Tx]]]) -> None:
+    stored = []
     txn_ref = weakref.ref(composed)
-    tail_ref = weakref.ref(tail)
+    for root, tail in pairs:
+        stored.append((weakref.ref(root), tail))
+        if tail is None:
+            continue
+        tail_ref = weakref.ref(tail)
 
-    def emit_chain(value: Any) -> EventBox[Event]:
-        t = tail_ref()
-        if t is None or txn_ref() is None:
-            return EventBox.gone()
-        return t(value)
+        def emit_chain(value: Any, _tail_ref=tail_ref) -> EventBox[Event]:
+            t = _tail_ref()
+            if t is None or txn_ref() is None:
+                return EventBox.gone()
+            return t(value)
 
-    root.set_emit_fn(emit_chain)
+        root.set_emit_fn(emit_chain)
+    composed._async_pairs = stored  # type: ignore[attr-defined]
+
+
+def _extend(tail: Optional[Tx], nxt: Tx) -> Tx:
+    if tail is None:
+        return nxt
+    prev = tail
+    return Tx(lambda v: nxt.apply(prev(v)))
 
 
 def _compose(left: Tx, right: Tx) -> Tx:
     composed = Tx(lambda v: right.apply(left(v)))
-    root, tail = _async_parts(left)
-    if root is not None:
-        new_tail = Tx(lambda v: right.apply(tail(v))) if tail is not None else right
-        _install_emit(composed, root, new_tail)
+    pairs = [(root, _extend(tail, right)) for root, tail in _async_pairs(left)]
+    pairs += _async_pairs(right)
+    if pairs:
+        _install_emits(composed, pairs)
     return composed
 
 
 def _compose_into_bus(left: Tx, bus: "Bus") -> Tx:
     composed = Tx(lambda v: bus.append(left(v)))
-    root, tail = _async_parts(left)
-    if root is not None:
-        bus_ref = weakref.ref(bus)
-        if tail is not None:
-            tail_strong = tail
+    bus_ref = weakref.ref(bus)
 
-            def into_bus(value: Any) -> EventBox[Event]:
-                b = bus_ref()
-                if b is None:
-                    return EventBox.gone()
-                return b.append(tail_strong(value))
-        else:
-            def into_bus(value: Any) -> EventBox[Event]:
-                b = bus_ref()
-                if b is None:
-                    return EventBox.gone()
-                return b.append(EventBox.just(value))
+    def into_bus_tx(tail: Optional[Tx]) -> Tx:
+        def run(value: Any) -> EventBox[Event]:
+            b = bus_ref()
+            if b is None:
+                return EventBox.gone()
+            box = tail(value) if tail is not None else EventBox.just(value)
+            return b.append(box)
+        return Tx(run)
 
-        _install_emit(composed, root, Tx(into_bus))
+    pairs = [(root, into_bus_tx(tail)) for root, tail in _async_pairs(left)]
+    if pairs:
+        _install_emits(composed, pairs)
     return composed
 
 

@@ -1,0 +1,206 @@
+"""AudioMixer: clock-driven sample-accurate audio mix source.
+
+Reference semantics: ``/root/reference/Sources/SwiftVideo/mix.audio.swift``
+— ported exactly, including the subtle parts:
+
+* **pts-offset normalization**: the first sample of an asset anchors
+  ``offset = mixerPts + 2*frameDuration - samplePts`` (:60-64); subsequent
+  samples are placed by ``normalizedPts = pts + offset + delay``.
+* **window overlap test** (:142-153): a sample mixes into the window
+  ``[mixTs, mixTs + frameDuration)`` when ``normalizedEnd >= mixTs`` and
+  ``normalizedPts < mixEnd``; future samples are kept, past ones dropped.
+* **sample-accurate offsets** (:154-172): output offset from the rescaled
+  pts delta; input offset from a negative delta (reference reinterprets the
+  delta value in the source rate — valid because an SRC in front
+  guarantees matching rates; mirrored as-is).
+* **underrun -> discontinuity** (:201-208): incomplete coverage with
+  discarded samples re-anchors the asset's offset and reports
+  ``mix.audio.underrun``.
+* **constituent provenance** (:189-199) for every asset that contributed.
+
+The int16 hot loop is ops.audio.apply_mix_s16 (vectorized numpy with exact
+truncation/saturation semantics); a device fold (ops.audio.mix_s16_device)
+exists for wall-scale batched mixing (parallel.wall).
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core import (Clock, ClockTickEvent, EventBox, Source, StatsReport,
+                    TimePoint, clamp_time, maximum, rescale)
+from ..media.audio import (AudioFormat, AudioSample, bytes_per_sample,
+                           number_of_buffers)
+from ..media.coded import MediaConstituent
+from ..ops.audio import apply_mix_s16, channel_gains
+from ..utils.matrix import audio_position_gain
+
+
+class AudioMixer(Source):
+    def __init__(self, clock: Clock, *, workspace_id: str,
+                 frame_duration: TimePoint, sample_rate: int,
+                 channel_count: int, delay: Optional[TimePoint] = None,
+                 output_format: str = AudioFormat.s16i,
+                 asset_id: Optional[str] = None,
+                 stats_report: Optional[StatsReport] = None,
+                 epoch: Optional[int] = None):
+        super().__init__()
+        self.clock = clock
+        self.frame_duration = frame_duration
+        self.delay = delay if delay is not None else TimePoint(0, frame_duration.scale)
+        self.sample_rate = sample_rate
+        self.channel_count = channel_count
+        self.output_format = output_format
+        self.id_workspace = workspace_id
+        self.id_asset = asset_id or str(uuid.uuid4())
+        self.stats = stats_report or StatsReport(asset_id=self.id_asset,
+                                                 clock=clock)
+        now = clock.current()
+        epoch_tp = clock.from_unix_time(epoch) if epoch is not None else now
+        self.epoch = rescale(epoch_tp, sample_rate)
+        self.pts = now - self.epoch
+        self._samples: Dict[str, List[AudioSample]] = {}
+        self._source_offset: Dict[str, TimePoint] = {}
+        self._lock = threading.RLock()
+        self._closed = False
+
+        def digest(sample: AudioSample) -> EventBox:
+            if sample.asset_id() != self.id_asset:
+                with self._lock:
+                    self._samples.setdefault(sample.asset_id(), []).append(sample)
+                    if sample.asset_id() not in self._source_offset:
+                        # anchor (mix.audio.swift:60-64)
+                        self._source_offset[sample.asset_id()] = \
+                            self.pts + (self.frame_duration * 2) - sample.pts()
+                return EventBox.nothing(sample.info())
+            return EventBox.just(sample)
+
+        self.set(digest)
+        clock.schedule(now + frame_duration, self._mix)
+
+    # --- accessors --------------------------------------------------------
+    def asset_id(self) -> str:
+        return self.id_asset
+
+    def workspace_id(self) -> str:
+        return self.id_workspace
+
+    def get_sample_rate(self) -> int:
+        return self.sample_rate
+
+    def get_channels(self) -> int:
+        return self.channel_count
+
+    def get_audio_format(self) -> str:
+        return self.output_format
+
+    def remove_asset(self, asset_id: str) -> None:
+        with self._lock:
+            self._samples.pop(asset_id, None)
+            self._source_offset.pop(asset_id, None)
+
+    def discontinuity(self, asset_id: str) -> None:
+        self._source_offset.pop(asset_id, None)
+
+    def close(self) -> None:
+        self._closed = True
+
+    # --- tick (mix.audio.swift:112-225) -----------------------------------
+    def _mix(self, at: ClockTickEvent) -> None:
+        if self._closed:
+            return
+        mix_ts = at.time() - self.epoch
+        self.pts = mix_ts
+        self.clock.schedule(at.time() + self.frame_duration, self._mix)
+        self.stats.end_timer("mix.audio.delta")
+        self.stats.start_timer("mix.audio.delta")
+        self.stats.start_timer("mix.audio.mix")
+
+        mix_end = mix_ts + self.frame_duration
+        number_samples = rescale(self.frame_duration, self.sample_rate).value
+        num_buffers = number_of_buffers(self.output_format, self.channel_count)
+        samples_per_buffer = number_samples * \
+            bytes_per_sample(self.output_format, self.channel_count) // 2
+        buffers = [np.zeros(samples_per_buffer, np.int16)
+                   for _ in range(num_buffers)]
+        constituents: List[MediaConstituent] = []
+
+        with self._lock:
+            assets = {k: list(v) for k, v in self._samples.items() if v}
+            offsets = dict(self._source_offset)
+        result: Dict[str, List[AudioSample]] = {}
+        for asset_id, queued in assets.items():
+            offset = offsets.get(asset_id)
+            if offset is None or not queued:
+                continue
+            covered = (mix_ts + self.frame_duration, mix_ts)
+            unused: List[AudioSample] = []
+            for work in queued:
+                work_duration = rescale(
+                    TimePoint(work.number_samples(), work.sample_rate()),
+                    work.pts().scale)
+                normalized_pts = work.pts() + offset + self.delay
+                normalized_end = normalized_pts + rescale(work_duration,
+                                                          normalized_pts.scale)
+                if normalized_end >= mix_ts and normalized_pts < mix_end:
+                    gains = channel_gains(
+                        *audio_position_gain(work.transform),
+                        channel_count=self.channel_count)
+                    pts_delta = normalized_pts - mix_ts
+                    offset_samples = rescale(pts_delta, self.sample_rate).value
+                    # reference reinterprets a negative delta in source-rate
+                    # units (mix.audio.swift:157-160)
+                    in_off_units = (abs(pts_delta.value) *
+                                    bytes_per_sample(work.format,
+                                                     work.number_channels()) // 2
+                                    if pts_delta.value < 0 else 0)
+                    back_off_units = max(
+                        offset_samples *
+                        bytes_per_sample(self.output_format,
+                                         self.channel_count) // 2, 0)
+                    for idx, data in enumerate(work.data()):
+                        if idx >= len(buffers):
+                            break
+                        apply_mix_s16(np.asarray(data).view(np.int16), gains,
+                                      buffers[idx],
+                                      backing_start=int(back_off_units),
+                                      input_start=int(in_off_units))
+                    covered = (clamp_time(normalized_pts, mix_ts, covered[0]),
+                               clamp_time(covered[1], normalized_end, mix_end))
+                    unused.append(work)
+                elif normalized_end > mix_ts:
+                    unused.append(work)
+                # else: discard past sample
+            if covered[1] > covered[0]:
+                constituents.append(MediaConstituent(
+                    id_asset=asset_id,
+                    pts=covered[0] - offset - self.delay,
+                    duration=covered[1] - covered[0],
+                    normalized_pts=covered[0]))
+            if ((covered[0] > covered[1]) or (covered[1] != mix_end)) and \
+                    len(unused) != len(queued):
+                underrun = maximum(TimePoint(0, 1000), covered[0] - mix_ts) + \
+                    maximum(TimePoint(0, 1000), mix_end - covered[1])
+                self.stats.add_sample("mix.audio.underrun", underrun)
+                self.discontinuity(asset_id)
+            result[asset_id] = unused
+        with self._lock:
+            for asset_id, unused in result.items():
+                # keep samples that arrived during the mix
+                arrived = self._samples.get(asset_id, [])
+                new_tail = arrived[len(assets.get(asset_id, [])):]
+                self._samples[asset_id] = unused + new_tail
+        self.stats.end_timer("mix.audio.mix")
+
+        out = AudioSample(
+            buffers=tuple(buffers), frequency=self.sample_rate,
+            channels=self.channel_count, format=self.output_format,
+            sample_count=int(number_samples), time_point=at.time(),
+            pts_value=mix_ts - self.delay, id_asset=self.id_asset,
+            id_workspace=self.id_workspace,
+            constituents_value=tuple(constituents), event_info=self.stats)
+        self.emit(out)

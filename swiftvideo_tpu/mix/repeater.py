@@ -1,0 +1,50 @@
+"""Repeater: re-emit the last sample when upstream is silent.
+
+Reference semantics: ``/root/reference/Sources/SwiftVideo/repeater.swift`` —
+used to hold video frames for mixing (composer.swift:211).  Each received
+sample resets the timer; when a clock tick fires and no fresh sample
+arrived within the interval, the held sample is re-emitted and the timer
+re-arms.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+from ..core import AsyncTx, Clock, EventBox, TimePoint, rescale
+
+
+class Repeater(AsyncTx):
+    def __init__(self, clock: Clock, interval: TimePoint):
+        super().__init__()
+        self._clock = clock
+        self._interval = rescale(interval, clock.current().scale)
+        self._last_emit = clock.current()
+        self._sample = None
+        self._lock = threading.RLock()
+
+        def digest(sample) -> EventBox:
+            now = self._clock.current()
+            with self._lock:
+                self._sample = sample
+                self._last_emit = now
+            self._run()
+            return EventBox.just(sample)
+
+        self.set(digest)
+
+    def _run(self) -> None:
+        now = self._clock.current()
+        self._clock.schedule(now + self._interval, self._tick)
+
+    def _tick(self, evt) -> None:
+        with self._lock:
+            sample = self._sample
+            due = sample is not None and \
+                (self._last_emit + self._interval) <= evt.time()
+            if due:
+                self._last_emit = evt.time()
+        if due:
+            self.emit(sample)
+            self._run()

@@ -1,0 +1,64 @@
+"""AudioSampleRateConversion: streaming resampler + format converter stage.
+
+Reference semantics: ``FFmpegAudioSRC``
+(/root/reference/Sources/SwiftVideo_FFmpeg/src.audio.ffmpeg.swift):
+passthrough when rate/channels/format already match (:29-33); the first
+sample anchors ``pts = rescale(sample.pts, outFrequency)``; every emitted
+sample carries the accumulated pts and advances it by its own sample count
+(:103) — the exact-bookkeeping contract of sampleRateConversionTests.
+
+The DSP is the TPU-native polyphase matmul resampler (ops.resample)
+replacing soxr.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..core import EventBox, TimePoint, Tx, rescale
+from ..media.audio import AudioSample
+from ..ops.resample import (PolyphaseResampler, from_planar_f32, map_channels,
+                            to_planar_f32)
+
+
+class AudioSampleRateConversion(Tx):
+    def __init__(self, out_frequency: int, out_channels: int,
+                 out_format: str, use_device: bool = False):
+        self.out_frequency = out_frequency
+        self.out_channels = out_channels
+        self.out_format = out_format
+        self.use_device = use_device
+        self._resampler: Optional[PolyphaseResampler] = None
+        self._pts: Optional[TimePoint] = None
+        super().__init__(self._impl)
+
+    def _impl(self, sample: AudioSample) -> EventBox:
+        if (self.out_frequency == sample.sample_rate()
+                and self.out_channels == sample.number_channels()
+                and self.out_format == sample.format):
+            return EventBox.just(sample)
+        if self._resampler is None:
+            self._pts = rescale(sample.pts(), self.out_frequency)
+            self._resampler = PolyphaseResampler(
+                sample.sample_rate(), self.out_frequency, self.out_channels,
+                use_device=self.use_device)
+        x = to_planar_f32(sample.data(), sample.format,
+                          sample.number_channels())
+        x = map_channels(x, self.out_channels)
+        if sample.sample_rate() != self.out_frequency:
+            y = self._resampler.process(x)
+        else:
+            y = x
+        count = y.shape[1]
+        if count == 0:
+            return EventBox.nothing(sample.info())
+        buffers = from_planar_f32(y, self.out_format)
+        pts = self._pts
+        self._pts = pts + TimePoint(count, self.out_frequency)
+        return EventBox.just(AudioSample(
+            buffers=tuple(buffers), frequency=self.out_frequency,
+            channels=self.out_channels, format=self.out_format,
+            sample_count=count, time_point=sample.time(), pts_value=pts,
+            id_asset=sample.asset_id(), id_workspace=sample.workspace_id(),
+            workspace_token=sample.workspace_token,
+            transform=sample.transform, event_info=sample.info()))

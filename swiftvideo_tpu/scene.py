@@ -1,0 +1,196 @@
+"""Scene-graph and composition manifests.
+
+Reference semantics: ``/root/reference/Proto/Composition.proto:56-88``
+(ElementState / Element / Scene / Composition) and
+``/root/reference/Proto/Rpc.public.proto:24-124`` (RpcMakeComposition,
+RpcComposerCommand, RpcEncodeConfig, mixer configs).  Implemented as plain
+dataclasses with JSON (de)serialization instead of protobuf — same field
+inventory, no protoc dependency; the flavor/RTMP wire paths use
+media.wire's binary codec where needed.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field, replace
+from enum import Enum
+from typing import Dict, List, Optional, Tuple
+
+from .core import TimePoint
+
+
+class AspectMode(Enum):
+    none = "none"
+    aspectFit = "fit"
+    aspectFill = "fill"
+
+
+class PicOrigin(Enum):
+    originTopLeft = "topLeft"
+    originCenter = "center"
+
+
+class PictureAnchor(Enum):
+    anchorTopLeft = "topLeft"
+    anchorTopRight = "topRight"
+    anchorBottomLeft = "bottomLeft"
+    anchorBottomRight = "bottomRight"
+
+
+@dataclass(frozen=True)
+class ElementState:
+    """Animatable element state (Composition.proto ElementState)."""
+
+    pic_pos: Tuple[float, float] = (0.0, 0.0)
+    size: Tuple[float, float] = (0.0, 0.0)
+    texture_offset: Tuple[float, float] = (0.0, 0.0)
+    rotation: float = 0.0
+    transparency: float = 0.0
+    pic_aspect: AspectMode = AspectMode.none
+    pic_origin: PicOrigin = PicOrigin.originTopLeft
+    fill_color: Optional[Tuple[float, float, float, float]] = None
+    border_size: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    audio_gain: float = 1.0
+    audio_pos: Tuple[float, float] = (0.0, 0.0)
+    hidden: bool = False
+    muted: bool = False
+    parent_anchor: Tuple[PictureAnchor, ...] = ()
+
+    def get_fill_color(self) -> Tuple[float, float, float, float]:
+        """animator.pic.swift:335-342 — defaults to transparent black."""
+        return self.fill_color if self.fill_color is not None else (0, 0, 0, 0)
+
+    def with_(self, **kwargs) -> "ElementState":
+        return replace(self, **kwargs)
+
+
+@dataclass(frozen=True)
+class Element:
+    """A composable slot in a scene (Composition.proto Element)."""
+
+    name: str
+    initial_state: ElementState = field(default_factory=ElementState)
+    parent: Optional[str] = None
+    anchors: Tuple[PictureAnchor, ...] = ()
+    z_index: int = 0
+
+
+@dataclass(frozen=True)
+class Scene:
+    name: str
+    elements: Tuple[Element, ...] = ()
+
+
+@dataclass(frozen=True)
+class Composition:
+    """Canvas + scenes (Composition.proto Composition)."""
+
+    name: str
+    canvas_size: Tuple[int, int] = (1920, 1080)
+    frame_duration: TimePoint = field(default_factory=lambda: TimePoint(1000, 30000))
+    audio_frame_duration: TimePoint = field(default_factory=lambda: TimePoint(480, 48000))
+    sample_rate: int = 48000
+    channel_count: int = 2
+    scenes: Tuple[Scene, ...] = ()
+    initial_scene: str = ""
+
+
+# --- RPC command tree (Rpc.public.proto:42-124) ----------------------------
+
+@dataclass(frozen=True)
+class SetSceneCommand:
+    scene: str
+
+
+@dataclass(frozen=True)
+class SetStateCommand:
+    element: str
+    state: ElementState
+    duration: TimePoint = field(default_factory=lambda: TimePoint(0, 1000))
+
+
+@dataclass(frozen=True)
+class BindCommand:
+    asset_id: str
+    element: str
+
+
+@dataclass(frozen=True)
+class UnbindCommand:
+    asset_id: str
+
+
+@dataclass(frozen=True)
+class ComposerCommand:
+    """Recursive command with ``after`` continuations
+    (Rpc.public.proto RpcComposerCommand, composer.swift:141-183)."""
+
+    set_scene: Optional[SetSceneCommand] = None
+    set_state: Optional[SetStateCommand] = None
+    bind: Optional[BindCommand] = None
+    unbind: Optional[UnbindCommand] = None
+    after: Tuple["ComposerCommand", ...] = ()
+
+
+# --- JSON round-trip ------------------------------------------------------
+
+def _encode(obj):
+    if isinstance(obj, TimePoint):
+        return {"__tp__": [obj.value, obj.scale]}
+    if isinstance(obj, Enum):
+        return {"__enum__": [type(obj).__name__, obj.name]}
+    return obj
+
+
+_ENUMS = {cls.__name__: cls for cls in (AspectMode, PicOrigin, PictureAnchor)}
+
+
+def composition_to_json(comp: Composition) -> str:
+    def enc(o):
+        if isinstance(o, dict):
+            return {k: enc(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [enc(v) for v in o]
+        return _encode(o)
+    return json.dumps(enc(asdict(comp)))
+
+
+def composition_from_json(text: str) -> Composition:
+    def dec(o):
+        if isinstance(o, dict):
+            if "__tp__" in o:
+                return TimePoint(*o["__tp__"])
+            if "__enum__" in o:
+                name, member = o["__enum__"]
+                return _ENUMS[name][member]
+            return {k: dec(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [dec(v) for v in o]
+        return o
+
+    raw = dec(json.loads(text))
+
+    def mk_state(d) -> ElementState:
+        d = dict(d)
+        for key in ("pic_pos", "size", "texture_offset", "border_size",
+                    "audio_pos"):
+            if key in d and d[key] is not None:
+                d[key] = tuple(d[key])
+        if d.get("fill_color") is not None:
+            d["fill_color"] = tuple(d["fill_color"])
+        return ElementState(**d)
+
+    scenes = tuple(
+        Scene(name=s["name"], elements=tuple(
+            Element(name=e["name"], initial_state=mk_state(e["initial_state"]),
+                    parent=e.get("parent"),
+                    anchors=tuple(e.get("anchors", ())),
+                    z_index=e.get("z_index", 0))
+            for e in s["elements"]))
+        for s in raw["scenes"])
+    return Composition(
+        name=raw["name"], canvas_size=tuple(raw["canvas_size"]),
+        frame_duration=raw["frame_duration"],
+        audio_frame_duration=raw["audio_frame_duration"],
+        sample_rate=raw["sample_rate"], channel_count=raw["channel_count"],
+        scenes=scenes, initial_scene=raw.get("initial_scene", ""))

@@ -1,0 +1,175 @@
+"""Segmenter, SRC bookkeeping, repeater, and animator tests — ported from
+the reference's audioSegmenterTests / sampleRateConversionTests plus
+animator geometry checks."""
+
+import numpy as np
+
+from swiftvideo_tpu.core import EventBox, StepClock, TimePoint, Tx
+from swiftvideo_tpu.media import AudioFormat, AudioSample, PixelFormat, create_picture_sample
+from swiftvideo_tpu.mix import (AudioPacketSegmenter, AudioSampleRateConversion,
+                                PictureAnimator, Repeater, SoundAnimator)
+from swiftvideo_tpu.scene import AspectMode, ElementState, PicOrigin
+
+
+def _sample(buf, pts, rate=48000, channels=2, fmt=AudioFormat.s16i,
+            count=None):
+    return AudioSample(buffers=(buf,), frequency=rate, channels=channels,
+                       format=fmt, sample_count=count or (buf.size // channels),
+                       pts_value=pts, id_asset="a", id_workspace="w")
+
+
+def test_segmenter_1024_to_960():
+    """audioSegmenterTests.segmenterTest: 1024-sample packets re-chunked to
+    960 with sample continuity (a ramp signal survives re-chunking)."""
+    seg = AudioPacketSegmenter(TimePoint(960, 48000))
+    ramp = np.arange(1024 * 16 * 2, dtype=np.int16)  # interleaved stereo ramp
+    out_samples = []
+    pts = TimePoint(0, 48000)
+    for i in range(16):
+        chunk = ramp[i * 2048:(i + 1) * 2048]
+        box = seg(_sample(chunk, pts))
+        assert box.is_just()
+        out_samples.extend(box.value())
+        pts = pts + TimePoint(1024, 48000)
+    assert all(s.number_samples() == 960 for s in out_samples)
+    # continuity: concatenated output reproduces the ramp prefix
+    cat = np.concatenate([np.asarray(s.data()[0]) for s in out_samples])
+    assert np.array_equal(cat, ramp[:cat.size])
+    # pts advance by exactly 960 per segment
+    for a, b in zip(out_samples, out_samples[1:]):
+        assert b.pts() - a.pts() == TimePoint(960, 48000)
+
+
+def test_src_bookkeeping():
+    """sampleRateConversionTests.sampleCountTest: mono f32 44.1k packets ->
+    48k stereo s16i; every emitted sample's pts equals the cumulative
+    output-sample count (exact bookkeeping over thousands of packets)."""
+    src = AudioSampleRateConversion(48000, 2, AudioFormat.s16i)
+    new_pts = TimePoint(0, 48000)
+    checked = [0]
+
+    def recv(sample):
+        nonlocal new_pts
+        assert sample.pts().scale == new_pts.scale
+        assert sample.pts().value == new_pts.value
+        new_pts = TimePoint(new_pts.value + sample.number_samples(), 48000)
+        checked[0] += 1
+        return EventBox.nothing(sample.info())
+
+    txn = src >> Tx(recv)
+    pts = TimePoint(0, 44100)
+    blank = np.zeros(1024, np.float32)
+    for _ in range(3000):
+        s = AudioSample(buffers=(blank,), frequency=44100, channels=1,
+                        format=AudioFormat.f32p, sample_count=1024,
+                        pts_value=pts, id_asset="blank", id_workspace="test")
+        txn(s)
+        pts = pts + TimePoint(1024, 44100)
+    assert checked[0] > 2900
+    # cumulative output within one emission of the rational ratio
+    expect = 3000 * 1024 * 48000 / 44100
+    assert abs(new_pts.value - expect) < 1300
+
+
+def test_src_passthrough():
+    src = AudioSampleRateConversion(48000, 2, AudioFormat.s16i)
+    s = _sample(np.zeros(960 * 2, np.int16), TimePoint(0, 48000))
+    out = src(s)
+    assert out.value() is s
+
+
+def test_repeater_reemits():
+    clock = StepClock(TimePoint(1000, 30000))
+    rep = Repeater(clock, TimePoint(1000, 30000))
+    got = []
+    chain = rep >> Tx(lambda s: (got.append(s), EventBox.just(s))[1])
+    chain("frame0")
+    assert got == ["frame0"]
+    for _ in range(3):
+        clock.step()
+    assert got == ["frame0"] * 4  # re-emitted every idle tick
+    chain("frame1")
+    clock.step()
+    assert got[-1] == "frame1"
+
+
+def test_picture_animator_rect():
+    """An element at (x,y,w,h) produces matrices that map its corners to
+    the expected canvas NDC positions."""
+    clock = StepClock(TimePoint(1, 30))
+    anim = PictureAnimator(clock, canvas_size=(1920, 1080))
+    anim.set_state(ElementState(pic_pos=(480, 270), size=(960, 540)),
+                   TimePoint(0, 1000))
+    pic = create_picture_sample((64, 64), PixelFormat.y420p,
+                                asset_id="a", workspace_id="w")
+    out = anim(pic).value()
+    m = out.matrix()
+    # local (0,0) -> canvas (480,270) -> ndc (-0.5, -0.5)
+    p0 = m @ np.array([0, 0, 0, 1], np.float32)
+    p1 = m @ np.array([1, 1, 0, 1], np.float32)
+    assert np.allclose(p0[:2], [-0.5, -0.5], atol=1e-5)
+    assert np.allclose(p1[:2], [0.5, 0.5], atol=1e-5)
+    assert out.opacity() == 1.0
+
+
+def test_picture_animator_transition():
+    """Transitions lerp between states and complete on the clock."""
+    clock = StepClock(TimePoint(1, 10))
+    anim = PictureAnimator(clock, canvas_size=(100, 100))
+    anim.set_state(ElementState(pic_pos=(0, 0), size=(10, 10)), TimePoint(0, 1000))
+    fut = anim.set_state(ElementState(pic_pos=(10, 10), size=(10, 10)),
+                         TimePoint(1, 1))  # 1 s transition
+    pic = create_picture_sample((8, 8), PixelFormat.y420p, asset_id="a",
+                                workspace_id="w")
+    clock.step()  # t = 0.1 -> 10% through
+    m = anim(pic).value().matrix()
+    p0 = m @ np.array([0, 0, 0, 1], np.float32)
+    # 10% of the way from (0,0) to (10,10) in a 100-canvas: ndc -1 + 2*0.01
+    assert np.allclose(p0[:2], [-0.98, -0.98], atol=1e-5)
+    for _ in range(10):
+        clock.step()
+    assert fut.done() and anim.next_state is None
+    m2 = anim(pic).value().matrix()
+    p2 = m2 @ np.array([0, 0, 0, 1], np.float32)
+    assert np.allclose(p2[:2], [-0.8, -0.8], atol=1e-5)
+
+
+def test_picture_animator_aspect_fit():
+    """16:9 sample in a square element letterboxes vertically."""
+    clock = StepClock(TimePoint(1, 30))
+    anim = PictureAnimator(clock, canvas_size=(100, 100))
+    anim.set_state(ElementState(pic_pos=(0, 0), size=(100, 100),
+                                pic_aspect=AspectMode.aspectFit),
+                   TimePoint(0, 1000))
+    pic = create_picture_sample((160, 90), PixelFormat.y420p,
+                                asset_id="a", workspace_id="w")
+    tm = anim(pic).value().texture_matrix()
+    # scale y = geom/orig aspect = 1 / (16/9) = 0.5625, centered
+    assert abs(tm[1, 1] - 0.5625) < 1e-4
+    assert abs(tm[0, 0] - 1.0) < 1e-6
+    assert abs(tm[1, 3] - (1 - 0.5625) / 2) < 1e-4
+
+
+def test_sound_animator_gain_position():
+    clock = StepClock(TimePoint(1, 30))
+    anim = SoundAnimator(clock)
+    anim.set_state(ElementState(audio_gain=0.5, audio_pos=(0.25, -0.5)),
+                   TimePoint(0, 1000))
+    s = _sample(np.zeros(64, np.int16), TimePoint(0, 48000))
+    out = anim(s).value()
+    from swiftvideo_tpu.utils.matrix import audio_position_gain
+    pos, gain = audio_position_gain(out.transform)
+    assert abs(gain - 0.5) < 1e-6
+    assert np.allclose(pos, [0.25, -0.5], atol=1e-6)
+
+
+def test_hidden_and_muted_swallow_samples():
+    clock = StepClock(TimePoint(1, 30))
+    panim = PictureAnimator(clock, canvas_size=(100, 100))
+    panim.set_state(ElementState(hidden=True), TimePoint(0, 1000))
+    pic = create_picture_sample((8, 8), PixelFormat.y420p, asset_id="a",
+                                workspace_id="w")
+    assert panim(pic).is_nothing()
+    sanim = SoundAnimator(clock)
+    sanim.set_state(ElementState(muted=True), TimePoint(0, 1000))
+    assert sanim(_sample(np.zeros(4, np.int16), TimePoint(0, 48000))).is_nothing()

@@ -1,0 +1,145 @@
+"""VideoMixer + Composer end-to-end tests on virtual time.
+
+The reference had no video-mixer numerical tests (SURVEY.md §4 gap); these
+validate composed output pixels against the golden oracle, the
+two-generation frame-hold behavior (mix.video.swift:105-114), z-ordering,
+and the composer's bind/scene wiring (composer.swift:203-224).
+"""
+
+import numpy as np
+
+from swiftvideo_tpu.core import Bus, EventBox, StepClock, TimePoint, Tx
+from swiftvideo_tpu.media import PixelFormat, create_picture_sample
+from swiftvideo_tpu.mix import VideoMixer
+from swiftvideo_tpu.ops import golden, make_compute_context, rect_uniforms
+from swiftvideo_tpu.scene import Composition, Element, ElementState, Scene
+from swiftvideo_tpu.utils import matrix as m4
+
+FRAME = TimePoint(1000, 30000)
+
+
+def _source(y_value, size=(32, 32), asset="cam", rev="r1", rect=None,
+            canvas=(64, 64), z=0):
+    s = create_picture_sample(size, PixelFormat.y420p, asset_id=asset,
+                              workspace_id="w")
+    s.planes()[0][:] = y_value
+    if rect is not None:
+        x, y, w, h = rect
+        proj = m4.ortho(*canvas)
+        model = proj @ m4.translation(x, y, z) @ m4.scale(w, h)
+        s = s.with_(matrix=model, revision=rev)
+    else:
+        s = s.with_(revision=rev)
+    return s
+
+
+def test_mixer_composites_and_repeats():
+    clock = StepClock(FRAME)
+    ctx = make_compute_context("golden")
+    mixer = VideoMixer(clock, workspace_id="w", frame_duration=FRAME,
+                       output_size=(64, 64), output_format=PixelFormat.y420p,
+                       compute_context=ctx, asset_id="mix")
+    frames = []
+    pipe = mixer >> Tx(lambda s: (frames.append(s), EventBox.just(s))[1])
+
+    src = _source(200, rect=(0, 0, 32, 32))
+    mixer.apply(EventBox.just(src))
+    clock.step()  # tick 1: fresh generation
+    clock.step()  # tick 2: held generation (no new frame)
+    clock.step()  # tick 3: sample aged out of both generations
+    assert len(frames) == 3
+    y0 = np.asarray(frames[0].planes()[0])
+    assert y0.shape == (64, 64)
+    assert abs(int(y0[16, 16]) - 200) <= 1   # source visible
+    assert y0[48, 48] == 0                   # cleared area
+    y1 = np.asarray(frames[1].planes()[0])
+    assert abs(int(y1[16, 16]) - 200) <= 1   # held frame repeated
+    y2 = np.asarray(frames[2].planes()[0])
+    assert y2[16, 16] == 0                   # gone after two generations
+    # pts cadence: tick - epoch
+    assert frames[0].pts() == TimePoint(1000, 30000)
+    assert frames[1].pts() == TimePoint(2000, 30000)
+    mixer.close()
+
+
+def test_mixer_z_order_matches_golden():
+    clock = StepClock(FRAME)
+    ctx = make_compute_context("golden")
+    mixer = VideoMixer(clock, workspace_id="w", frame_duration=FRAME,
+                       output_size=(64, 64), output_format=PixelFormat.y420p,
+                       compute_context=ctx, asset_id="mix")
+    frames = []
+    pipe = mixer >> Tx(lambda s: (frames.append(s), EventBox.just(s))[1])
+    a = _source(60, asset="a", rev="ra", rect=(0, 0, 48, 48), z=0)
+    b = _source(180, asset="b", rev="rb", rect=(16, 16, 48, 48), z=1)
+    mixer.apply(EventBox.just(b))  # arrival order != z order
+    mixer.apply(EventBox.just(a))
+    clock.step()
+    y = np.asarray(frames[0].planes()[0])
+    # golden reference: clear + a then b (z-sorted)
+    expect = golden.composite_stack(
+        PixelFormat.y420p, (64, 64),
+        [(list(a.planes()), PixelFormat.y420p,
+          rect_uniforms((32, 32), (64, 64), x=0, y=0, w=48, h=48)),
+         (list(b.planes()), PixelFormat.y420p,
+          rect_uniforms((32, 32), (64, 64), x=16, y=16, w=48, h=48))])
+    assert np.array_equal(y, expect[0])
+    mixer.close()
+
+
+def test_mixer_device_backend():
+    """Same composite through the jitted XLA path."""
+    clock = StepClock(FRAME)
+    ctx = make_compute_context("jax")
+    mixer = VideoMixer(clock, workspace_id="w", frame_duration=FRAME,
+                       output_size=(32, 32), output_format=PixelFormat.y420p,
+                       compute_context=ctx, asset_id="mix")
+    frames = []
+    pipe = mixer >> Tx(lambda s: (frames.append(s), EventBox.just(s))[1])
+    mixer.apply(EventBox.just(_source(120, size=(16, 16),
+                                      rect=(0, 0, 32, 32), canvas=(32, 32))))
+    clock.step()
+    y = np.asarray(frames[0].planes()[0])
+    assert abs(int(y[16, 16]) - 120) <= 1
+    from swiftvideo_tpu.media import BufferType
+    assert frames[0].buffer_type() == BufferType.gpu
+    mixer.close()
+
+
+def test_composer_end_to_end():
+    """Composer wires buses -> animators -> mixers; a bound asset's frames
+    appear composited in the configured element rect."""
+    clock = StepClock(TimePoint(480, 48000))
+    audio_bus = Bus(clock)
+    picture_bus = Bus(clock)
+    comp = Composition(
+        name="comp", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        sample_rate=48000, channel_count=2,
+        scenes=(Scene(name="main", elements=(
+            Element(name="left", initial_state=ElementState(
+                pic_pos=(0, 0), size=(32, 64))),
+            Element(name="right", initial_state=ElementState(
+                pic_pos=(32, 0), size=(32, 64)), z_index=1),
+        )),),
+        initial_scene="main")
+    from swiftvideo_tpu.compose import Composer
+    composer = Composer(clock, workspace_id="w", composition=comp,
+                        audio_bus=audio_bus, picture_bus=picture_bus,
+                        compute_context=make_compute_context("golden"))
+    got = []
+    sub = picture_bus.subscribe(Tx(
+        lambda s: (got.append(s), EventBox.just(s))[1]
+        if s.asset_id() == "comp" else EventBox.nothing(None)))
+    composer.bind("camA", "left")
+    src = _source(220, asset="camA", rev="ignored")
+    picture_bus.append(EventBox.just(src))
+    for _ in range(100):  # let video ticks fire (audio clock steps 10 ms)
+        clock.step()
+    mixed = [s for s in got if s.asset_id() == "comp"]
+    assert mixed
+    y = np.asarray(mixed[-1].planes()[0])
+    assert abs(int(y[32, 8]) - 220) <= 1   # left element shows camA
+    assert y[32, 48] == 0                  # right element empty
+    composer.close()
