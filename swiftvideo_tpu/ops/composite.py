@@ -27,18 +27,22 @@ from .uniforms import UNIFORM_WIDTH, ImageUniforms
 
 @lru_cache(maxsize=256)
 def _stack_program(out_fmt: PixelFormat, size: Tuple[int, int],
-                   in_fmts: Tuple[PixelFormat, ...], batched: bool):
+                   in_fmts: Tuple[PixelFormat, ...],
+                   separable: Tuple[bool, ...], batched: bool):
     """Build + jit a clear-then-fold composite program.
 
     Source planes arrive as a flat tuple-of-tuples pytree; uniforms as one
-    [N, UNIFORM_WIDTH] array indexed per source.
+    [N, UNIFORM_WIDTH] array indexed per source.  ``separable[i]`` selects
+    the axis-split fast sampling path per source (static; re-traced only
+    when a source's axis-alignment status changes).
     """
 
     def run(source_planes, uniforms):
         target = [jnp.asarray(p) for p in golden.clear_planes(out_fmt, size)]
         for i, in_fmt in enumerate(in_fmts):
             target = golden.apply_composite(target, out_fmt, source_planes[i],
-                                            in_fmt, uniforms[i], xp=jnp)
+                                            in_fmt, uniforms[i], xp=jnp,
+                                            separable=separable[i])
         return tuple(target)
 
     if batched:
@@ -53,23 +57,27 @@ def composite_stack_device(out_fmt: PixelFormat, size: Tuple[int, int],
     sources in one jitted program.  Returns a tuple of device arrays."""
     in_fmts = tuple(fmt for _, fmt, _ in sources)
     planes = tuple(tuple(jnp.asarray(p) for p in s) for s, _, _ in sources)
+    packed = [golden._packed(u) for _, _, u in sources]
+    separable = tuple(golden.is_axis_aligned(p) for p in packed)
     if sources:
-        unis = jnp.stack([jnp.asarray(golden._packed(u)) for _, _, u in sources])
+        unis = jnp.stack([jnp.asarray(p) for p in packed])
     else:
         unis = jnp.zeros((0, UNIFORM_WIDTH), jnp.float32)
-    program = _stack_program(out_fmt, size, in_fmts, False)
+    program = _stack_program(out_fmt, size, in_fmts, separable, False)
     return program(planes, unis)
 
 
 def composite_stack_batched(out_fmt: PixelFormat, size: Tuple[int, int],
                             in_fmts: Tuple[PixelFormat, ...],
-                            source_planes, uniforms):
+                            source_planes, uniforms,
+                            separable: bool = True):
     """Batched fold over a leading stream axis.
 
     ``source_planes``: per-source tuples of [B, ...plane] arrays;
     ``uniforms``: [B, N, UNIFORM_WIDTH].  Returns tuple of [B, ...] planes.
     """
-    program = _stack_program(out_fmt, size, tuple(in_fmts), True)
+    program = _stack_program(out_fmt, size, tuple(in_fmts),
+                             tuple(separable for _ in in_fmts), True)
     return program(source_planes, uniforms)
 
 
@@ -77,11 +85,13 @@ def composite_stack_batched(out_fmt: PixelFormat, size: Tuple[int, int],
 
 @lru_cache(maxsize=256)
 def _apply_program(out_fmt: PixelFormat, in_fmt: PixelFormat,
-                   out_size: Tuple[int, int], in_size: Tuple[int, int]):
+                   out_size: Tuple[int, int], in_size: Tuple[int, int],
+                   separable: bool):
     def run(target_planes, source_planes, packed):
         return tuple(golden.apply_composite(list(target_planes), out_fmt,
                                             list(source_planes), in_fmt,
-                                            packed, xp=jnp))
+                                            packed, xp=jnp,
+                                            separable=separable))
     return jax.jit(run)
 
 
@@ -93,8 +103,10 @@ def apply_composite_device(target_planes, out_fmt: PixelFormat,
     s = tuple(jnp.asarray(p) for p in source_planes)
     out_size = (t[0].shape[1], t[0].shape[0])
     in_size = (s[0].shape[1], s[0].shape[0])
-    program = _apply_program(out_fmt, in_fmt, out_size, in_size)
-    return program(t, s, jnp.asarray(golden._packed(uni)))
+    packed = golden._packed(uni)
+    program = _apply_program(out_fmt, in_fmt, out_size, in_size,
+                             golden.is_axis_aligned(packed))
+    return program(t, s, jnp.asarray(packed))
 
 
 def clear_device(out_fmt: PixelFormat, size: Tuple[int, int]):

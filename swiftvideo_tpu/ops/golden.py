@@ -66,9 +66,17 @@ def bilinear_norm(plane, u, v, xp=np):
     """OpenCL-style normalized bilinear sample with clamp-to-edge.
 
     ``plane``: [H, W] or [H, W, C] float; ``u``/``v``: arrays of normalized
-    coords.  Returns samples with shape ``u.shape (+ [C])``.
+    coords.  Returns samples of shape ``broadcast(u, v).shape (+ [C])``.
+
+    When the coords are **separable** (``u`` shaped [1, W], ``v`` shaped
+    [H, 1] — the axis-aligned transform case), sampling runs as a row
+    gather + lerp followed by a column gather + lerp instead of four full
+    2-D gathers.  On TPU this is ~77x faster (2-D gathers lower terribly;
+    benchmarks/micro_composite.py), and the arithmetic is identical.
     """
     h, w = plane.shape[:2]
+    separable = (getattr(u, "ndim", 0) == 2 and u.shape[0] == 1
+                 and getattr(v, "ndim", 0) == 2 and v.shape[1] == 1)
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = xp.floor(x)
@@ -79,6 +87,20 @@ def bilinear_norm(plane, u, v, xp=np):
     xi1 = xp.clip(x0 + 1, 0, w - 1).astype(xp.int32)
     yi0 = xp.clip(y0, 0, h - 1).astype(xp.int32)
     yi1 = xp.clip(y0 + 1, 0, h - 1).astype(xp.int32)
+
+    if separable:
+        ry0 = yi0[:, 0]
+        ry1 = yi1[:, 0]
+        cy = fy  # [H, 1]
+        cx = fx  # [1, W]
+        if plane.ndim == 3:
+            cy = cy[..., None]
+            cx = cx[..., None]
+        rows = plane[ry0] * (1.0 - cy) + plane[ry1] * cy  # [H, Win(,C)]
+        cols0 = rows[:, xi0[0, :]]
+        cols1 = rows[:, xi1[0, :]]
+        return (cols0 * (1.0 - cx) + cols1 * cx).astype(xp.float32)
+
     if plane.ndim == 3:
         fx = fx[..., None]
         fy = fy[..., None]
@@ -118,13 +140,40 @@ def _inside(x, y):
     return (x >= 0.0) & (x <= 1.0) & (y >= 0.0) & (y <= 1.0)
 
 
-def _masks(packed, h: int, w: int, xp=np):
-    px, py = _grid_ndc(h, w, xp)
-    tx_x, tx_y = _affine(packed[0:6], px, py)
-    uv_x, uv_y = _affine(packed[6:12], tx_x, tx_y)
-    bd_x, bd_y = _affine(packed[12:18], px, py)
+def _masks(packed, h: int, w: int, xp=np, separable: bool = False):
+    """Border / element / texture masks + texture coords.
+
+    ``separable=True`` (axis-aligned transforms: the b/c affine cross terms
+    are zero) keeps coordinates as [H,1] / [1,W] vectors so downstream
+    sampling can use the fast axis-split gather path and masks broadcast
+    as outer products."""
+    if separable:
+        ys = xp.arange(h, dtype=xp.float32)[:, None] / np.float32(h)
+        xs = xp.arange(w, dtype=xp.float32)[None, :] / np.float32(w)
+        px = xs * 2.0 - 1.0  # [1, W]
+        py = ys * 2.0 - 1.0  # [H, 1]
+        tx_x = packed[0] * px + packed[4]
+        tx_y = packed[3] * py + packed[5]
+        uv_x = packed[6] * tx_x + packed[10]
+        uv_y = packed[9] * tx_y + packed[11]
+        bd_x = packed[12] * px + packed[16]
+        bd_y = packed[15] * py + packed[17]
+    else:
+        px, py = _grid_ndc(h, w, xp)
+        tx_x, tx_y = _affine(packed[0:6], px, py)
+        uv_x, uv_y = _affine(packed[6:12], tx_x, tx_y)
+        bd_x, bd_y = _affine(packed[12:18], px, py)
     return (_inside(bd_x, bd_y), _inside(tx_x, tx_y), _inside(uv_x, uv_y),
             uv_x, uv_y)
+
+
+def is_axis_aligned(packed: np.ndarray, eps: float = 1e-7) -> bool:
+    """True when all three affines have no cross terms (no rotation), so the
+    separable fast path is exact."""
+    p = np.asarray(packed)
+    return bool(abs(p[1]) < eps and abs(p[2]) < eps
+                and abs(p[7]) < eps and abs(p[8]) < eps
+                and abs(p[13]) < eps and abs(p[14]) < eps)
 
 
 # --- clear (kernels.cl.swift:38-46, 174-185, 257-265) ---------------------
@@ -184,29 +233,35 @@ def _csc_rgb(yuv, xp=np):
 
 def apply_composite(target_planes: Sequence, out_fmt: PixelFormat,
                     source_planes: Sequence, in_fmt: PixelFormat,
-                    uni, xp=np) -> List:
+                    uni, xp=np, separable: bool = False) -> List:
     """One source composited over the current target (one reference kernel
-    launch, compute.cl.swift:264-344).  Returns new target planes (u8)."""
+    launch, compute.cl.swift:264-344).  Returns new target planes (u8).
+
+    ``separable=True`` selects the axis-split sampling path — exact for
+    axis-aligned transforms (see is_axis_aligned), ~77x faster on TPU."""
     packed = _packed(uni)
     if out_fmt in _RGBA:
         return [_composite_rgba_out(target_planes[0], out_fmt,
-                                    source_planes, in_fmt, packed, xp)]
+                                    source_planes, in_fmt, packed, xp,
+                                    separable)]
     luma = _composite_yuv_grid(target_planes[0], None, out_fmt,
-                               source_planes, in_fmt, packed, "luma", xp)
+                               source_planes, in_fmt, packed, "luma", xp,
+                               separable)
     if out_fmt in _YUV_PLANAR:
         cb, cr = _composite_yuv_grid(target_planes[1], target_planes[2],
                                      out_fmt, source_planes, in_fmt, packed,
-                                     "chroma", xp)
+                                     "chroma", xp, separable)
         return [luma, cb, cr]
     chroma = _composite_yuv_grid(target_planes[1], None, out_fmt,
-                                 source_planes, in_fmt, packed, "chroma", xp)
+                                 source_planes, in_fmt, packed, "chroma", xp,
+                                 separable)
     return [luma, chroma]
 
 
 def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
-                        grid: str, xp=np):
+                        grid: str, xp=np, separable: bool = False):
     h, w = cur0.shape[:2]
-    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp)
+    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp, separable)
     op = packed[22]
     fill = packed[18:22]
 
@@ -262,11 +317,12 @@ def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
          blend_channel(_to_f(cur0[..., 1], xp), 2, -1.0)], axis=-1), xp)
 
 
-def _composite_rgba_out(cur, out_fmt, source_planes, in_fmt, packed, xp=np):
+def _composite_rgba_out(cur, out_fmt, source_planes, in_fmt, packed, xp=np,
+                        separable: bool = False):
     """rgba-family output grid: blit blend (kernels.metal img_bgra_bgra),
     extended to yuv inputs via YUV2RGB (the y420p->RGBA conversion config)."""
     h, w = cur.shape[:2]
-    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp)
+    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp, separable)
     op = packed[22]
     fill = packed[18:22]
     cur_f = _to_f(cur, xp)

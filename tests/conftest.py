@@ -1,16 +1,22 @@
 """Test configuration.
 
 Tests run on CPU with a virtual 8-device mesh so that multi-chip sharding
-paths compile and execute without TPU hardware.  These env vars must be set
-before jax is imported anywhere.
+paths compile and execute without TPU hardware.  The image pre-sets
+JAX_PLATFORMS=axon (the TPU tunnel) and its plugin force-registers as the
+default backend, so the override must go through jax.config, before any
+computation runs.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

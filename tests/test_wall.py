@@ -1,0 +1,48 @@
+"""Sharded mixing wall on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swiftvideo_tpu.parallel import MixingWall, make_mesh
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_wall_16_streams_over_8_devices():
+    mesh = make_mesh(jax.devices()[:8])
+    n = 64
+    sw, sh = 64, 36
+    wall = MixingWall(mesh, n_streams=n, stream_size=(sw, sh),
+                      canvas_size=(128, 96), audio_samples=48, channels=2)
+    rng = np.random.default_rng(0)
+    ys = wall.shard(jnp.asarray(
+        rng.integers(0, 256, (n, sh, sw), np.int64).astype(np.uint8)))
+    us = wall.shard(jnp.full((n, sh // 2, sw // 2), 100, jnp.uint8))
+    vs = wall.shard(jnp.full((n, sh // 2, sw // 2), 150, jnp.uint8))
+    audio = wall.shard(jnp.full((n, 48 * 2), 100, jnp.int16))
+    wy, wu, wv, mixed = wall.step(ys, us, vs, audio)
+    assert wy.shape == (96, 128)
+    assert wu.shape == (48, 64)
+    assert mixed.shape == (48 * 2,)
+    # audio: 64 streams x 100 = 6400
+    assert np.all(np.asarray(mixed) == 6400)
+    # wall tile (0,0) equals stream 0 scaled to 16x9 — sample a pixel
+    y_host = np.asarray(wy)
+    assert y_host.shape == (96, 128)
+    # chroma passthrough: scaled chroma stays at the stream values
+    assert abs(int(np.asarray(wu)[10, 10]) - 100) <= 1
+    assert abs(int(np.asarray(wv)[10, 10]) - 150) <= 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_wall_audio_saturates():
+    mesh = make_mesh(jax.devices()[:8])
+    wall = MixingWall(mesh, n_streams=64, stream_size=(16, 16),
+                      canvas_size=(64, 64), audio_samples=8)
+    ys = wall.shard(jnp.zeros((64, 16, 16), jnp.uint8))
+    us = wall.shard(jnp.full((64, 8, 8), 128, jnp.uint8))
+    vs = wall.shard(jnp.full((64, 8, 8), 128, jnp.uint8))
+    audio = wall.shard(jnp.full((64, 16), 30000, jnp.int16))
+    _, _, _, mixed = wall.step(ys, us, vs, audio)
+    assert np.all(np.asarray(mixed) == 32767)
