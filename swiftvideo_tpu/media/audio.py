@@ -75,7 +75,7 @@ class AudioSample:
     pts_value: TimePoint = field(default_factory=lambda: TimePoint(0, 100000))
     id_asset: str = ""
     id_workspace: str = ""
-    workspace_token: Optional[str] = None
+    token_workspace: Optional[str] = None
     transform: np.ndarray = field(default_factory=m4.identity3)
     event_info: Optional[EventInfo] = None
     constituents_value: Tuple = ()
@@ -94,6 +94,9 @@ class AudioSample:
 
     def workspace_id(self) -> str:
         return self.id_workspace
+
+    def workspace_token(self) -> Optional[str]:
+        return self.token_workspace
 
     def info(self) -> Optional[EventInfo]:
         return self.event_info

@@ -85,7 +85,7 @@ class CodedMediaSample:
     media_format: MediaFormat
     id_asset: str = ""
     id_workspace: str = ""
-    workspace_token: Optional[str] = None
+    token_workspace: Optional[str] = None
     time_point: TimePoint = field(default_factory=lambda: TimePoint(0, 100000))
     side: Dict[str, bytes] = field(default_factory=dict)
     encoder: str = ""
@@ -118,6 +118,9 @@ class CodedMediaSample:
 
     def data(self) -> bytes:
         return self.buffer
+
+    def workspace_token(self) -> Optional[str]:
+        return self.token_workspace
 
     def side_data(self) -> Dict[str, bytes]:
         return self.side

@@ -53,7 +53,7 @@ class PictureSample:
     img: ImageBuffer
     id_asset: str
     id_workspace: str
-    workspace_token: Optional[str] = None
+    token_workspace: Optional[str] = None
     time_point: TimePoint = field(default_factory=lambda: TimePoint(0, 100000))
     pts_value: TimePoint = field(default_factory=lambda: TimePoint(0, 100000))
     matrix_value: np.ndarray = field(default_factory=m4.identity4)
@@ -78,6 +78,9 @@ class PictureSample:
 
     def workspace_id(self) -> str:
         return self.id_workspace
+
+    def workspace_token(self) -> Optional[str]:
+        return self.token_workspace
 
     def info(self) -> Optional[EventInfo]:
         return self.event_info
@@ -140,7 +143,7 @@ class PictureSample:
 
 def create_picture_sample(size: Tuple[int, int], fmt: PixelFormat, *,
                           asset_id: str, workspace_id: str,
-                          workspace_token: Optional[str] = None) -> PictureSample:
+                          token_workspace: Optional[str] = None) -> PictureSample:
     """Allocate a zeroed cpu-backed sample (sample.pict.linux.swift:254-311)."""
     w, h = int(size[0]), int(size[1])
     if w <= 0 or h <= 0:
@@ -149,4 +152,4 @@ def create_picture_sample(size: Tuple[int, int], fmt: PixelFormat, *,
     buffers = tuple(allocate_planes(fmt, (w, h)))
     img = ImageBuffer(pixel_format=fmt, buffer_type=BufferType.cpu,
                       size=(w, h), planes=planes, buffers=buffers)
-    return PictureSample(img, asset_id, workspace_id, workspace_token)
+    return PictureSample(img, asset_id, workspace_id, token_workspace)

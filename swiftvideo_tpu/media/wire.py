@@ -86,8 +86,8 @@ def serialize(sample: CodedMediaSample) -> bytes:
            _record(_T_BUFFER, sample.data()),
            _record(_T_MEDIATYPE, struct.pack("<i", int(sample.media_type))),
            _record(_T_MEDIAFORMAT, struct.pack("<i", int(sample.media_format)))]
-    if sample.workspace_token:
-        out.append(_record(_T_TOKEN, sample.workspace_token.encode()))
+    if sample.token_workspace:
+        out.append(_record(_T_TOKEN, sample.token_workspace.encode()))
     if sample.encoder:
         out.append(_record(_T_ENCODER, sample.encoder.encode()))
     for key, val in sample.side_data().items():
@@ -118,7 +118,7 @@ def deserialize(data: bytes) -> CodedMediaSample:
         elif tag == _T_WORKSPACE:
             extra["id_workspace"] = payload.decode()
         elif tag == _T_TOKEN:
-            extra["workspace_token"] = payload.decode()
+            extra["token_workspace"] = payload.decode()
         elif tag == _T_BUFFER:
             kwargs["buffer"] = payload
         elif tag == _T_MEDIATYPE:

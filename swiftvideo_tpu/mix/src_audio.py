@@ -60,5 +60,5 @@ class AudioSampleRateConversion(Tx):
             channels=self.out_channels, format=self.out_format,
             sample_count=count, time_point=sample.time(), pts_value=pts,
             id_asset=sample.asset_id(), id_workspace=sample.workspace_id(),
-            workspace_token=sample.workspace_token,
+            token_workspace=sample.token_workspace,
             transform=sample.transform, event_info=sample.info()))

@@ -192,7 +192,7 @@ class RtmpSessionCore:
             dts_value=TimePoint(chunk.timestamp, 1000),
             media_type=MediaType.video, media_format=MediaFormat.avc,
             id_asset=self.ctx.asset_id, id_workspace=self.ctx.app or "",
-            workspace_token=self.ctx.play_path,
+            token_workspace=self.ctx.play_path,
             time_point=self.clock.current(),
             side={"config": config}, encoder=self.ctx.encoder or "")
         return b"", [sample]
@@ -214,7 +214,7 @@ class RtmpSessionCore:
             dts_value=TimePoint(chunk.timestamp, 1000),
             media_type=MediaType.audio, media_format=MediaFormat.aac,
             id_asset=self.ctx.asset_id, id_workspace=self.ctx.app or "",
-            workspace_token=self.ctx.play_path,
+            token_workspace=self.ctx.play_path,
             time_point=self.clock.current(),
             side={"config": config}, encoder=self.ctx.encoder or "")
         return b"", [sample]

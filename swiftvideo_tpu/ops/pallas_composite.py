@@ -32,20 +32,26 @@ import numpy as np
 
 TILE_H = 128
 TILE_W = 128
-# static source-window buckets (rounded KH/KW) to bound recompiles
-_K_BUCKETS = (40, 72, 136, 264, 520, 1032)
+# static source-window buckets to bound recompiles; u8 memrefs tile as
+# (32, 128), so HBM slice offsets AND sizes must align to 32 rows / 128
+# lanes
+_ROW_BUCKETS = (64, 160, 288, 544, 1088)
+_COL_BUCKETS = (128, 256, 512, 1024, 2048)
+ROW_ALIGN = 32
+COL_ALIGN = 128
 
 
-def _bucket(k: int) -> int:
-    for b in _K_BUCKETS:
+def _bucket(k: int, buckets) -> int:
+    for b in buckets:
         if k <= b:
             return b
     raise ValueError(f"source window {k} too large for pallas path")
 
 
-def kernel_extent(scale: float, tile: int) -> int:
-    """Rows/cols of source a tile footprint can touch."""
-    return _bucket(int(np.ceil(abs(scale) * tile)) + 3)
+def kernel_extent(scale: float, tile: int, align: int) -> int:
+    """Rows/cols of source a tile footprint can touch, plus alignment slack."""
+    buckets = _ROW_BUCKETS if align == ROW_ALIGN else _COL_BUCKETS
+    return _bucket(int(np.ceil(abs(scale) * tile)) + 3 + align, buckets)
 
 
 def _composite_plane_kernel(params_ref, base_r_ref, base_c_ref,
@@ -96,7 +102,7 @@ def _composite_plane_kernel(params_ref, base_r_ref, base_c_ref,
     C = jnp.maximum(0.0, 1.0 - jnp.abs(xc.T - k_cols))        # [TW, KW]
 
     copy.wait()
-    sf = scratch[...].astype(jnp.float32) * (1.0 / 255.0)     # [KH, KW]
+    sf = scratch[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)     # [KH, KW]
     tmp = jnp.dot(R, sf, preferred_element_type=jnp.float32)  # [TH, KW]
     samp = jnp.dot(tmp, C.T, preferred_element_type=jnp.float32)
 
@@ -115,14 +121,14 @@ def _composite_plane_kernel(params_ref, base_r_ref, base_c_ref,
     a_fill = params_ref[13]
     fill_chan = params_ref[14]
     clamp_lo = params_ref[15]
-    cur_f = cur_ref[...].astype(jnp.float32) * (1.0 / 255.0)
+    cur_f = cur_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     blended = cur_f * (1.0 - op) + samp * op
     filled = jnp.clip(cur_f * (1.0 - a_fill) + fill_chan * a_fill,
                       clamp_lo, 1.0)
     out = jnp.where(m_border & m_tex, blended,
                     jnp.where(m_border, filled, cur_f))
     out_ref[...] = jnp.clip(jnp.rint(out * 255.0), 0.0, 255.0
-                            ).astype(jnp.uint8)
+                            ).astype(jnp.int32).astype(jnp.uint8)
 
 
 @lru_cache(maxsize=128)
@@ -194,12 +200,14 @@ def _plane_params(packed, h_out, w_out, h_in, w_in, fill_chan, clamp_lo,
                       op, a_fill, fill_chan, clamp_lo]).astype(jnp.float32)
 
 
-def _bases(a, b, n_tiles, tile, k, size):
-    """Per-tile source window base offsets (in-graph, int32 [n_tiles])."""
+def _bases(a, b, n_tiles, tile, k, size, align):
+    """Per-tile source window base offsets, rounded down to the memory-tile
+    alignment Mosaic requires for HBM slices (in-graph, int32 [n_tiles])."""
     idx = jnp.arange(n_tiles, dtype=jnp.float32) * tile
     lo = jnp.minimum(a * idx + b, a * (idx + tile - 1) + b)
     base = jnp.floor(lo) - 1.0
-    return jnp.clip(base, 0, max(size - k, 0)).astype(jnp.int32)
+    base = jnp.clip(base, 0, max(size - k, 0)).astype(jnp.int32)
+    return (base // align) * align
 
 
 def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
@@ -212,16 +220,16 @@ def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
     """
     h_out, w_out = cur.shape
     h_in, w_in = src.shape
-    kh = kernel_extent(scale_hint[0], TILE_H)
-    kw = kernel_extent(scale_hint[1], TILE_W)
-    kh = min(kh, _bucket(h_in) if h_in <= _K_BUCKETS[-1] else kh)
-    kw = min(kw, _bucket(w_in) if w_in <= _K_BUCKETS[-1] else kw)
+    kh = kernel_extent(scale_hint[0], TILE_H, ROW_ALIGN)
+    kw = kernel_extent(scale_hint[1], TILE_W, COL_ALIGN)
+    if kh > h_in or kw > w_in:
+        raise ValueError("source smaller than kernel window; use XLA path")
     params = _plane_params(packed, h_out, w_out, h_in, w_in,
                            jnp.float32(fill_chan), jnp.float32(clamp_lo))
     n_i = -(-h_out // TILE_H)
     n_j = -(-w_out // TILE_W)
-    base_r = _bases(params[0], params[1], n_i, TILE_H, kh, h_in)
-    base_c = _bases(params[2], params[3], n_j, TILE_W, kw, w_in)
+    base_r = _bases(params[0], params[1], n_i, TILE_H, kh, h_in, ROW_ALIGN)
+    base_c = _bases(params[2], params[3], n_j, TILE_W, kw, w_in, COL_ALIGN)
     program = _plane_program(h_out, w_out, h_in, w_in, kh, kw)
     return program(params, base_r, base_c, src, cur)
 

@@ -1,0 +1,136 @@
+"""flavor protocol tests: atom codec roundtrip + socket loopback push."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from swiftvideo_tpu.core import EventBox, TimePoint, Tx
+from swiftvideo_tpu.media import CodedMediaSample, MediaFormat, MediaType
+from swiftvideo_tpu.net import flavor as fl
+
+
+def test_atom_value_roundtrip():
+    vals = {"i": 42, "big": 1 << 40, "f": 3.5, "s": "hello flavor",
+            "b": True, "d": b"\x00\x01\x02",
+            "nested": {"x": 1, "list": [1, 2, "three"]}}
+    blob = fl.encode_value(vals)
+    atoms = list(fl.parse_atoms(blob))
+    assert len(atoms) == 1 and atoms[0][0] == "dict"
+    out = fl.decode_value("dict", atoms[0][1])
+    assert out == vals
+
+
+def test_trak_roundtrip():
+    t = fl.TrackInfo("AVC1", 7, 3, 600600, True, b"extradata")
+    blob = fl.serialize_trak(t)
+    atoms = list(fl.parse_atoms(blob))
+    assert atoms[0][0] == "trak"
+    out = fl.parse_trak(atoms[0][1])
+    assert out == t
+
+
+def test_core_handshake_and_push():
+    """Pure core loopback: ping handshake, push grant, track + media."""
+    srv = fl.FlavorSessionCore(is_server=True, asset_id="s")
+    cli = fl.FlavorSessionCore(is_server=False, asset_id="c")
+    out_c, _ = cli.feed(srv.start_bytes())     # ping -> rply
+    out_s, _ = srv.feed(out_c)
+    assert srv.established and cli.established
+    out_c2, _ = cli.feed(srv.feed(cli.request_push(5, "ws/token/asset"))[0])
+    assert cli.push_granted
+    assert srv.stream_tokens[5] == "ws/token/asset"
+    # tracks + media
+    track = fl.TrackInfo("AVC1", 5, 1, 1000, True, b"cfg")
+    srv_out, samples = srv.feed(cli.send_tracks([track]))
+    assert 1 in srv.tracks
+    sample = CodedMediaSample(
+        buffer=b"payload", pts_value=TimePoint(2002, 1000),
+        dts_value=TimePoint(2000, 1000), media_type=MediaType.video,
+        media_format=MediaFormat.avc, id_asset="c")
+    _, received = srv.feed(cli.media_bytes(sample, track))
+    assert len(received) == 1
+    r = received[0]
+    assert r.data() == b"payload"
+    assert r.pts() == TimePoint(2002, 1000)
+    assert r.dts() == TimePoint(2000, 1000)
+    assert r.media_format == MediaFormat.avc
+    assert r.side_data()["config"] == b"cfg"
+    assert r.workspace_token() == "ws/token/asset"
+
+
+def test_push_denied():
+    srv = fl.FlavorSessionCore(is_server=True, asset_id="s",
+                               on_push_request=lambda sid, tok: False)
+    cli = fl.FlavorSessionCore(is_server=False, asset_id="c")
+    out_c, _ = cli.feed(srv.start_bytes())
+    srv.feed(out_c)
+    reply, _ = srv.feed(cli.request_push(1, "tok"))
+    cli.feed(reply)
+    assert not cli.push_granted
+    assert cli.errors and "denied" in cli.errors[0]
+
+
+def test_unsupported_track_rejected():
+    srv = fl.FlavorSessionCore(is_server=True, asset_id="s")
+    cli = fl.FlavorSessionCore(is_server=False, asset_id="c")
+    srv.feed(cli.feed(srv.start_bytes())[0])
+    srv.feed(cli.request_push(1, "t"))
+    weird = fl.TrackInfo("WERD", 1, 9, 1000, False)
+    reply, _ = srv.feed(cli.send_tracks([weird]))
+    # server must reply with the unsupported track list
+    atoms = list(fl.parse_atoms(reply))
+    assert atoms[0][0] == "rply"
+    import struct
+    _, code = struct.unpack_from("<ii", atoms[0][1], 0)
+    assert code != 0
+
+
+async def _loopback(port: int):
+    received = []
+    subs = []
+
+    def on_subscriber(sub):
+        subs.append(sub)
+        sub_chain = sub >> Tx(lambda s: (received.append(s),
+                                         EventBox.nothing(None))[1])
+        subs.append(sub_chain)
+
+    server = fl.Flavor(on_subscriber=on_subscriber)
+    await server.serve("127.0.0.1", port)
+    client = fl.Flavor()
+    pub = await client.connect(f"flavor://127.0.0.1:{port}/ws/tok", push=True)
+    assert isinstance(pub, fl.FlavorPublisher)
+    sent = []
+    rng = np.random.default_rng(1)
+    for i in range(50):
+        payload = rng.integers(0, 256, 1000 + i, np.int64).astype(np.uint8
+                                                                  ).tobytes()
+        # pts in exact 1/30s steps of the video track time base (600600)
+        # so rescaling to the wire base and back is lossless
+        s = CodedMediaSample(
+            buffer=payload, pts_value=TimePoint(i * 20020, 600600),
+            dts_value=TimePoint(i * 20020, 600600), media_type=MediaType.video,
+            media_format=MediaFormat.avc, id_asset="cam",
+            side={"config": b"\x01cfg"})
+        pub.apply(EventBox.just(s))
+        sent.append(s)
+        if i % 10 == 0:
+            await asyncio.sleep(0)
+    for _ in range(50):
+        await asyncio.sleep(0.01)
+        if len(received) >= len(sent):
+            break
+    pub.close()
+    await server.close()
+    return sent, received
+
+
+def test_flavor_socket_loopback():
+    sent, received = asyncio.run(_loopback(15101))
+    assert len(received) == len(sent)
+    for s, r in zip(sent, received):
+        assert r.data() == s.data()
+        assert r.pts() == s.pts()
+        assert r.side_data()["config"] == b"\x01cfg"
+        assert r.workspace_token() == "ws/tok"
