@@ -1,6 +1,23 @@
-"""Codec layer: bitstream parsers (native C++ + Python fallback) and gated
-container/codec glue."""
+"""Codec layer: bitstream parsers, codecs, file sources, text, transcode."""
 
 from . import bitstream
+from .codecs import (AudioDecoder, AudioEncoder, VideoDecoder, VideoEncoder,
+                     ffmpeg_available, pack_uncompressed_audio,
+                     pack_uncompressed_picture, unpack_uncompressed_audio,
+                     unpack_uncompressed_picture)
+from .file_source import SyntheticSource, open_media_file
+from .text import TextRenderer, TextSample, render_text_rgba
+from .transcode import (TranscodeContainer, asset_rename,
+                        make_audio_transcoder, make_video_transcoder)
 
-__all__ = ["bitstream"]
+__all__ = [
+    "bitstream",
+    "VideoDecoder", "VideoEncoder", "AudioDecoder", "AudioEncoder",
+    "ffmpeg_available", "pack_uncompressed_picture",
+    "unpack_uncompressed_picture", "pack_uncompressed_audio",
+    "unpack_uncompressed_audio",
+    "SyntheticSource", "open_media_file",
+    "TextRenderer", "TextSample", "render_text_rgba",
+    "asset_rename", "make_video_transcoder", "make_audio_transcoder",
+    "TranscodeContainer",
+]

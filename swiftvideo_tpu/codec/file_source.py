@@ -1,0 +1,146 @@
+"""FileSource: clock-paced demuxer source.
+
+Reference semantics: ``FileSource``
+(/root/reference/Sources/SwiftVideo_FFmpeg/file.ffmpeg.swift:32-206):
+frames are emitted on a clock schedule ~250 ms ahead of their dts with a
+2 s read-ahead window, looping via seek + timestamp rebasing.
+
+Backends:
+
+* ``SyntheticSource`` — a frame generator (callable or list) paced with
+  the same semantics; the deterministic path for tests and demos.
+* cv2-backed file reading (``open_media_file``) — decodes container files
+  (mp4/avi/...) into uncompressed CodedMediaSamples when OpenCV can open
+  them (no raw bitstream demux without an ffmpeg binary).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..core import Clock, ClockTickEvent, EventBox, Source, TimePoint, rescale
+from ..media.coded import CodedMediaSample, MediaFormat, MediaType
+from ..media.picture import ImageBuffer, PictureSample
+from ..media.pixel import BufferType, PixelFormat, planes_for_format
+from .codecs import pack_uncompressed_picture
+
+_READ_AHEAD = TimePoint(2000, 1000)   # 2 s (file.ffmpeg.swift:184-187)
+_EMIT_AHEAD = TimePoint(250, 1000)    # 250 ms (:147-158)
+
+
+class SyntheticSource(Source):
+    """Paced source over a pull function returning CodedMediaSamples.
+
+    ``puller(index)`` returns the sample for frame ``index`` (its pts is
+    rewritten onto the pacing timeline) or None at end-of-stream.
+    """
+
+    def __init__(self, clock: Clock, puller: Callable[[int],
+                                                      Optional[CodedMediaSample]],
+                 *, frame_duration: TimePoint, asset_id: str = "file",
+                 workspace_id: str = "", loop: bool = False):
+        super().__init__()
+        self.clock = clock
+        self.puller = puller
+        self.frame_duration = frame_duration
+        self.id_asset = asset_id
+        self.id_workspace = workspace_id
+        self.loop = loop
+        self._index = 0
+        self._ts_base = TimePoint(0, frame_duration.scale)
+        self._next_pts = TimePoint(0, frame_duration.scale)
+        self._epoch: Optional[TimePoint] = None
+        self._playing = False
+        self._lock = threading.RLock()
+
+    def asset_id(self) -> str:
+        return self.id_asset
+
+    def workspace_id(self) -> str:
+        return self.id_workspace
+
+    def play(self) -> None:
+        """file.ffmpeg.swift:95-99"""
+        with self._lock:
+            if self._playing:
+                return
+            self._playing = True
+            self._epoch = self.clock.current()
+        self._refill()
+
+    def stop(self) -> None:
+        self._playing = False
+
+    def _refill(self) -> None:
+        """Schedule everything inside the read-ahead window
+        (file.ffmpeg.swift:115-189)."""
+        if not self._playing:
+            return
+        now = self.clock.current()
+        horizon = (now - self._epoch) + _READ_AHEAD
+        while self._next_pts < horizon:
+            sample = self.puller(self._index)
+            if sample is None:
+                if not self.loop:
+                    self._playing = False
+                    return
+                # loop: rebase timestamps (reset, file.ffmpeg.swift:101-113)
+                self._ts_base = self._next_pts
+                self._index = 0
+                sample = self.puller(0)
+                if sample is None:
+                    self._playing = False
+                    return
+            pts = self._next_pts
+            out = sample.with_(pts=pts, dts=pts,
+                               asset_id=self.id_asset)
+            deadline = self._epoch + pts + _EMIT_AHEAD
+            self.clock.schedule(deadline,
+                                lambda _evt, s=out: self.emit(s))
+            self._index += 1
+            self._next_pts = self._next_pts + self.frame_duration
+        # check back in half the read-ahead window
+        self.clock.schedule(now + _READ_AHEAD / 2,
+                            lambda _evt: self._refill())
+
+
+def open_media_file(clock: Clock, path: str, *, asset_id: str = "file",
+                    workspace_id: str = "", loop: bool = False
+                    ) -> SyntheticSource:
+    """cv2-backed file source: decodes frames and re-packages them as
+    uncompressed CodedMediaSamples on the pacing timeline."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frame_duration = TimePoint(int(round(1000.0 / fps)), 1000)
+    lock = threading.Lock()
+
+    def puller(index: int) -> Optional[CodedMediaSample]:
+        with lock:
+            if index == 0:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            ok, bgr = cap.read()
+        if not ok:
+            return None
+        rgba = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGBA)
+        h, w = rgba.shape[:2]
+        img = ImageBuffer(pixel_format=PixelFormat.RGBA,
+                          buffer_type=BufferType.cpu, size=(w, h),
+                          planes=tuple(planes_for_format(PixelFormat.RGBA,
+                                                         (w, h))),
+                          buffers=(rgba,))
+        pict = PictureSample(img, asset_id, workspace_id)
+        return CodedMediaSample(
+            buffer=pack_uncompressed_picture(pict),
+            pts_value=TimePoint(0, 1000), dts_value=TimePoint(0, 1000),
+            media_type=MediaType.video, media_format=MediaFormat.uncompressed,
+            id_asset=asset_id, id_workspace=workspace_id)
+
+    return SyntheticSource(clock, puller, frame_duration=frame_duration,
+                           asset_id=asset_id, workspace_id=workspace_id,
+                           loop=loop)

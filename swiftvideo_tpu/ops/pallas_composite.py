@@ -74,8 +74,10 @@ def _composite_plane_kernel(params_ref, base_r_ref, base_c_ref,
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    br = base_r_ref[i]
-    bc = base_c_ref[j]
+    # _bases aligns offsets to the u8 memref tiling; multiple_of carries the
+    # proof Mosaic needs to slice HBM at a dynamic offset
+    br = pl.multiple_of(base_r_ref[i], 32)
+    bc = pl.multiple_of(base_c_ref[j], 128)
     copy = pltpu.make_async_copy(
         src_hbm.at[pl.ds(br, kh), pl.ds(bc, kw)], scratch, sem)
     copy.start()
@@ -222,14 +224,20 @@ def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
     h_in, w_in = src.shape
     kh = kernel_extent(scale_hint[0], TILE_H, ROW_ALIGN)
     kw = kernel_extent(scale_hint[1], TILE_W, COL_ALIGN)
-    if kh > h_in or kw > w_in:
-        raise ValueError("source smaller than kernel window; use XLA path")
+    # planes smaller than the window are zero-padded: clamped coordinates
+    # give padded rows/cols exactly zero interpolation weight
+    pad_h = max(0, kh - h_in)
+    pad_w = max(0, kw - w_in)
+    if pad_h or pad_w:
+        src = jnp.pad(src, ((0, pad_h), (0, pad_w)))
     params = _plane_params(packed, h_out, w_out, h_in, w_in,
                            jnp.float32(fill_chan), jnp.float32(clamp_lo))
     n_i = -(-h_out // TILE_H)
     n_j = -(-w_out // TILE_W)
-    base_r = _bases(params[0], params[1], n_i, TILE_H, kh, h_in, ROW_ALIGN)
-    base_c = _bases(params[2], params[3], n_j, TILE_W, kw, w_in, COL_ALIGN)
+    base_r = _bases(params[0], params[1], n_i, TILE_H, kh,
+                    h_in + pad_h, ROW_ALIGN)
+    base_c = _bases(params[2], params[3], n_j, TILE_W, kw,
+                    w_in + pad_w, COL_ALIGN)
     program = _plane_program(h_out, w_out, h_in, w_in, kh, kw)
     return program(params, base_r, base_c, src, cur)
 

@@ -1,0 +1,180 @@
+"""Codec layer tests: uncompressed packing, image codecs, text rendering,
+transcode chains, paced file source."""
+
+import numpy as np
+
+from swiftvideo_tpu.codec import (AudioDecoder, AudioEncoder, SyntheticSource,
+                                  TextRenderer, TextSample, TranscodeContainer,
+                                  VideoDecoder, VideoEncoder, asset_rename,
+                                  make_video_transcoder,
+                                  pack_uncompressed_picture,
+                                  unpack_uncompressed_picture)
+from swiftvideo_tpu.codec.codecs import (pack_uncompressed_audio,
+                                         unpack_uncompressed_audio)
+from swiftvideo_tpu.core import Bus, EventBox, StepClock, TimePoint, Tx
+from swiftvideo_tpu.media import (AudioFormat, AudioSample, CodedMediaSample,
+                                  MediaFormat, MediaType, PixelFormat,
+                                  create_picture_sample)
+
+
+def _pict(size=(32, 16), value=100):
+    s = create_picture_sample(size, PixelFormat.y420p, asset_id="a",
+                              workspace_id="w")
+    s.planes()[0][:] = value
+    return s
+
+
+def test_uncompressed_picture_roundtrip():
+    s = _pict()
+    s.planes()[1][:] = 50
+    data = pack_uncompressed_picture(s)
+    out = unpack_uncompressed_picture(data, asset_id="a", workspace_id="w")
+    assert out.size() == (32, 16)
+    assert out.pixel_format() == PixelFormat.y420p
+    for a, b in zip(s.planes(), out.planes()):
+        assert np.array_equal(a, b)
+
+
+def test_uncompressed_audio_roundtrip():
+    a = AudioSample(buffers=(np.arange(960 * 2, dtype=np.int16),),
+                    frequency=48000, channels=2, format=AudioFormat.s16i,
+                    sample_count=960, id_asset="a", id_workspace="w")
+    out = unpack_uncompressed_audio(pack_uncompressed_audio(a),
+                                    asset_id="a", workspace_id="w")
+    assert out.sample_rate() == 48000 and out.number_channels() == 2
+    assert np.array_equal(out.data()[0], a.data()[0])
+
+
+def test_video_codec_roundtrip_via_tx():
+    s = _pict(value=200)
+    enc = VideoEncoder(MediaFormat.uncompressed)
+    dec = VideoDecoder()
+    coded = enc(s).value()
+    assert coded.media_format == MediaFormat.uncompressed
+    decoded = dec(coded).value()
+    assert np.array_equal(np.asarray(decoded.planes()[0]),
+                          np.asarray(s.planes()[0]))
+
+
+def test_png_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    rgba = rng.integers(0, 256, (16, 24, 4), np.int64).astype(np.uint8)
+    rgba[..., 3] = 255
+    from swiftvideo_tpu.media import ImageBuffer
+    from swiftvideo_tpu.media.pixel import BufferType, planes_for_format
+    from swiftvideo_tpu.media.picture import PictureSample
+    img = ImageBuffer(PixelFormat.RGBA, BufferType.cpu, (24, 16),
+                      tuple(planes_for_format(PixelFormat.RGBA, (24, 16))),
+                      (rgba,))
+    s = PictureSample(img, "a", "w")
+    coded = VideoEncoder(MediaFormat.png)(s).value()
+    assert coded.media_format == MediaFormat.png
+    decoded = VideoDecoder()(coded).value()
+    assert decoded.pixel_format() == PixelFormat.RGBA
+    assert np.array_equal(np.asarray(decoded.planes()[0]), rgba)  # lossless
+
+
+def test_unsupported_codec_errors_cleanly():
+    s = CodedMediaSample(buffer=b"x", pts_value=TimePoint(0, 1),
+                         dts_value=TimePoint(0, 1),
+                         media_type=MediaType.video,
+                         media_format=MediaFormat.avc, id_asset="a")
+    box = VideoDecoder()(s)
+    assert box.is_error()
+    assert "avc" in box.err().desc
+
+
+def test_asset_rename_provenance():
+    s = _pict().with_(pts=TimePoint(5, 30))
+    out = asset_rename("new")(s).value()
+    assert out.asset_id() == "new"
+    assert out.constituents()[0].id_asset == "a"
+    assert out.constituents()[0].pts == TimePoint(5, 30)
+
+
+def test_video_transcode_chain():
+    src = _pict(value=180)
+    coded = VideoEncoder(MediaFormat.uncompressed)(src).value()
+    chain = make_video_transcoder("out", MediaFormat.png)
+    # y420p can't png-encode directly; expect clean error box
+    box = chain(coded)
+    assert box.is_error() or box.is_just()
+    chain2 = make_video_transcoder("out", MediaFormat.uncompressed)
+    out = chain2(coded).value()
+    assert out.asset_id() == "out"
+    assert out.media_format == MediaFormat.uncompressed
+    decoded = VideoDecoder()(out).value()
+    assert np.array_equal(np.asarray(decoded.planes()[0]),
+                          np.asarray(src.planes()[0]))
+
+
+def test_audio_encoder_segments():
+    enc = AudioEncoder(MediaFormat.uncompressed, frame_size=960)
+    buf = np.arange(1024 * 2, dtype=np.int16)
+    out_all = []
+    pts = TimePoint(0, 48000)
+    for i in range(4):
+        a = AudioSample(buffers=(buf,), frequency=48000, channels=2,
+                        format=AudioFormat.s16i, sample_count=1024,
+                        pts_value=pts, id_asset="a", id_workspace="w")
+        box = enc(a)
+        out_all.extend(box.value())
+        pts = pts + TimePoint(1024, 48000)
+    assert out_all
+    dec = AudioDecoder()
+    for c in out_all:
+        seg = dec(c).value()
+        assert seg.number_samples() == 960
+
+
+def test_text_renderer():
+    r = TextRenderer()
+    sample = TextSample(text="Hi!", font_size=24,
+                        color=(1.0, 0.5, 0.0, 1.0), id_asset="t",
+                        id_workspace="w")
+    out = r(sample).value()
+    assert out.pixel_format() == PixelFormat.RGBA
+    rgba = np.asarray(out.planes()[0])
+    assert rgba.shape[2] == 4
+    assert rgba[..., 3].max() > 128  # glyphs drew something
+    # tint: where alpha is high, red channel ~255, blue ~0
+    mask = rgba[..., 3] > 200
+    assert mask.any()
+    assert rgba[..., 0][mask].min() > 150
+    assert rgba[..., 2][mask].max() < 50
+
+
+def test_synthetic_source_pacing():
+    clock = StepClock(TimePoint(100, 1000))
+    frames = []
+
+    def puller(i):
+        if i >= 10:
+            return None
+        s = _pict(value=i * 10)
+        return VideoEncoder(MediaFormat.uncompressed)(s).value()
+
+    src = SyntheticSource(clock, puller, frame_duration=TimePoint(100, 1000),
+                          asset_id="file")
+    chain = src >> Tx(lambda s: (frames.append(s), EventBox.just(s))[1])
+    src.play()
+    for _ in range(30):
+        clock.step()
+    assert len(frames) == 10
+    # pts advance by the frame duration
+    for i, f in enumerate(frames):
+        assert f.pts() == TimePoint(i * 100, 1000)
+    assert frames[0].asset_id() == "file"
+
+
+def test_transcode_container():
+    clock = StepClock(TimePoint(1, 30))
+    bus = Bus(clock)
+    outputs = []
+    publish = Tx(lambda s: (outputs.append(s), EventBox.just(s))[1])
+    container = TranscodeContainer(bus, publish)
+    coded = VideoEncoder(MediaFormat.uncompressed)(_pict()).value()
+    bus.append(EventBox.just(coded))
+    bus.append(EventBox.just(coded))
+    assert len(outputs) == 2
+    assert outputs[0].asset_id() == "a.transcode"
