@@ -33,6 +33,24 @@ def time_fn(fn, *args, iters=50, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def time_device_loop(make_body, init, iters=100, warmup=True):
+    """Time pure device execution: one jitted lax.fori_loop carrying a data
+    dependency across iterations — immune to per-dispatch tunnel latency
+    and async-dispatch artifacts."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(carry, n):
+        return jax.lax.fori_loop(0, n, make_body, carry)
+
+    if warmup:
+        jax.block_until_ready(run(init, 2))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(init, iters))
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -83,9 +101,20 @@ def main() -> None:
     log("parity max pixel err:", max_err)
     assert max_err <= 1, f"parity failure: {max_err}"
 
-    dt = time_fn(composite_frame, tuple(dev_sources), dev_unis, iters=100)
+    # pure device-time measurement: fold frames inside one fori_loop with a
+    # carried data dependency (the previous frame perturbs one uniform
+    # lane), so neither dispatch latency nor cross-iteration parallelism
+    # can distort the number
+    def frame_body(_k, carry):
+        planes, unis = carry
+        out = composite_frame(tuple(dev_sources), unis)
+        bump = (out[0][0, 0].astype(jnp.float32) * 1e-12)
+        return (out, unis + bump)
+
+    init = (composite_frame(tuple(dev_sources), dev_unis), dev_unis)
+    dt = time_device_loop(frame_body, init, iters=100)
     fps = 1.0 / dt
-    log(f"config3 4-source 1080p composite: {dt*1e3:.3f} ms/frame = {fps:.1f} fps/chip")
+    log(f"config3 4-source 1080p composite: {dt*1e3:.3f} ms/frame = {fps:.1f} fps/chip (device loop)")
 
     # ---- config 1: 720p y420p -> RGBA convert + downscale to 360p --------
     src720 = [jnp.asarray(rng.integers(0, 256, (720, 1280), np.int64).astype(np.uint8)),

@@ -142,6 +142,7 @@ class VideoDecoder(Tx):
                     + ("" if ffmpeg_available() else " (ffmpeg not present)")))
             return EventBox.just(pict.with_(
                 pts=sample.pts(), time=sample.time(),
+                constituents=sample.constituents(),
                 event_info=sample.info()))
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("dec.video", -1, str(exc)))
@@ -188,7 +189,9 @@ class VideoEncoder(Tx):
                 buffer=data, pts_value=sample.pts(), dts_value=sample.pts(),
                 media_type=MediaType.video, media_format=self.fmt,
                 id_asset=sample.asset_id(), id_workspace=sample.workspace_id(),
-                time_point=sample.time(), event_info=sample.info()))
+                time_point=sample.time(),
+                constituents_value=tuple(sample.constituents()),
+                event_info=sample.info()))
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("enc.video", -1, str(exc)))
 
