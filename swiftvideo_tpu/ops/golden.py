@@ -140,16 +140,21 @@ def _inside(x, y):
     return (x >= 0.0) & (x <= 1.0) & (y >= 0.0) & (y <= 1.0)
 
 
-def _masks(packed, h: int, w: int, xp=np, separable: bool = False):
+def _masks(packed, h: int, w: int, xp=np, separable: bool = False,
+           origin=None, full_size=None):
     """Border / element / texture masks + texture coords.
 
     ``separable=True`` (axis-aligned transforms: the b/c affine cross terms
     are zero) keeps coordinates as [H,1] / [1,W] vectors so downstream
     sampling can use the fast axis-split gather path and masks broadcast
-    as outer products."""
+    as outer products.  ``origin``/``full_size`` evaluate a (h, w) window at
+    pixel offset origin=(oy, ox) of a full_size=(H, W) grid — the boxed
+    composite path (offsets may be traced)."""
     if separable:
-        ys = xp.arange(h, dtype=xp.float32)[:, None] / np.float32(h)
-        xs = xp.arange(w, dtype=xp.float32)[None, :] / np.float32(w)
+        oy, ox = (0, 0) if origin is None else origin
+        fh, fw = (h, w) if full_size is None else full_size
+        ys = (xp.arange(h, dtype=xp.float32)[:, None] + oy) / np.float32(fh)
+        xs = (xp.arange(w, dtype=xp.float32)[None, :] + ox) / np.float32(fw)
         px = xs * 2.0 - 1.0  # [1, W]
         py = ys * 2.0 - 1.0  # [H, 1]
         tx_x = packed[0] * px + packed[4]
@@ -233,35 +238,42 @@ def _csc_rgb(yuv, xp=np):
 
 def apply_composite(target_planes: Sequence, out_fmt: PixelFormat,
                     source_planes: Sequence, in_fmt: PixelFormat,
-                    uni, xp=np, separable: bool = False) -> List:
+                    uni, xp=np, separable: bool = False,
+                    origin=None, full_size=None) -> List:
     """One source composited over the current target (one reference kernel
     launch, compute.cl.swift:264-344).  Returns new target planes (u8).
 
     ``separable=True`` selects the axis-split sampling path — exact for
     axis-aligned transforms (see is_axis_aligned), ~77x faster on TPU."""
     packed = _packed(uni)
+    c_origin = None if origin is None else (origin[0] // 2, origin[1] // 2)
+    c_full = None if full_size is None else (full_size[0] // 2,
+                                             full_size[1] // 2)
     if out_fmt in _RGBA:
         return [_composite_rgba_out(target_planes[0], out_fmt,
                                     source_planes, in_fmt, packed, xp,
-                                    separable)]
+                                    separable, origin, full_size)]
     luma = _composite_yuv_grid(target_planes[0], None, out_fmt,
                                source_planes, in_fmt, packed, "luma", xp,
-                               separable)
+                               separable, origin, full_size)
     if out_fmt in _YUV_PLANAR:
         cb, cr = _composite_yuv_grid(target_planes[1], target_planes[2],
                                      out_fmt, source_planes, in_fmt, packed,
-                                     "chroma", xp, separable)
+                                     "chroma", xp, separable, c_origin,
+                                     c_full)
         return [luma, cb, cr]
     chroma = _composite_yuv_grid(target_planes[1], None, out_fmt,
                                  source_planes, in_fmt, packed, "chroma", xp,
-                                 separable)
+                                 separable, c_origin, c_full)
     return [luma, chroma]
 
 
 def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
-                        grid: str, xp=np, separable: bool = False):
+                        grid: str, xp=np, separable: bool = False,
+                        origin=None, full_size=None):
     h, w = cur0.shape[:2]
-    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp, separable)
+    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp, separable,
+                                              origin, full_size)
     op = packed[22]
     fill = packed[18:22]
 
@@ -318,11 +330,12 @@ def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
 
 
 def _composite_rgba_out(cur, out_fmt, source_planes, in_fmt, packed, xp=np,
-                        separable: bool = False):
+                        separable: bool = False, origin=None, full_size=None):
     """rgba-family output grid: blit blend (kernels.metal img_bgra_bgra),
     extended to yuv inputs via YUV2RGB (the y420p->RGBA conversion config)."""
     h, w = cur.shape[:2]
-    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp, separable)
+    m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp, separable,
+                                              origin, full_size)
     op = packed[22]
     fill = packed[18:22]
     cur_f = _to_f(cur, xp)

@@ -154,6 +154,25 @@ def run_compute_kernel(ctx: ComputeContext, images, target: PictureSample,
         else:
             planes = composite.clear_device(fmt, target.size())
         return target.with_(img=target.img.with_buffers(planes))
+    if name == "me_fullsearch":
+        # motion estimation: images = [current, reference] luma samples;
+        # emits an RGBA MV map at block resolution (kernels.metal:206-267)
+        from ..media.picture import ImageBuffer
+        from ..media.pixel import planes_for_format
+        from . import motion
+        if len(images) < 2:
+            raise ComputeError("badInputData")
+        cur, ref = images[0], images[1]
+        mv = motion.me_fullsearch_device(cur.planes()[0], ref.planes()[0])
+        h, w = mv.shape[:2]
+        img = ImageBuffer(pixel_format=PixelFormat.RGBA,
+                          buffer_type=BufferType.gpu, size=(w, h),
+                          planes=tuple(planes_for_format(PixelFormat.RGBA,
+                                                         (w, h))),
+                          buffers=(mv,))
+        return target.with_(img=img)
+    if name == "snd_s16i_s16i":
+        raise ComputeError("snd_s16i_s16i runs via ops.audio.mix_s16_device")
     if parts[0] == "img":
         if not images:
             raise ComputeError("badInputData")

@@ -192,3 +192,33 @@ def test_is_axis_aligned_detects_rotation():
     assert not golden.is_axis_aligned(uni.pack())
     uni2 = rect_uniforms((16, 16), (32, 32), x=0, y=0, w=16, h=16)
     assert golden.is_axis_aligned(uni2.pack())
+
+
+def test_boxed_stack_matches_oracle():
+    """Boxed composite (per-source output bounding boxes) must match the
+    full-canvas oracle exactly."""
+    srcs = [(_rand_planes(PixelFormat.y420p, (24, 16), s), PixelFormat.y420p,
+             rect_uniforms((24, 16), (128, 128), x=13.3 + 20 * s,
+                           y=7.7 + 18 * s, w=40.4, h=36.2, opacity=0.85,
+                           fill_color=(0.3, 0.1, 0.6, 0.4)))
+            for s in range(4)]
+    ref = golden.composite_stack(PixelFormat.y420p, (128, 128), srcs)
+    dev = composite.composite_stack_boxed(PixelFormat.y420p, (128, 128), srcs)
+    for r, d in zip(ref, dev):
+        assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_boxed_stack_offcanvas_source():
+    """A source positioned (partially) off-canvas writes only the visible
+    part; a fully off-canvas source writes nothing."""
+    src = _rand_planes(PixelFormat.y420p, (16, 16), 1)
+    partially = rect_uniforms((16, 16), (64, 64), x=-20.5, y=10.3, w=40, h=40)
+    fully = rect_uniforms((16, 16), (64, 64), x=200.0, y=10.0, w=40, h=40)
+    ref = golden.composite_stack(PixelFormat.y420p, (64, 64),
+                                 [(src, PixelFormat.y420p, partially),
+                                  (src, PixelFormat.y420p, fully)])
+    dev = composite.composite_stack_boxed(
+        PixelFormat.y420p, (64, 64),
+        [(src, PixelFormat.y420p, partially), (src, PixelFormat.y420p, fully)])
+    for r, d in zip(ref, dev):
+        assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
