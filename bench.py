@@ -174,6 +174,31 @@ def main() -> None:
     log(f"config2 resample 44.1->48k ({n_streams} ch batched): "
         f"{msps:.0f} Msamples/s")
 
+    # ---- config 5: 64-stream 1080p mixing wall (single-chip slice) --------
+    try:
+        from swiftvideo_tpu.parallel import MixingWall, make_mesh
+        mesh = make_mesh(jax.devices()[:1])
+        wall = MixingWall(mesh, n_streams=64, stream_size=(1920, 1080),
+                          canvas_size=(1920, 1088), audio_samples=800)  # 1088: 8x8 grid needs even tile heights
+        ys = wall.shard(jnp.asarray(rng.integers(
+            0, 256, (64, 1080, 1920), np.int64).astype(np.uint8)))
+        us = wall.shard(jnp.full((64, 540, 960), 128, jnp.uint8))
+        vs = wall.shard(jnp.full((64, 540, 960), 128, jnp.uint8))
+        audio = wall.shard(jnp.full((64, 1600), 50, jnp.int16))
+        gains = jnp.ones((64,), jnp.float32)
+
+        def wall_body(_k, carry):
+            g, _prev = carry
+            out = wall._step(ys, us, vs, audio, g)
+            return (g + out[0][0, 0].astype(jnp.float32) * 1e-12, out[3])
+
+        init = (gains, wall.step(ys, us, vs, audio)[3])
+        dt5 = time_device_loop(wall_body, init, iters=20)
+        log(f"config5 64-stream 1080p wall tick: {dt5*1e3:.3f} ms = "
+            f"{1/dt5:.1f} wall fps = {64/dt5:.0f} stream-scales/s/chip")
+    except Exception as exc:  # noqa: BLE001
+        log("config5 wall failed:", exc)
+
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",
         "value": round(fps, 1),

@@ -2,6 +2,7 @@
 
 from .composer import Composer, ComposerError
 from .manifest import (AspectMode, BindCommand, ComposerCommand, Composition,
+                       EncodeConfig,
                        Element, ElementState, PicOrigin, PictureAnchor, Scene,
                        SetSceneCommand, SetStateCommand, UnbindCommand,
                        composition_from_json, composition_to_json)
@@ -9,6 +10,7 @@ from .manifest import (AspectMode, BindCommand, ComposerCommand, Composition,
 __all__ = [
     "Composer", "ComposerError",
     "Composition", "Scene", "Element", "ElementState", "AspectMode",
+    "EncodeConfig",
     "PicOrigin", "PictureAnchor", "ComposerCommand", "SetSceneCommand",
     "SetStateCommand", "BindCommand", "UnbindCommand",
     "composition_to_json", "composition_from_json",

@@ -98,6 +98,21 @@ class Composition:
 # --- RPC command tree (Rpc.public.proto:42-124) ----------------------------
 
 @dataclass(frozen=True)
+class EncodeConfig:
+    """Encoder operating point (Rpc.public.proto RpcEncodeConfig; example
+    values at Examples/Transcoding/main.swift:58-61)."""
+
+    width: int = 1280
+    height: int = 720
+    video_bitrate: int = 3_000_000
+    audio_bitrate: int = 96_000
+    keyframe_interval: TimePoint = field(
+        default_factory=lambda: TimePoint(2000, 1000))
+    video_format: str = "avc"
+    audio_format: str = "aac"
+
+
+@dataclass(frozen=True)
 class SetSceneCommand:
     scene: str
 

@@ -222,3 +222,26 @@ def test_boxed_stack_offcanvas_source():
         [(src, PixelFormat.y420p, partially), (src, PixelFormat.y420p, fully)])
     for r, d in zip(ref, dev):
         assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_default_kernel_search():
+    """Ported from the reference's only compute test
+    (Tests/swiftVideoInternalTests/computeTests.swift:9-39): every default
+    kernel name resolves; img_clear_rgba aliases img_clear_bgra; bogus
+    names raise."""
+    from swiftvideo_tpu.ops import (ComputeError,
+                                    default_compute_kernel_from_string)
+    names = ["img_nv12_nv12", "img_bgra_nv12", "img_rgba_nv12",
+             "img_bgra_bgra", "img_y420p_y420p", "img_y420p_nv12",
+             "img_clear_nv12", "img_clear_bgra", "img_clear_y420p",
+             "img_rgba_y420p", "img_bgra_y420p", "snd_s16i_s16i",
+             "me_fullsearch"]
+    for n in names:
+        assert default_compute_kernel_from_string(n).name == n
+    assert default_compute_kernel_from_string("img_clear_rgba").name == \
+        "img_clear_bgra"
+    import pytest as _pytest
+    with _pytest.raises(ComputeError):
+        default_compute_kernel_from_string("img_bogus_fmt")
+    with _pytest.raises(ComputeError):
+        default_compute_kernel_from_string("not_a_kernel")
