@@ -202,14 +202,17 @@ def _plane_params(packed, h_out, w_out, h_in, w_in, fill_chan, clamp_lo,
                       op, a_fill, fill_chan, clamp_lo]).astype(jnp.float32)
 
 
-def _bases(a, b, n_tiles, tile, k, size, align):
+def _bases(a, b, n_tiles, tile, k, padded_size, align):
     """Per-tile source window base offsets, rounded down to the memory-tile
-    alignment Mosaic requires for HBM slices (in-graph, int32 [n_tiles])."""
+    alignment Mosaic requires for HBM slices (in-graph, int32 [n_tiles]).
+    ``padded_size`` must be >= align_down(real_size - 1, align) + k so the
+    clamp never pulls a window away from the rows/cols a tile needs."""
     idx = jnp.arange(n_tiles, dtype=jnp.float32) * tile
     lo = jnp.minimum(a * idx + b, a * (idx + tile - 1) + b)
     base = jnp.floor(lo) - 1.0
-    base = jnp.clip(base, 0, max(size - k, 0)).astype(jnp.int32)
-    return (base // align) * align
+    base = jnp.clip(base, 0, None).astype(jnp.int32)
+    base = (base // align) * align
+    return jnp.clip(base, 0, max(padded_size - k, 0))
 
 
 def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
@@ -224,10 +227,13 @@ def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
     h_in, w_in = src.shape
     kh = kernel_extent(scale_hint[0], TILE_H, ROW_ALIGN)
     kw = kernel_extent(scale_hint[1], TILE_W, COL_ALIGN)
-    # planes smaller than the window are zero-padded: clamped coordinates
-    # give padded rows/cols exactly zero interpolation weight
-    pad_h = max(0, kh - h_in)
-    pad_w = max(0, kw - w_in)
+    # right-pad the source so every aligned window base fits: padded >=
+    # align_down(size-1) + k.  Zero padding is exact — clamped coordinates
+    # give padded rows/cols zero interpolation weight.
+    padded_h = ((h_in - 1) // ROW_ALIGN) * ROW_ALIGN + kh
+    padded_w = ((w_in - 1) // COL_ALIGN) * COL_ALIGN + kw
+    pad_h = max(0, padded_h - h_in)
+    pad_w = max(0, padded_w - w_in)
     if pad_h or pad_w:
         src = jnp.pad(src, ((0, pad_h), (0, pad_w)))
     params = _plane_params(packed, h_out, w_out, h_in, w_in,
@@ -238,6 +244,7 @@ def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
                     h_in + pad_h, ROW_ALIGN)
     base_c = _bases(params[2], params[3], n_j, TILE_W, kw,
                     w_in + pad_w, COL_ALIGN)
+    # note: _plane_program slices the PADDED array; kh/kw windows always fit
     program = _plane_program(h_out, w_out, h_in, w_in, kh, kw)
     return program(params, base_r, base_c, src, cur)
 

@@ -143,3 +143,49 @@ def test_composer_end_to_end():
     assert abs(int(y[32, 8]) - 220) <= 1   # left element shows camA
     assert y[32, 48] == 0                  # right element empty
     composer.close()
+
+
+def test_composer_run_command_tree():
+    """Recursive command trees with after-continuations
+    (composer.swift:141-183)."""
+    from swiftvideo_tpu.compose import (BindCommand, Composer, ComposerCommand,
+                                        SetSceneCommand, SetStateCommand)
+    clock = StepClock(TimePoint(480, 48000))
+    comp = Composition(
+        name="c", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        scenes=(Scene(name="a", elements=(
+            Element(name="e1", initial_state=ElementState(size=(32, 32))),)),
+            Scene(name="b", elements=(
+                Element(name="e2", initial_state=ElementState(size=(16, 16))),))),
+        initial_scene="a")
+    composer = Composer(clock, workspace_id="w", composition=comp,
+                        audio_bus=Bus(clock), picture_bus=Bus(clock),
+                        compute_context=make_compute_context("golden"))
+    cmd = ComposerCommand(
+        set_scene=SetSceneCommand(scene="b"),
+        after=(ComposerCommand(bind=BindCommand(asset_id="cam", element="e2"),
+                               after=(ComposerCommand(set_state=SetStateCommand(
+                                   element="e2",
+                                   state=ElementState(size=(20, 20)))),)),))
+    fut = composer.run_command(cmd)
+    assert fut.done() and fut.result() is True
+    assert composer.get_element_state("e2").size == (20, 20)
+    assert "cam" in composer._bindings
+    composer.close()
+
+
+def test_bus_digest_receives_stats():
+    """Digest receivers collect per-dispatch results (bus.swift:156-158),
+    the hook apps use to harvest StatsReport metrics."""
+    from swiftvideo_tpu.core import StatsReport
+    clock = StepClock(TimePoint(480, 48000))
+    bus = Bus(clock)
+    digests = []
+    bus.set_digest_receiver(lambda results: digests.append(results))
+    sub = bus.subscribe(Tx(lambda s: EventBox.just(s)))  # keep alive
+    src = _source(100)
+    bus.append(EventBox.just(src))
+    assert digests and len(digests[0]) == 1
+    assert digests[0][0].is_just()

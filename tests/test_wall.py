@@ -46,3 +46,34 @@ def test_wall_audio_saturates():
     audio = wall.shard(jnp.full((64, 16), 30000, jnp.int16))
     _, _, _, mixed = wall.step(ys, us, vs, audio)
     assert np.all(np.asarray(mixed) == 32767)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_wall_tiles_match_oracle():
+    """Each wall tile must equal the golden oracle's convert+scale of its
+    stream (identity uniforms, full-canvas element)."""
+    from swiftvideo_tpu.media import PixelFormat
+    from swiftvideo_tpu.ops import golden, identity_uniforms
+
+    mesh = make_mesh(jax.devices()[:8])
+    n, sw, sh = 64, 64, 36
+    wall = MixingWall(mesh, n_streams=n, stream_size=(sw, sh),
+                      canvas_size=(128, 96), audio_samples=8)
+    rng = np.random.default_rng(3)
+    ys_np = rng.integers(0, 256, (n, sh, sw), np.int64).astype(np.uint8)
+    us_np = rng.integers(0, 256, (n, sh // 2, sw // 2), np.int64).astype(np.uint8)
+    vs_np = rng.integers(0, 256, (n, sh // 2, sw // 2), np.int64).astype(np.uint8)
+    wy, wu, wv, _ = wall.step(wall.shard(jnp.asarray(ys_np)),
+                              wall.shard(jnp.asarray(us_np)),
+                              wall.shard(jnp.asarray(vs_np)),
+                              wall.shard(jnp.zeros((n, 16), jnp.int16)))
+    wy = np.asarray(wy)
+    tw, th = wall.tile
+    uni = identity_uniforms((sw, sh), (tw, th))
+    for s in (0, 7, 9, 63):  # corners + an interior stream
+        row, col = s // 8, s % 8
+        expect = golden.composite_stack(
+            PixelFormat.y420p, (tw, th),
+            [([ys_np[s], us_np[s], vs_np[s]], PixelFormat.y420p, uni)])
+        got = wy[row * th:(row + 1) * th, col * tw:(col + 1) * tw]
+        assert np.abs(got.astype(int) - expect[0].astype(int)).max() <= 1
