@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import shutil
 import struct
-from typing import Callable, Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -17,11 +17,9 @@ Backends:
 from __future__ import annotations
 
 import threading
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
-import numpy as np
-
-from ..core import Clock, ClockTickEvent, EventBox, Source, TimePoint, rescale
+from ..core import Clock, Source, TimePoint
 from ..media.coded import CodedMediaSample, MediaFormat, MediaType
 from ..media.picture import ImageBuffer, PictureSample
 from ..media.pixel import BufferType, PixelFormat, planes_for_format

@@ -11,10 +11,10 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from ..core import Bus, EventBox, TimePoint, Tx
+from ..core import Bus, EventBox, Tx
 from ..media.audio import AudioFormat
 from ..media.coded import (CodedMediaSample, MediaConstituent, MediaFormat,
-                           MediaType, media_type_filter)
+                           MediaType)
 from ..mix.src_audio import AudioSampleRateConversion
 from .codecs import AudioDecoder, AudioEncoder, VideoDecoder, VideoEncoder
 

@@ -19,10 +19,9 @@ continuations (composer.swift:141-183).
 from __future__ import annotations
 
 from concurrent.futures import Future
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
-from ..core import (Bus, Clock, EventBox, StatsReport, TimePoint,
-                    asset_filter)
+from ..core import Bus, Clock, TimePoint, asset_filter
 from ..media.audio import AudioFormat
 from ..media.pixel import PixelFormat
 from ..mix.animator import PictureAnimator, SoundAnimator

@@ -36,7 +36,7 @@ import weakref
 from typing import Any, Callable, Generic, List, Optional, Tuple, TypeVar
 
 from .clock import Clock, WallClock
-from .event import Event, EventBox, EventError, EventInfo, ResultEvent
+from .event import Event, EventBox, EventInfo, ResultEvent
 from .time import TimePoint, rescale
 
 T = TypeVar("T")

@@ -14,9 +14,8 @@ TPU-first deviations:
 
 from __future__ import annotations
 
-import uuid
 from dataclasses import dataclass, field, replace
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
 

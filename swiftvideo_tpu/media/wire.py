@@ -12,7 +12,7 @@ TimePoints serialize as two i64 (value, scale).
 from __future__ import annotations
 
 import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 from ..core import TimePoint
 from .coded import CodedMediaSample, MediaConstituent, MediaFormat, MediaType

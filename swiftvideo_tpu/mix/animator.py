@@ -14,11 +14,10 @@ transform composed with parent and sample transforms.
 
 from __future__ import annotations
 
-import math
 import uuid
 from concurrent.futures import Future
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

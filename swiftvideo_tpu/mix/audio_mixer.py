@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import threading
 import uuid
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

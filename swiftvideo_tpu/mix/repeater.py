@@ -10,8 +10,6 @@ re-arms.
 from __future__ import annotations
 
 import threading
-from typing import Optional
-
 from ..core import AsyncTx, Clock, EventBox, TimePoint, rescale
 
 

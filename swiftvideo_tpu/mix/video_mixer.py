@@ -28,8 +28,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..core import (Clock, ClockTickEvent, EventBox, EventError, Source,
-                    StatsReport, TimePoint, rescale)
+from ..core import (Clock, ClockTickEvent, EventBox, Source, StatsReport,
+                    TimePoint, rescale)
 from ..media.picture import BufferType, ImageBuffer, PictureSample
 from ..media.pixel import PixelFormat, planes_for_format
 from ..ops import ImageUniforms, composite, golden

@@ -23,12 +23,12 @@ from __future__ import annotations
 import asyncio
 import struct
 import uuid
-from dataclasses import dataclass, field
-from typing import Awaitable, Callable, Dict, List, Optional, Tuple, Union
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
 from urllib.parse import urlparse
 
 from ..core import (Clock, EventBox, EventError, ResultEvent, Source,
-                    StatsReport, Terminal, TimePoint, Tx, WallClock, rescale)
+                    Terminal, TimePoint, Tx, WallClock, rescale)
 from ..media.coded import CodedMediaSample, MediaFormat, MediaType
 from .tcp import Connection, NetworkEvent, tcp_client, tcp_serve
 

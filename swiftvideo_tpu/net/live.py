@@ -9,7 +9,6 @@ error type.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from enum import Enum
 from typing import Awaitable, Callable, List, Optional, Protocol, runtime_checkable
 

@@ -9,7 +9,7 @@ string, object, null/undefined, ECMA (assoc) array, strict array, date.
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 # Atom model: Python natives map directly —
 #   float -> number, bool -> boolean, str -> string/long string,

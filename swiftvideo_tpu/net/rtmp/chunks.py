@@ -20,7 +20,7 @@ and ``deserialize.swift``:
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Tuple
 
 DEFAULT_CHUNK_SIZE = 128

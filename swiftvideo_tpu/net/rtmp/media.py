@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from ...core import EventBox, TimePoint, Tx, rescale
+from ...core import rescale
 from ...media.coded import (BasicAudioDescription, BasicVideoDescription,
                             CodedMediaSample, MediaType, is_keyframe)
 from . import amf

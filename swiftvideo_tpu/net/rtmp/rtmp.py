@@ -24,11 +24,10 @@ from typing import Awaitable, Callable, List, Optional
 
 from ...core import (Clock, EventBox, EventError, ResultEvent, Source,
                      StatsReport, Terminal, TimePoint, Tx, WallClock)
-from ...media.coded import (CodedMediaSample, MediaDescriptionError,
-                            MediaFormat, MediaSourceType, MediaType,
+from ...media.coded import (CodedMediaSample, MediaFormat,
+                            MediaSourceType, MediaType,
                             basic_media_description)
 from ..tcp import Connection, NetworkEvent, tcp_client, tcp_serve
-from .chunks import ChunkSerializer
 from .media import MediaSerializer, create_metadata
 from .session import RtmpSessionCore, parse_rtmp_url
 

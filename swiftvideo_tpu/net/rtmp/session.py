@@ -27,8 +27,7 @@ from __future__ import annotations
 
 import os
 import struct
-import time as _time
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 from urllib.parse import urlparse
 

@@ -14,7 +14,7 @@ import asyncio
 import ssl as ssl_module
 import uuid
 from dataclasses import dataclass, field
-from typing import Awaitable, Callable, List, Optional
+from typing import Callable, Optional
 
 from ..core import EventBox, EventInfo, Source, TimePoint
 

@@ -12,8 +12,6 @@ is exactly what to avoid, SURVEY.md §7), downloads materialize numpy arrays.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 

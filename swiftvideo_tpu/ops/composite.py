@@ -13,8 +13,8 @@ batch over a device mesh).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import List, Sequence, Tuple
+from functools import lru_cache
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

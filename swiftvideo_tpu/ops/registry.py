@@ -17,11 +17,10 @@ from __future__ import annotations
 
 import uuid
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
-from ..core import EventBox, StatsReport, Tx
 from ..media.pixel import BufferType, PixelFormat
 from ..media.picture import PictureSample
 from . import composite, golden

@@ -20,15 +20,14 @@ benchmark configs (BASELINE.md config 2).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import lru_cache
 from math import gcd
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
-from ..media.audio import AudioFormat, dtype_for_format, is_planar
+from ..media.audio import is_planar
 
 
 @lru_cache(maxsize=32)

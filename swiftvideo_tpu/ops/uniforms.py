@@ -14,7 +14,7 @@ so a z-sorted stack of N sources rides into device kernels as one
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import numpy as np

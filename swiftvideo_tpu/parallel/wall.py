@@ -18,8 +18,7 @@ on a real pod slice and on the virtual CPU mesh used in tests.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..media.pixel import PixelFormat
 from ..ops import golden
-from ..ops.uniforms import UNIFORM_WIDTH, identity_uniforms
+from ..ops.uniforms import identity_uniforms
 
 
 def make_mesh(devices=None, axis: str = "s") -> Mesh:
