@@ -210,3 +210,125 @@ def composite_stack_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
     unis = jnp.stack([jnp.asarray(p) for p in packed])
     program = _stack_program_boxed(out_fmt, size, in_fmts, boxes)
     return program(planes, unis)
+
+
+# --- batched-sampling boxed composite --------------------------------------
+
+@lru_cache(maxsize=128)
+def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
+                                 box: Tuple[int, int],
+                                 in_shape: Tuple[int, int]):
+    """Two-phase fold for the uniform case (same-size axis-aligned planar-yuv
+    sources, one shared box bucket):
+
+    * phase A — **batched** bilinear sampling + csc of all sources into
+      box-sized tiles via vmap (sampling is the expensive part; batching
+      amortizes the per-op overhead ~15x, as the mixing wall demonstrates);
+    * phase B — the z-order blend fold, sequential but purely elementwise
+      on box-sized slices (dynamic_slice / blend / dynamic_update_slice).
+
+    Parity-exact with golden.composite_stack.
+    """
+    w, h = size
+    bh, bw = box
+    hin, win = in_shape
+
+    def offsets(uniforms):
+        oys, oxs = [], []
+        for i in range(n_sources):
+            oy, ox = _box_offsets(uniforms[i], size, bh, bw)
+            oys.append(oy)
+            oxs.append(ox)
+        return jnp.stack(oys), jnp.stack(oxs)
+
+    def sample_tile(planes, packed, oy, ox, grid_shape, grid_origin_div,
+                    full, want):
+        gh, gw = grid_shape
+        d = grid_origin_div
+        m = golden._masks(packed, gh, gw, jnp, True,
+                          (oy // d, ox // d), full)
+        _, _, _, uv_x, uv_y = m
+        if want == "y":
+            return golden.bilinear_norm(golden._to_f(planes[0], jnp),
+                                        uv_x, uv_y, jnp)
+        cb = golden.bilinear_norm(golden._to_f(planes[1], jnp), uv_x, uv_y, jnp)
+        cr = golden.bilinear_norm(golden._to_f(planes[2], jnp), uv_x, uv_y, jnp)
+        return jnp.stack([cb, cr])
+
+    def blend_plane(cur_u8, samp, packed, oy, ox, full, fill_chan, clamp_lo):
+        gh, gw = cur_u8.shape
+        mb, mt, mu, _, _ = golden._masks(packed, gh, gw, jnp, True,
+                                         (oy, ox), full)
+        op = packed[22]
+        a_fill = op * packed[21]
+        cur = cur_u8.astype(jnp.float32) * (1.0 / 255.0)
+        blended = cur * (1 - op) + samp * op
+        filled = jnp.clip(cur * (1 - a_fill) + fill_chan * a_fill,
+                          clamp_lo, 1.0)
+        out = jnp.where(mb & mt & mu, blended, jnp.where(mb, filled, cur))
+        return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
+
+    from .color import RGB2YUV
+
+    def run(ys, us, vs, uniforms):
+        # ys: [N, hin, win] u8 etc.; uniforms [N, UNIFORM_WIDTH]
+        oys, oxs = offsets(uniforms)
+        # phase A: batched sampling
+        luma_tiles = jax.vmap(
+            lambda y, u, v, p, oy, ox: sample_tile(
+                (y, u, v), p, oy, ox, (bh, bw), 1, (h, w), "y")
+        )(ys, us, vs, uniforms, oys, oxs)
+        chroma_tiles = jax.vmap(
+            lambda y, u, v, p, oy, ox: sample_tile(
+                (y, u, v), p, oy, ox, (bh // 2, bw // 2), 2,
+                (h // 2, w // 2), "uv")
+        )(ys, us, vs, uniforms, oys, oxs)
+        # phase B: sequential blend fold
+        ty = jnp.zeros((h, w), jnp.uint8)
+        tu = jnp.full((h // 2, w // 2), 128, jnp.uint8)
+        tv = jnp.full((h // 2, w // 2), 128, jnp.uint8)
+        for i in range(n_sources):
+            oy, ox = oys[i], oxs[i]
+            cy, cx = oy // 2, ox // 2
+            fill = uniforms[i][18:22]
+            fill_yuv = [RGB2YUV[ch, 0] * fill[0] + RGB2YUV[ch, 1] * fill[1]
+                        + RGB2YUV[ch, 2] * fill[2] + RGB2YUV[ch, 3]
+                        for ch in range(3)]
+            sl = jax.lax.dynamic_slice(ty, (oy, ox), (bh, bw))
+            o0 = blend_plane(sl, luma_tiles[i], uniforms[i], oy, ox,
+                             (h, w), fill_yuv[0], 0.0)
+            ty = jax.lax.dynamic_update_slice(ty, o0, (oy, ox))
+            slu = jax.lax.dynamic_slice(tu, (cy, cx), (bh // 2, bw // 2))
+            o1 = blend_plane(slu, chroma_tiles[i][0], uniforms[i], cy, cx,
+                             (h // 2, w // 2), fill_yuv[1], -1.0)
+            tu = jax.lax.dynamic_update_slice(tu, o1, (cy, cx))
+            slv = jax.lax.dynamic_slice(tv, (cy, cx), (bh // 2, bw // 2))
+            o2 = blend_plane(slv, chroma_tiles[i][1], uniforms[i], cy, cx,
+                             (h // 2, w // 2), fill_yuv[2], -1.0)
+            tv = jax.lax.dynamic_update_slice(tv, o2, (cy, cx))
+        return ty, tu, tv
+
+    return jax.jit(run)
+
+
+def composite_stack_batched_boxed(size: Tuple[int, int], sources):
+    """Uniform-case fast fold: all sources same shape, axis-aligned,
+    planar-yuv, one shared (max) box bucket.  Falls back to
+    composite_stack_boxed otherwise."""
+    from ..media.pixel import PixelFormat as PF
+    packed = [golden._packed(u) for _, _, u in sources]
+    shapes = {tuple(np.asarray(s[0]).shape) for s, _, _ in sources}
+    ok = (sources and len(shapes) == 1
+          and all(fmt == PF.y420p for _, fmt, _ in sources)
+          and all(golden.is_axis_aligned(p) for p in packed))
+    if not ok:
+        return composite_stack_boxed(PF.y420p, size, sources)
+    boxes = [_host_box_size(p, size) for p in packed]
+    box = (max(b[0] for b in boxes), max(b[1] for b in boxes))
+    in_shape = next(iter(shapes))
+    ys = jnp.stack([jnp.asarray(s[0]) for s, _, _ in sources])
+    us = jnp.stack([jnp.asarray(s[1]) for s, _, _ in sources])
+    vs = jnp.stack([jnp.asarray(s[2]) for s, _, _ in sources])
+    unis = jnp.stack([jnp.asarray(p) for p in packed])
+    program = _stack_program_batched_boxed(size, len(sources), box, in_shape)
+    return program(ys, us, vs, unis)
