@@ -245,3 +245,43 @@ def test_default_kernel_search():
         default_compute_kernel_from_string("img_bogus_fmt")
     with _pytest.raises(ComputeError):
         default_compute_kernel_from_string("not_a_kernel")
+
+
+def test_custom_kernel_registration():
+    """ComputeContext.register_kernel mirrors the reference's .custom case
+    (compute.swift:72-74): user kernels run through run_compute_kernel."""
+    from swiftvideo_tpu.media import PixelFormat, create_picture_sample
+    from swiftvideo_tpu.ops import (ComputeKernel, make_compute_context,
+                                    run_compute_kernel)
+    ctx = make_compute_context("golden")
+    calls = []
+
+    def invert(ctx_, images, target, uniforms):
+        planes = [255 - np.asarray(p) for p in target.planes()]
+        calls.append(len(images))
+        return target.with_(img=target.img.with_buffers(planes))
+
+    ctx.register_kernel("invert", invert)
+    target = create_picture_sample((16, 16), PixelFormat.y420p,
+                                   asset_id="t", workspace_id="w")
+    out = run_compute_kernel(ctx, [], target, ComputeKernel.custom("invert"))
+    assert calls == [0]
+    assert np.asarray(out.planes()[0]).min() == 255
+
+
+def test_me_fullsearch_via_registry():
+    from swiftvideo_tpu.media import PixelFormat, create_picture_sample
+    from swiftvideo_tpu.ops import (ComputeKernel, make_compute_context,
+                                    run_compute_kernel)
+    ctx = make_compute_context("jax")
+    rng = np.random.default_rng(5)
+    cur = create_picture_sample((64, 64), PixelFormat.y420p,
+                                asset_id="c", workspace_id="w")
+    cur.planes()[0][:] = rng.integers(0, 255, (64, 64), np.int64)
+    target = create_picture_sample((4, 4), PixelFormat.RGBA,
+                                   asset_id="mv", workspace_id="w")
+    out = run_compute_kernel(ctx, [cur, cur], target,
+                             ComputeKernel.custom("me_fullsearch"))
+    mv = np.asarray(out.planes()[0])
+    assert mv.shape == (4, 4, 4)
+    assert np.all(mv[:3, :3, 0] == 128)  # static scene, interior zero MV
