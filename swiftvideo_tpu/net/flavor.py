@@ -536,11 +536,14 @@ class Flavor:
                  on_pull_request: Optional[Callable[[int, str], bool]] = None,
                  on_subscriber: Optional[Callable[["FlavorSubscriber"], None]]
                  = None,
+                 on_publisher: Optional[Callable[["FlavorPublisher"], None]]
+                 = None,
                  on_ended: Optional[Callable[[str], None]] = None):
         self.clock = clock or WallClock()
         self.on_push_request = on_push_request
         self.on_pull_request = on_pull_request
         self.on_subscriber = on_subscriber
+        self.on_publisher = on_publisher
         self.on_ended = on_ended
         self._sessions: Dict[str, dict] = {}
         self._server: Optional[asyncio.AbstractServer] = None
@@ -563,6 +566,14 @@ class Flavor:
                     state["sub"] = FlavorSubscriber(conn, core)
                     if self.on_subscriber is not None:
                         self.on_subscriber(state["sub"])
+                # a peer that pulled gets a server-side publisher
+                # (net.flavor.swift:400-506 makePush counterpart)
+                if (core.stream_tokens and not core.peer_pushing
+                        and state.get("pub") is None):
+                    stream_id = next(iter(core.stream_tokens))
+                    state["pub"] = FlavorPublisher(conn, core, stream_id)
+                    if self.on_publisher is not None:
+                        self.on_publisher(state["pub"])
                 if samples and state["sub"] is not None:
                     state["sub"].dispatch(samples)
                 return EventBox.nothing(None)

@@ -134,3 +134,43 @@ def test_flavor_socket_loopback():
         assert r.pts() == s.pts()
         assert r.side_data()["config"] == b"\x01cfg"
         assert r.workspace_token() == "ws/tok"
+
+
+async def _pull_loopback(port: int):
+    """Client pulls; the server-side publisher pushes media down."""
+    pubs = []
+    server = fl.Flavor(on_publisher=lambda p: pubs.append(p))
+    await server.serve("127.0.0.1", port)
+    client = fl.Flavor()
+    sub = await client.connect(f"flavor://127.0.0.1:{port}/tok2", push=False)
+    assert isinstance(sub, fl.FlavorSubscriber)
+    received = []
+    chain = sub >> Tx(lambda s: (received.append(s),
+                                 EventBox.nothing(None))[1])
+    for _ in range(30):
+        await asyncio.sleep(0.01)
+        if pubs:
+            break
+    assert pubs, "server-side publisher never appeared"
+    pub = pubs[0]
+    for i in range(20):
+        pub.apply(EventBox.just(CodedMediaSample(
+            buffer=bytes([i]) * 100, pts_value=TimePoint(i * 20020, 600600),
+            dts_value=TimePoint(i * 20020, 600600),
+            media_type=MediaType.video, media_format=MediaFormat.avc,
+            id_asset="srv")))
+        await asyncio.sleep(0)
+    for _ in range(50):
+        await asyncio.sleep(0.01)
+        if len(received) >= 20:
+            break
+    await server.close()
+    sub.close()
+    return received
+
+
+def test_flavor_pull_flow():
+    received = asyncio.run(_pull_loopback(15102))
+    assert len(received) == 20
+    assert received[3].data() == bytes([3]) * 100
+    assert received[3].pts() == TimePoint(3 * 20020, 600600)
