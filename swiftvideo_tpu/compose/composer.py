@@ -183,6 +183,66 @@ class Composer:
             run_after()
         return done
 
+    # --- checkpoint / resume ----------------------------------------------
+    # The reference's only resume story is explicit unix epochs so pts remain
+    # derivable across restarts (SURVEY.md §5.4); here the scene graph and
+    # element states snapshot to JSON as well.
+    def snapshot(self) -> dict:
+        from dataclasses import asdict
+        from enum import Enum
+
+        def enc(o):
+            if isinstance(o, TimePoint):
+                return {"__tp__": [o.value, o.scale]}
+            if isinstance(o, Enum):
+                return {"__enum__": [type(o).__name__, o.name]}
+            if isinstance(o, dict):
+                return {k: enc(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [enc(v) for v in o]
+            return o
+
+        return {
+            "states": {name: enc(asdict(entry[1].current_state))
+                       for name, entry in self._elements.items()
+                       if entry[1].current_state is not None},
+            "bindings": {asset: binding[0]
+                         for asset, binding in self._bindings.items()},
+        }
+
+    def restore(self, snap: dict) -> None:
+        from ..scene import AspectMode, PicOrigin, PictureAnchor
+
+        enums = {c.__name__: c for c in (AspectMode, PicOrigin, PictureAnchor)}
+
+        def dec(o):
+            if isinstance(o, dict):
+                if "__tp__" in o:
+                    return TimePoint(*o["__tp__"])
+                if "__enum__" in o:
+                    name, member = o["__enum__"]
+                    return enums[name][member]
+                return {k: dec(v) for k, v in o.items()}
+            if isinstance(o, list):
+                return [dec(v) for v in o]
+            return o
+
+        # bindings first: bind() resets elements to their initial state
+        for asset, element in snap.get("bindings", {}).items():
+            if asset not in self._bindings and element in self._elements:
+                self.bind(asset, element)
+        for name, raw in snap.get("states", {}).items():
+            if name in self._elements:
+                d = dec(raw)
+                for key in ("pic_pos", "size", "texture_offset",
+                            "border_size", "audio_pos"):
+                    if d.get(key) is not None:
+                        d[key] = tuple(d[key])
+                if d.get("fill_color") is not None:
+                    d["fill_color"] = tuple(d["fill_color"])
+                d["parent_anchor"] = tuple(d.get("parent_anchor", ()))
+                self.set_state(name, ElementState(**d))
+
     def close(self) -> None:
         self.video_mixer.close()
         self.audio_mixer.close()

@@ -189,3 +189,38 @@ def test_bus_digest_receives_stats():
     bus.append(EventBox.just(src))
     assert digests and len(digests[0]) == 1
     assert digests[0][0].is_just()
+
+
+def test_composer_snapshot_restore():
+    """Scene + binding state survives a composer restart (checkpoint/resume
+    beyond the reference's epoch-only story, SURVEY.md §5.4)."""
+    import json
+    from swiftvideo_tpu.compose import Composer
+    comp = Composition(
+        name="c", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        scenes=(Scene(name="main", elements=(
+            Element(name="e1", initial_state=ElementState(size=(32, 32))),)),),
+        initial_scene="main")
+
+    clock1 = StepClock(TimePoint(480, 48000))
+    c1 = Composer(clock1, workspace_id="w", composition=comp,
+                  audio_bus=Bus(clock1), picture_bus=Bus(clock1),
+                  compute_context=make_compute_context("golden"))
+    c1.bind("cam", "e1")
+    c1.set_state("e1", ElementState(size=(48, 20), pic_pos=(4, 6),
+                                    transparency=0.25))
+    blob = json.dumps(c1.snapshot())
+    c1.close()
+
+    clock2 = StepClock(TimePoint(480, 48000))
+    c2 = Composer(clock2, workspace_id="w", composition=comp,
+                  audio_bus=Bus(clock2), picture_bus=Bus(clock2),
+                  compute_context=make_compute_context("golden"))
+    c2.restore(json.loads(blob))
+    st = c2.get_element_state("e1")
+    assert st.size == (48, 20) and st.pic_pos == (4, 6)
+    assert abs(st.transparency - 0.25) < 1e-6
+    assert "cam" in c2._bindings
+    c2.close()
