@@ -5,6 +5,8 @@ from .codecs import (AudioDecoder, AudioEncoder, VideoDecoder, VideoEncoder,
                      ffmpeg_available, pack_uncompressed_audio,
                      pack_uncompressed_picture, unpack_uncompressed_audio,
                      unpack_uncompressed_picture)
+from .ffmpeg_subprocess import (FFmpegVideoDecoder, FFmpegVideoEncoder,
+                                ffmpeg_path)
 from .file_source import SyntheticSource, open_media_file
 from .text import TextRenderer, TextSample, render_text_rgba
 from .transcode import (TranscodeContainer, asset_rename,
@@ -17,6 +19,7 @@ __all__ = [
     "unpack_uncompressed_picture", "pack_uncompressed_audio",
     "unpack_uncompressed_audio",
     "SyntheticSource", "open_media_file",
+    "FFmpegVideoDecoder", "FFmpegVideoEncoder", "ffmpeg_path",
     "TextRenderer", "TextSample", "render_text_rgba",
     "asset_rename", "make_video_transcoder", "make_audio_transcoder",
     "TranscodeContainer",

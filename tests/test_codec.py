@@ -178,3 +178,51 @@ def test_transcode_container():
     bus.append(EventBox.just(coded))
     assert len(outputs) == 2
     assert outputs[0].asset_id() == "a.transcode"
+
+
+def test_annexb_avcc_roundtrip():
+    from swiftvideo_tpu.codec import ffmpeg_subprocess as ff
+    nals = [b"\x65" + b"idr-data" * 10, b"\x41" + b"p-frame"]
+    annexb = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+    assert ff.split_annexb(annexb) == nals
+    avcc = ff.annexb_to_avcc(annexb)
+    assert ff.avcc_to_annexb(avcc) == annexb
+    # 3-byte start codes parse too
+    short = b"\x00\x00\x01" + nals[0] + b"\x00\x00\x01" + nals[1]
+    assert ff.split_annexb(short) == nals
+
+
+def test_avcdcr_roundtrip():
+    from swiftvideo_tpu.codec import ffmpeg_subprocess as ff
+    sps = bytes([0x67, 66, 0, 31]) + b"sps-body"
+    pps = bytes([0x68]) + b"pps"
+    record = ff.make_avcdcr(sps, pps)
+    sps_list, pps_list = ff.sps_pps_from_avcdcr(record)
+    assert sps_list == [sps] and pps_list == [pps]
+
+
+def test_adts_framing():
+    from swiftvideo_tpu.codec import ffmpeg_subprocess as ff
+    p1, p2 = b"a" * 50, b"b" * 99
+    stream = (ff.adts_header(48000, 2, len(p1)) + p1
+              + ff.adts_header(48000, 2, len(p2)) + p2)
+    frames, rest = ff.parse_adts_frames(stream + b"\xff")  # trailing junk
+    assert len(frames) == 2 and rest == b"\xff"
+    assert ff.adts_payload(frames[0]) == p1
+    assert ff.adts_payload(frames[1]) == p2
+
+
+def test_ffmpeg_gating():
+    from swiftvideo_tpu.codec import ffmpeg_subprocess as ff
+    if ff.ffmpeg_path() is None:
+        import pytest as _p
+        dec = ff.FFmpegVideoDecoder()
+        from swiftvideo_tpu.core import TimePoint
+        s = CodedMediaSample(buffer=b"\x00\x00\x00\x05\x65abcd",
+                             pts_value=TimePoint(0, 1), dts_value=TimePoint(0, 1),
+                             media_type=MediaType.video,
+                             media_format=MediaFormat.avc,
+                             side={"config": b"\x01\x42\x00\x1f\xff\xe1\x00\x04\x67\x42\x00\x1f\x01\x00\x01\x68"})
+        box = dec(s)
+        assert box.is_error()
+        assert "ffmpeg" in box.err().desc.lower() or "binary" in box.err().desc
