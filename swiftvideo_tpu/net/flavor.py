@@ -320,7 +320,14 @@ class FlavorSessionCore:
             tag = self._buffer[4:8].decode("ascii", "replace")
             body = self._buffer[8:size]
             self._buffer = self._buffer[size:]
-            o, s = self._handle_atom(tag, body)
+            try:
+                o, s = self._handle_atom(tag, body)
+            except (FlavorError, ValueError, IndexError,
+                    struct.error) as exc:
+                # malformed atom: record and resync at the next atom
+                # (net.flavor.swift:673-721 error-coded resync)
+                self.errors.append(f"malformed {tag}: {exc}")
+                continue
             out += o
             samples.extend(s)
         return out, samples

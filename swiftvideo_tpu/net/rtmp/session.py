@@ -117,7 +117,11 @@ class RtmpSessionCore:
             chunk = self.deserializer.poll()
             if chunk is None:
                 break
-            msg_out, msg_samples = self._handle_chunk(chunk)
+            try:
+                msg_out, msg_samples = self._handle_chunk(chunk)
+            except (ValueError, IndexError, struct.error) as exc:
+                self.errors.append(f"malformed msg 0x{chunk.msg_type:x}: {exc}")
+                continue
             out += msg_out
             samples.extend(msg_samples)
         return out, samples

@@ -119,3 +119,23 @@ def test_bus_granularity_batches():
     clock.step(); clock.step()       # t=30
     bus.append(EventBox.just(E()))   # 30 - 0 >= 30 -> flush all three
     assert len(seen) == 3
+
+
+def test_protocol_cores_survive_garbage():
+    """Random bytes must never raise out of the session cores (the
+    reference resyncs with error codes, net.flavor.swift:673-721)."""
+    from swiftvideo_tpu.net.flavor import FlavorSessionCore
+    from swiftvideo_tpu.net.rtmp import RtmpSessionCore
+    rng = np.random.default_rng(0)
+    fcore = FlavorSessionCore(is_server=True, asset_id="s")
+    rcore = RtmpSessionCore(is_server=True, asset_id="s")
+    for i in range(50):
+        blob = rng.integers(0, 256, int(rng.integers(1, 4000)),
+                            np.int64).astype(np.uint8).tobytes()
+        fcore.feed(blob)       # must not raise
+        rcore.feed(blob)       # must not raise
+    # a valid handshake after garbage still works on a fresh core
+    from swiftvideo_tpu.net.flavor import FlavorSessionCore as F
+    srv, cli = F(is_server=True, asset_id="s"), F(is_server=False, asset_id="c")
+    srv.feed(cli.feed(srv.start_bytes())[0])
+    assert srv.established and cli.established
