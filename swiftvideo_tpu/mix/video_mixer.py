@@ -114,8 +114,11 @@ class VideoMixer(Source):
                                                 self.output_size, sources)
                 btype = BufferType.cpu
             else:
-                planes = composite.composite_stack_boxed(
-                    self.output_format, self.output_size, sources)
+                planes = composite.composite_stack_batched_boxed(
+                    self.output_size, sources) \
+                    if self.output_format == PixelFormat.y420p else \
+                    composite.composite_stack_boxed(
+                        self.output_format, self.output_size, sources)
                 btype = BufferType.gpu
             self.stats.end_timer("mix.video.compose")
             img = ImageBuffer(
