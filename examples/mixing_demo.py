@@ -12,6 +12,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("SV_DEVICE", "cpu") == "cpu":
+    # default to CPU so the demo runs without TPU access
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from swiftvideo_tpu.compose import Composer, Composition, Element, ElementState, Scene
