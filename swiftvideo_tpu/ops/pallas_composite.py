@@ -135,7 +135,7 @@ def _composite_plane_kernel(params_ref, base_r_ref, base_c_ref,
 
 @lru_cache(maxsize=128)
 def _plane_program(h_out: int, w_out: int, h_in: int, w_in: int,
-                   kh: int, kw: int):
+                   kh: int, kw: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -161,6 +161,7 @@ def _plane_program(h_out: int, w_out: int, h_in: int, w_in: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h_out, w_out), jnp.uint8),
+        interpret=interpret,
     )
 
     def run(params, base_r, base_c, src, cur):
@@ -216,7 +217,8 @@ def _bases(a, b, n_tiles, tile, k, padded_size, align):
 
 
 def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
-                           scale_hint: Tuple[float, float]):
+                           scale_hint: Tuple[float, float],
+                           interpret: bool = False):
     """One plane-grid composite pass via the fused kernel.
 
     ``cur``/``src``: [H, W] u8 jnp arrays; ``packed``: [UNIFORM_WIDTH] f32;
@@ -245,12 +247,12 @@ def composite_plane_pallas(cur, src, packed, *, fill_chan, clamp_lo,
     base_c = _bases(params[2], params[3], n_j, TILE_W, kw,
                     w_in + pad_w, COL_ALIGN)
     # note: _plane_program slices the PADDED array; kh/kw windows always fit
-    program = _plane_program(h_out, w_out, h_in, w_in, kh, kw)
+    program = _plane_program(h_out, w_out, h_in, w_in, kh, kw, interpret)
     return program(params, base_r, base_c, src, cur)
 
 
 def apply_composite_pallas(target_planes, source_planes, packed,
-                           fill_rgba, scale_hint):
+                           fill_rgba, scale_hint, interpret: bool = False):
     """Family-A composite of a planar-yuv source over a planar-yuv target
     (all three planes).  ``fill_rgba``: host-side [4] float fill color;
     ``packed`` may be traced."""
@@ -263,7 +265,7 @@ def apply_composite_pallas(target_planes, source_planes, packed,
         out.append(composite_plane_pallas(
             target_planes[p], source_planes[p], packed,
             fill_chan=float(fill_chan), clamp_lo=float(clamp_lo),
-            scale_hint=scale_hint))
+            scale_hint=scale_hint, interpret=interpret))
     return out
 
 
