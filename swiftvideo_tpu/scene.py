@@ -150,10 +150,20 @@ class ComposerCommand:
 # --- JSON round-trip ------------------------------------------------------
 
 def _encode(obj):
+    """Recursive JSON encoder: TimePoints and Enums tag themselves BEFORE
+    dataclass descent (dataclasses.asdict would flatten TimePoint first)."""
+    import dataclasses as _dc
     if isinstance(obj, TimePoint):
         return {"__tp__": [obj.value, obj.scale]}
     if isinstance(obj, Enum):
         return {"__enum__": [type(obj).__name__, obj.name]}
+    if _dc.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _encode(getattr(obj, f.name))
+                for f in _dc.fields(obj)}
+    if isinstance(obj, dict):
+        return {k: _encode(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_encode(v) for v in obj]
     return obj
 
 
@@ -161,13 +171,52 @@ _ENUMS = {cls.__name__: cls for cls in (AspectMode, PicOrigin, PictureAnchor)}
 
 
 def composition_to_json(comp: Composition) -> str:
-    def enc(o):
+    return json.dumps(_encode(comp))
+
+
+def command_to_json(cmd: ComposerCommand) -> str:
+    """Serialize a recursive command tree (RpcComposerCommand wire role)."""
+    return json.dumps(_encode(cmd))
+
+
+def command_from_json(text: str) -> ComposerCommand:
+    def dec(o):
         if isinstance(o, dict):
-            return {k: enc(v) for k, v in o.items()}
-        if isinstance(o, (list, tuple)):
-            return [enc(v) for v in o]
-        return _encode(o)
-    return json.dumps(enc(asdict(comp)))
+            if "__tp__" in o:
+                return TimePoint(*o["__tp__"])
+            if "__enum__" in o:
+                name, member = o["__enum__"]
+                return _ENUMS[name][member]
+            return {k: dec(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [dec(v) for v in o]
+        return o
+
+    def mk_state(d) -> ElementState:
+        d = dict(d)
+        for key in ("pic_pos", "size", "texture_offset", "border_size",
+                    "audio_pos"):
+            if d.get(key) is not None:
+                d[key] = tuple(d[key])
+        if d.get("fill_color") is not None:
+            d["fill_color"] = tuple(d["fill_color"])
+        d["parent_anchor"] = tuple(d.get("parent_anchor", ()))
+        return ElementState(**d)
+
+    def mk(raw) -> ComposerCommand:
+        return ComposerCommand(
+            set_scene=SetSceneCommand(**raw["set_scene"])
+            if raw.get("set_scene") else None,
+            set_state=SetStateCommand(
+                element=raw["set_state"]["element"],
+                state=mk_state(raw["set_state"]["state"]),
+                duration=raw["set_state"]["duration"])
+            if raw.get("set_state") else None,
+            bind=BindCommand(**raw["bind"]) if raw.get("bind") else None,
+            unbind=UnbindCommand(**raw["unbind"]) if raw.get("unbind") else None,
+            after=tuple(mk(sub) for sub in raw.get("after", ())))
+
+    return mk(dec(json.loads(text)))
 
 
 def composition_from_json(text: str) -> Composition:

@@ -285,3 +285,18 @@ def test_me_fullsearch_via_registry():
     mv = np.asarray(out.planes()[0])
     assert mv.shape == (4, 4, 4)
     assert np.all(mv[:3, :3, 0] == 128)  # static scene, interior zero MV
+
+
+@pytest.mark.parametrize("fmt", [PixelFormat.y422p, PixelFormat.y444p])
+def test_422_444_composite(fmt):
+    """4:2:2 / 4:4:4 planar formats run through the same grid-shape-agnostic
+    spec (the reference had no kernels for these; coverage extension)."""
+    src = _rand_planes(fmt, (24, 16), 4)
+    uni = rect_uniforms((24, 16), (32, 32), x=4.3, y=2.7, w=20.4, h=24.2,
+                        opacity=0.9)
+    target = [p.copy() for p in golden.clear_planes(fmt, (32, 32))]
+    out = golden.apply_composite(target, fmt, src, fmt, uni)
+    assert [o.shape for o in out] == [p.shape for p in target]
+    # interior pixel shows the source, corner stays cleared
+    assert out[0][16, 12] != 0 or src[0].max() == 0
+    assert out[0][0, 31] == 0

@@ -92,3 +92,45 @@ def test_non_keyframe():
                              dts_value=TimePoint(0, 1), media_type=MediaType.audio,
                              media_format=MediaFormat.aac)
     assert is_keyframe(audio)
+
+
+def test_command_json_roundtrip():
+    from swiftvideo_tpu.core import TimePoint
+    from swiftvideo_tpu.scene import (BindCommand, ComposerCommand,
+                                      ElementState, SetSceneCommand,
+                                      SetStateCommand, command_from_json,
+                                      command_to_json)
+    cmd = ComposerCommand(
+        set_scene=SetSceneCommand(scene="b"),
+        after=(ComposerCommand(
+            bind=BindCommand(asset_id="cam", element="e2"),
+            after=(ComposerCommand(set_state=SetStateCommand(
+                element="e2", state=ElementState(size=(20, 20)),
+                duration=TimePoint(500, 1000))),)),))
+    out = command_from_json(command_to_json(cmd))
+    assert out.set_scene.scene == "b"
+    assert out.after[0].bind.asset_id == "cam"
+    inner = out.after[0].after[0].set_state
+    assert inner.state.size == (20, 20)
+    assert inner.duration == TimePoint(500, 1000)
+
+
+def test_composition_json_roundtrip():
+    from swiftvideo_tpu.core import TimePoint
+    from swiftvideo_tpu.scene import (AspectMode, Composition, Element,
+                                      ElementState, Scene,
+                                      composition_from_json,
+                                      composition_to_json)
+    comp = Composition(
+        name="c", canvas_size=(640, 360),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        scenes=(Scene(name="main", elements=(
+            Element(name="e", initial_state=ElementState(
+                size=(64, 64), pic_aspect=AspectMode.aspectFit)),)),),
+        initial_scene="main")
+    out = composition_from_json(composition_to_json(comp))
+    assert out.canvas_size == (640, 360)
+    assert out.frame_duration == TimePoint(1000, 30000)
+    assert out.scenes[0].elements[0].initial_state.pic_aspect == \
+        AspectMode.aspectFit
