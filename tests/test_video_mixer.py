@@ -224,3 +224,61 @@ def test_composer_snapshot_restore():
     assert abs(st.transparency - 0.25) < 1e-6
     assert "cam" in c2._bindings
     c2.close()
+
+
+def test_composer_audio_leg():
+    """Audio flows bus -> SRC -> SoundAnimator -> AudioMixer and appears in
+    the composer's mixed output with the element's gain applied."""
+    from swiftvideo_tpu.compose import Composer
+    from swiftvideo_tpu.media import AudioFormat, AudioSample
+    clock = StepClock(TimePoint(480, 48000))
+    audio_bus = Bus(clock)
+    picture_bus = Bus(clock)
+    comp = Composition(
+        name="comp", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        sample_rate=48000, channel_count=2,
+        scenes=(Scene(name="main", elements=(
+            Element(name="e1", initial_state=ElementState(
+                size=(64, 64), audio_gain=1.0)),)),),
+        initial_scene="main")
+    composer = Composer(clock, workspace_id="w", composition=comp,
+                        audio_bus=audio_bus, picture_bus=picture_bus,
+                        compute_context=make_compute_context("golden"))
+    mixed = []
+    sub = audio_bus.subscribe(Tx(
+        lambda s: (mixed.append(s), EventBox.just(s))[1]
+        if s.asset_id() == "comp" else EventBox.nothing(None)))
+    composer.bind("micA", "e1")
+    pts = TimePoint(0, 48000)
+    for i in range(30):
+        buf = np.full(480 * 2, 1000, np.int16)
+        audio_bus.append(EventBox.just(AudioSample(
+            buffers=(buf,), frequency=48000, channels=2,
+            format=AudioFormat.s16i, sample_count=480,
+            pts_value=pts, id_asset="micA", id_workspace="w")))
+        pts = pts + TimePoint(480, 48000)
+        clock.step()
+    assert mixed
+    # after warm-up frames, output carries the source signal
+    tail = np.asarray(mixed[-1].data()[0])
+    assert tail.shape == (480 * 2,)
+    assert tail.max() >= 900  # gain ~1 applied to the 1000-level source
+    assert any(c.id_asset == "micA" for c in mixed[-1].constituents())
+    composer.close()
+
+
+def test_stats_report_merging():
+    """StatsReport.merging combines sample buckets (stats.swift:103-109,
+    the EventInfo merge that rides event lists)."""
+    from swiftvideo_tpu.core import StatsReport
+    clock = StepClock(TimePoint(1000, 1000))
+    a = StatsReport(asset_id="a", period=TimePoint(5000, 1000), clock=clock)
+    b = StatsReport(asset_id="b", period=TimePoint(5000, 1000), clock=clock)
+    while clock.current() <= TimePoint(10000, 1000):
+        a.add_sample("m", 1)
+        b.add_sample("m", 2)
+        clock.step()
+    merged = a.merging(b)
+    assert merged.asset_id() == "b"
