@@ -205,3 +205,23 @@ def test_rtmp_loopback(offset_ms, port):
         assert sample.pts() == pts, (sample.pts(), pts)
         assert sample.data() == bufs[idx]
         assert sample.media_format == MediaFormat.avc
+
+
+def test_connect_reconnect_then_fail():
+    """The client retries with backoff and raises after max_attempts
+    (rtmp.swift:104-153 reconnect loop)."""
+    import time as _t
+
+    async def run():
+        client = Rtmp()
+        t0 = _t.monotonic()
+        try:
+            await client.connect("rtmp://127.0.0.1:15999/app/x",
+                                 max_attempts=3, retry_delay=0.05)
+        except ConnectionError as exc:
+            return _t.monotonic() - t0, str(exc)
+        raise AssertionError("expected ConnectionError")
+
+    elapsed, msg = asyncio.run(run())
+    assert "3 attempts" in msg
+    assert elapsed >= 0.1  # two backoff sleeps happened
