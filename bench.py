@@ -81,11 +81,17 @@ def main() -> None:
     dev_unis = jnp.asarray(np.stack(unis))
 
     from swiftvideo_tpu.ops.composite import (_host_box_size,
-                                              _stack_program_boxed)
-    boxes = tuple(_host_box_size(u, (W, H)) for u in unis)
-    log("boxes:", boxes)
-    composite_frame = _stack_program_boxed(
-        PixelFormat.y420p, (W, H), (PixelFormat.y420p,) * n_sources, boxes)
+                                              _stack_program_batched_boxed)
+    boxes = [_host_box_size(u, (W, H)) for u in unis]
+    box = (max(b[0] for b in boxes), max(b[1] for b in boxes))
+    log("box bucket:", box)
+    _prog = _stack_program_batched_boxed((W, H), n_sources, box, (H, W))
+    ys4 = jnp.stack([p[0] for p in dev_sources])
+    us4 = jnp.stack([p[1] for p in dev_sources])
+    vs4 = jnp.stack([p[2] for p in dev_sources])
+
+    def composite_frame(_src_unused, uniforms):
+        return _prog(ys4, us4, vs4, uniforms)
 
     # parity check vs the numpy oracle before timing
     dev_out = composite_frame(tuple(dev_sources), dev_unis)
