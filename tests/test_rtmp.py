@@ -225,3 +225,70 @@ def test_connect_reconnect_then_fail():
     elapsed, msg = asyncio.run(run())
     assert "3 attempts" in msg
     assert elapsed >= 0.1  # two backoff sleeps happened
+
+
+async def _play_loopback(port: int):
+    """Client plays; the server-side publisher sends media down."""
+    from swiftvideo_tpu.core import EventBox, Tx
+    pubs = []
+
+    async def on_connection(pub, sub):
+        if pub is not None:
+            pubs.append(pub)
+        return True
+
+    clock = StepClock(TimePoint(16, 1000))
+    server = Rtmp(clock, on_connection=on_connection)
+    await server.serve("127.0.0.1", port)
+    client = Rtmp(clock)
+    _, sub = await client.connect(f"rtmp://127.0.0.1:{port}/app/show",
+                                  publish_to_peer=False, max_attempts=2,
+                                  retry_delay=0.2)
+    assert sub is not None
+    received = []
+    chain = sub >> Tx(lambda s: (received.append(s),
+                                 EventBox.nothing(None))[1])
+    for _ in range(30):
+        await asyncio.sleep(0.01)
+        if pubs:
+            break
+    assert pubs, "server publisher never created"
+    pub = pubs[0]
+    assert pub.play_path() == "show"
+    for _ in range(14):
+        clock.step()
+        await asyncio.sleep(0)
+    bufs = _buffers()
+    sent = []
+    ts = TimePoint(0, 1000)
+    for i in range(40):
+        sample = CodedMediaSample(
+            buffer=bufs[i % len(bufs)], pts_value=ts, dts_value=ts,
+            media_type=MediaType.video, media_format=MediaFormat.avc,
+            id_asset="show", id_workspace="app", side={"config": bytes(48)})
+        box = pub.apply(__import__("swiftvideo_tpu.core",
+                                   fromlist=["EventBox"]).EventBox
+                        .just(sample))
+        if not box.is_error():
+            sent.append(sample)
+        ts = ts + TimePoint(16, 1000)
+        clock.step()
+        await asyncio.sleep(0)
+    for _ in range(60):
+        await asyncio.sleep(0.01)
+        if len(received) >= len(sent):
+            break
+    pub.close()
+    await server.close()
+    return sent, received
+
+
+def test_rtmp_play_loopback():
+    """Server publishes to a playing client (the client play command the
+    reference left TODO, states.swift:496-499, completed here)."""
+    sent, received = asyncio.run(_play_loopback(15004))
+    assert len(sent) > 20
+    assert len(received) == len(sent)
+    for s, r in zip(sent, received):
+        assert r.data() == s.data()
+        assert r.pts() == s.pts()
