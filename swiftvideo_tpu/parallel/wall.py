@@ -79,22 +79,21 @@ class MixingWall:
         sw, sh = self.stream_size
         local = self.n_streams // n_dev
         rows_per_dev = grid // n_dev if grid >= n_dev else 1
-        uni = identity_uniforms((sw, sh), (tw, th)).pack()
 
-        def scale_one(y, u, v):
-            """One stream -> one wall tile (convert+scale composite)."""
+        def scale_one(y, u, v, uni):
+            """One stream -> one wall tile, with the stream's own composite
+            uniforms (aspect fit / offset / opacity / fill per cell)."""
             target = [jnp.zeros((th, tw), jnp.uint8),
                       jnp.full((th // 2, tw // 2), 128, jnp.uint8),
                       jnp.full((th // 2, tw // 2), 128, jnp.uint8)]
             out = golden.apply_composite(target, PixelFormat.y420p,
                                          [y, u, v], PixelFormat.y420p,
-                                         jnp.asarray(uni), xp=jnp,
-                                         separable=True)
+                                         uni, xp=jnp, separable=True)
             return out[0], out[1], out[2]
 
-        def local_step(ys, us, vs, audio, gains):
+        def local_step(ys, us, vs, audio, gains, unis):
             # ys: [local, sh, sw] u8 — this device's streams
-            ty, tu, tv = jax.vmap(scale_one)(ys, us, vs)
+            ty, tu, tv = jax.vmap(scale_one)(ys, us, vs, unis)
             # arrange local streams into wall rows: [rows, cols, th, tw]
             cols = local // rows_per_dev
             wall_y = ty.reshape(rows_per_dev, cols, th, tw) \
@@ -115,7 +114,7 @@ class MixingWall:
         spec_s = P(self.axis)
         shard = jax.shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(spec_s, spec_s, spec_s, spec_s, spec_s),
+            in_specs=(spec_s, spec_s, spec_s, spec_s, spec_s, spec_s),
             out_specs=(spec_s, spec_s, spec_s, P()))
         return jax.jit(shard)
 
@@ -124,9 +123,18 @@ class MixingWall:
         """Place a [N, ...] host array sharded over the stream axis."""
         return jax.device_put(array, NamedSharding(self.mesh, P(self.axis)))
 
-    def step(self, ys, us, vs, audio, gains=None):
+    def default_uniforms(self):
+        """Identity full-cell uniforms for every stream, sharded."""
+        uni = identity_uniforms(self.stream_size, self.tile).pack()
+        return self.shard(jnp.broadcast_to(jnp.asarray(uni),
+                                           (self.n_streams, uni.shape[0])))
+
+    def step(self, ys, us, vs, audio, gains=None, uniforms=None):
         """One wall tick.  ys/us/vs: [N, ...] u8 planes; audio: [N, samples]
-        s16; gains: [N] f32.  Returns (wall_y, wall_u, wall_v, mixed)."""
+        s16; gains: [N] f32; uniforms: optional [N, UNIFORM_WIDTH] per-cell
+        composite uniforms.  Returns (wall_y, wall_u, wall_v, mixed)."""
         if gains is None:
             gains = jnp.ones((self.n_streams,), jnp.float32)
-        return self._step(ys, us, vs, audio, gains)
+        if uniforms is None:
+            uniforms = self.default_uniforms()
+        return self._step(ys, us, vs, audio, gains, uniforms)

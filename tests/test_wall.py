@@ -77,3 +77,29 @@ def test_wall_tiles_match_oracle():
             [([ys_np[s], us_np[s], vs_np[s]], PixelFormat.y420p, uni)])
         got = wy[row * th:(row + 1) * th, col * tw:(col + 1) * tw]
         assert np.abs(got.astype(int) - expect[0].astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_wall_per_stream_uniforms():
+    """Per-cell uniforms: one stream renders at half opacity into its tile,
+    another with a fill-colored aspect inset."""
+    from swiftvideo_tpu.ops import identity_uniforms, rect_uniforms
+
+    mesh = make_mesh(jax.devices()[:8])
+    n, sw, sh = 64, 32, 16
+    wall = MixingWall(mesh, n_streams=n, stream_size=(sw, sh),
+                      canvas_size=(128, 96), audio_samples=8)
+    ys = wall.shard(jnp.full((n, sh, sw), 200, jnp.uint8))
+    us = wall.shard(jnp.full((n, sh // 2, sw // 2), 128, jnp.uint8))
+    vs = wall.shard(jnp.full((n, sh // 2, sw // 2), 128, jnp.uint8))
+    audio = wall.shard(jnp.zeros((n, 16), jnp.int16))
+    tw, th = wall.tile
+    unis = np.stack([identity_uniforms((sw, sh), (tw, th)).pack()
+                     for _ in range(n)])
+    unis[0] = identity_uniforms((sw, sh), (tw, th), opacity=0.5).pack()
+    uniforms = wall.shard(jnp.asarray(unis))
+    wy, _, _, _ = wall.step(ys, us, vs, audio, uniforms=uniforms)
+    y = np.asarray(wy)
+    # stream 0's tile at half opacity over black: ~100; stream 1 full: ~200
+    assert abs(int(y[th // 2, tw // 2]) - 100) <= 2
+    assert abs(int(y[th // 2, tw + tw // 2]) - 200) <= 2
