@@ -192,10 +192,11 @@ def main() -> None:
         vs = wall.shard(jnp.full((64, 540, 960), 128, jnp.uint8))
         audio = wall.shard(jnp.full((64, 1600), 50, jnp.int16))
         gains = jnp.ones((64,), jnp.float32)
+        wall_unis = wall.default_uniforms()
 
         def wall_body(_k, carry):
             g, _prev = carry
-            out = wall._step(ys, us, vs, audio, g)
+            out = wall._step(ys, us, vs, audio, g, wall_unis)
             return (g + out[0][0, 0].astype(jnp.float32) * 1e-12, out[3])
 
         init = (gains, wall.step(ys, us, vs, audio)[3])
