@@ -103,6 +103,14 @@ class RtmpPublisher(Terminal):
                 self._send_metadata()
             else:
                 return EventBox.nothing(sample.info())
+        # backpressure: a slow client keeps its codec config flowing but
+        # drops media frames rather than buffering unboundedly (live
+        # semantics; the reference's bufferSize knob)
+        if not getattr(self.conn, "writable", True):
+            info = sample.info()
+            if info is not None:
+                info.add_sample("net.rtmp.dropped", 1)
+            return EventBox.nothing(info)
         data = self._media.serialize(sample)
         if data is None:
             return EventBox.nothing(sample.info())

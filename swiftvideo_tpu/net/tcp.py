@@ -68,6 +68,7 @@ class Connection(Source, asyncio.Protocol):
         self._on_connected = on_connected
         self._on_ended = on_ended
         self.closed = False
+        self.writable = True  # cleared between pause_writing/resume_writing
 
     def _digest(self, event: NetworkEvent) -> EventBox:
         self.write(event.data())
@@ -86,6 +87,14 @@ class Connection(Source, asyncio.Protocol):
         self.closed = True
         if self._on_ended is not None:
             self._on_ended(self)
+
+    def pause_writing(self) -> None:
+        # kernel send buffer full: the slow-client signal (the reference's
+        # NIO BackPressureHandler role, net.tcp.swift:157)
+        self.writable = False
+
+    def resume_writing(self) -> None:
+        self.writable = True
 
     # --- writes -----------------------------------------------------------
     def write(self, data: bytes) -> None:

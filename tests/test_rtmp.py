@@ -292,3 +292,43 @@ def test_rtmp_play_loopback():
     for s, r in zip(sent, received):
         assert r.data() == s.data()
         assert r.pts() == s.pts()
+
+
+def test_publisher_drops_when_backpressured():
+    """A paused transport (kernel buffer full) drops media instead of
+    buffering unboundedly."""
+    from swiftvideo_tpu.core import EventBox, StatsReport, WallClock
+    from swiftvideo_tpu.net.rtmp.rtmp import RtmpPublisher
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+    from swiftvideo_tpu.net.tcp import Connection
+
+    clock = StepClock(TimePoint(16, 1000))
+    conn = Connection()
+
+    class FakeTransport:
+        def __init__(self):
+            self.sent = []
+
+        def write(self, data):
+            self.sent.append(data)
+
+        def close(self):
+            pass
+
+    conn.transport = FakeTransport()
+    core = RtmpSessionCore(is_server=True, asset_id="a", clock=clock)
+    pub = RtmpPublisher(clock, conn, core)
+    pub._sent_props = True  # skip metadata machinery
+    sample = CodedMediaSample(
+        buffer=b"\x00\x00\x00\x02\x65x", pts_value=TimePoint(0, 1000),
+        dts_value=TimePoint(0, 1000), media_type=MediaType.video,
+        media_format=MediaFormat.avc, id_asset="a",
+        side={"config": bytes(8)})
+    assert pub.apply(EventBox.just(sample)).is_just()
+    n = len(conn.transport.sent)
+    conn.pause_writing()
+    assert pub.apply(EventBox.just(sample)).is_nothing()
+    assert len(conn.transport.sent) == n  # nothing written while paused
+    conn.resume_writing()
+    assert pub.apply(EventBox.just(sample)).is_just()
+    assert len(conn.transport.sent) > n
