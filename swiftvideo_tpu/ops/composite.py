@@ -256,7 +256,9 @@ def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
         return jnp.stack([cb, cr])
 
     def blend_plane(cur_u8, samp, packed, oy, ox, full, fill_chan, clamp_lo):
-        gh, gw = cur_u8.shape
+        # cur_u8/samp: [gh, gw] or [C, gh, gw] (chroma channels stacked so
+        # both blend in one op pass); fill_chan broadcasts per channel
+        gh, gw = cur_u8.shape[-2:]
         mb, mt, mu, _, _ = golden._masks(packed, gh, gw, jnp, True,
                                          (oy, ox), full)
         op = packed[22]
@@ -283,10 +285,10 @@ def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
                 (y, u, v), p, oy, ox, (bh // 2, bw // 2), 2,
                 (h // 2, w // 2), "uv")
         )(ys, us, vs, uniforms, oys, oxs)
-        # phase B: sequential blend fold
+        # phase B: sequential blend fold (chroma channels stacked: one
+        # slice/blend/update per source instead of two)
         ty = jnp.zeros((h, w), jnp.uint8)
-        tu = jnp.full((h // 2, w // 2), 128, jnp.uint8)
-        tv = jnp.full((h // 2, w // 2), 128, jnp.uint8)
+        tc = jnp.full((2, h // 2, w // 2), 128, jnp.uint8)
         for i in range(n_sources):
             oy, ox = oys[i], oxs[i]
             cy, cx = oy // 2, ox // 2
@@ -298,15 +300,13 @@ def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
             o0 = blend_plane(sl, luma_tiles[i], uniforms[i], oy, ox,
                              (h, w), fill_yuv[0], 0.0)
             ty = jax.lax.dynamic_update_slice(ty, o0, (oy, ox))
-            slu = jax.lax.dynamic_slice(tu, (cy, cx), (bh // 2, bw // 2))
-            o1 = blend_plane(slu, chroma_tiles[i][0], uniforms[i], cy, cx,
-                             (h // 2, w // 2), fill_yuv[1], -1.0)
-            tu = jax.lax.dynamic_update_slice(tu, o1, (cy, cx))
-            slv = jax.lax.dynamic_slice(tv, (cy, cx), (bh // 2, bw // 2))
-            o2 = blend_plane(slv, chroma_tiles[i][1], uniforms[i], cy, cx,
-                             (h // 2, w // 2), fill_yuv[2], -1.0)
-            tv = jax.lax.dynamic_update_slice(tv, o2, (cy, cx))
-        return ty, tu, tv
+            slc = jax.lax.dynamic_slice(tc, (0, cy, cx),
+                                        (2, bh // 2, bw // 2))
+            fill_c = jnp.stack([fill_yuv[1], fill_yuv[2]])[:, None, None]
+            oc = blend_plane(slc, chroma_tiles[i], uniforms[i], cy, cx,
+                             (h // 2, w // 2), fill_c, -1.0)
+            tc = jax.lax.dynamic_update_slice(tc, oc, (0, cy, cx))
+        return ty, tc[0], tc[1]
 
     return jax.jit(run)
 
