@@ -100,15 +100,24 @@ class VideoMixer(Source):
             self._samples[0] = {}
         images = sorted(merged.values(), key=lambda s: s.z_index())
         try:
-            sources = [(list(img.planes()), img.pixel_format(),
-                        ImageUniforms(
-                            transform_inv=np.linalg.inv(img.matrix().astype(np.float64)).astype(np.float32),
-                            texture_inv=np.linalg.inv(img.texture_matrix().astype(np.float64)).astype(np.float32),
-                            border_inv=np.linalg.inv(img.border_matrix().astype(np.float64)).astype(np.float32),
-                            fill_color=np.asarray(img.fill_color(), np.float32),
-                            input_size=img.size(), output_size=self.output_size,
-                            opacity=img.opacity()))
-                       for img in images]
+            sources = []
+            for img in images:
+                try:
+                    uni = ImageUniforms(
+                        transform_inv=np.linalg.inv(
+                            img.matrix().astype(np.float64)).astype(np.float32),
+                        texture_inv=np.linalg.inv(
+                            img.texture_matrix().astype(np.float64)).astype(np.float32),
+                        border_inv=np.linalg.inv(
+                            img.border_matrix().astype(np.float64)).astype(np.float32),
+                        fill_color=np.asarray(img.fill_color(), np.float32),
+                        input_size=img.size(), output_size=self.output_size,
+                        opacity=img.opacity())
+                except np.linalg.LinAlgError:
+                    # degenerate transform (zero-size element): skip the
+                    # source, keep the frame
+                    continue
+                sources.append((list(img.planes()), img.pixel_format(), uni))
             if self.ctx.backend == "golden":
                 planes = golden.composite_stack(self.output_format,
                                                 self.output_size, sources)

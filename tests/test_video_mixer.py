@@ -282,3 +282,24 @@ def test_stats_report_merging():
         clock.step()
     merged = a.merging(b)
     assert merged.asset_id() == "b"
+
+
+def test_mixer_skips_degenerate_source():
+    """A zero-size (singular-matrix) source must not kill the frame."""
+    clock = StepClock(FRAME)
+    mixer = VideoMixer(clock, workspace_id="w", frame_duration=FRAME,
+                       output_size=(32, 32), output_format=PixelFormat.y420p,
+                       compute_context=make_compute_context("golden"),
+                       asset_id="mix")
+    frames = []
+    pipe = mixer >> Tx(lambda s: (frames.append(s), EventBox.just(s))[1])
+    good = _source(150, size=(16, 16), rect=(0, 0, 32, 32), canvas=(32, 32))
+    bad = _source(99, size=(16, 16), asset="b", rev="rb",
+                  rect=(0, 0, 0, 0), canvas=(32, 32))  # zero-size -> singular
+    mixer.apply(EventBox.just(good))
+    mixer.apply(EventBox.just(bad))
+    clock.step()
+    assert len(frames) == 1
+    y = np.asarray(frames[0].planes()[0])
+    assert abs(int(y[16, 16]) - 150) <= 1  # good source rendered
+    mixer.close()
