@@ -144,3 +144,43 @@ def allocate_planes(fmt: PixelFormat, size: Tuple[int, int]) -> List[np.ndarray]
     """Zeroed dense planes for a format (host side)."""
     return [np.zeros(plane_array_shape(fmt, size, i), dtype=np.uint8)
             for i in range(num_planes(fmt))]
+
+
+def packed422_to_planar(arr: np.ndarray, fmt: "PixelFormat"):
+    """Convert packed 4:2:2 (yuvs / zvuy, [H, W, 2]) to y422p planes
+    ([H,W] y, [H,W/2] cb, [H,W/2] cr).
+
+    Layout per 2-pixel group along W (sample.pict.swift:83-102 component
+    orders): yuvs = (y0, cb, y1, cr), zvuy = (cb, y0, cr, y1).  TPU ingest
+    normalizes packed formats to planar so device kernels stay dense.
+    """
+    if fmt == PixelFormat.yuvs:
+        y = arr[..., 0]
+        cb = arr[:, 0::2, 1]
+        cr = arr[:, 1::2, 1]
+    elif fmt == PixelFormat.zvuy:
+        y = arr[..., 1]
+        cb = arr[:, 0::2, 0]
+        cr = arr[:, 1::2, 0]
+    else:
+        raise ValueError(f"not a packed 4:2:2 format: {fmt}")
+    return [np.ascontiguousarray(y), np.ascontiguousarray(cb),
+            np.ascontiguousarray(cr)]
+
+
+def planar_to_packed422(planes, fmt: "PixelFormat") -> np.ndarray:
+    """Inverse of packed422_to_planar (egress to packed-422 consumers)."""
+    y, cb, cr = planes
+    h, w = y.shape
+    out = np.empty((h, w, 2), np.uint8)
+    if fmt == PixelFormat.yuvs:
+        out[..., 0] = y
+        out[:, 0::2, 1] = cb
+        out[:, 1::2, 1] = cr
+    elif fmt == PixelFormat.zvuy:
+        out[..., 1] = y
+        out[:, 0::2, 0] = cb
+        out[:, 1::2, 0] = cr
+    else:
+        raise ValueError(f"not a packed 4:2:2 format: {fmt}")
+    return out

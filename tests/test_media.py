@@ -134,3 +134,15 @@ def test_composition_json_roundtrip():
     assert out.frame_duration == TimePoint(1000, 30000)
     assert out.scenes[0].elements[0].initial_state.pic_aspect == \
         AspectMode.aspectFit
+
+
+def test_packed422_roundtrip():
+    from swiftvideo_tpu.media.pixel import (packed422_to_planar,
+                                            planar_to_packed422)
+    rng = np.random.default_rng(0)
+    for fmt in (PixelFormat.yuvs, PixelFormat.zvuy):
+        arr = rng.integers(0, 256, (16, 32, 2), np.int64).astype(np.uint8)
+        y, cb, cr = packed422_to_planar(arr, fmt)
+        assert y.shape == (16, 32) and cb.shape == (16, 16)
+        back = planar_to_packed422((y, cb, cr), fmt)
+        assert np.array_equal(back, arr)
