@@ -652,6 +652,8 @@ class Flavor:
                 sub.dispatch(samples)
             return EventBox.nothing(None)
 
-        endpoint["chain"] = conn >> Tx(on_bytes)
+        # anchor the receive chain to the connection: emit chains are weak
+        # and this helper's locals die on return (see Connection.retain)
+        conn.retain(conn >> Tx(on_bytes))
         await asyncio.wait_for(done, timeout=timeout)
         return endpoint.get("pub") or endpoint.get("sub")

@@ -306,8 +306,9 @@ class Rtmp:
                 sub.dispatch(samples)
             return EventBox.nothing(None)
 
-        chain = conn >> Tx(on_bytes)
-        endpoint_box["chain"] = chain
+        # the receive chain must outlive this helper: emit chains are weak,
+        # so anchor it to the connection (see Connection.retain)
+        conn.retain(conn >> Tx(on_bytes))
         conn.write(core.start_bytes())
         await asyncio.wait_for(done, timeout=30.0)
         return endpoint_box.get("pub"), endpoint_box.get("sub")

@@ -69,6 +69,7 @@ class Connection(Source, asyncio.Protocol):
         self._on_ended = on_ended
         self.closed = False
         self.writable = True  # cleared between pause_writing/resume_writing
+        self._retained: list = []
 
     def _digest(self, event: NetworkEvent) -> EventBox:
         self.write(event.data())
@@ -95,6 +96,14 @@ class Connection(Source, asyncio.Protocol):
 
     def resume_writing(self) -> None:
         self.writable = True
+
+    def retain(self, obj) -> None:
+        """Anchor ``obj`` (typically the receive chain built with ``>>``)
+        to this connection's lifetime.  Bus emit chains are weak by design
+        (gone-propagation GC, signal.swift:37-58); a chain whose only strong
+        reference is a connect-helper local would be severed at the next
+        gc pass, silently stopping delivery."""
+        self._retained.append(obj)
 
     # --- writes -----------------------------------------------------------
     def write(self, data: bytes) -> None:

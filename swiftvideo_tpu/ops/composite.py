@@ -214,10 +214,121 @@ def composite_stack_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
 
 # --- batched-sampling boxed composite --------------------------------------
 
+def _rationalize(a: float, max_q: int = 6, tol: float = 1e-7):
+    """Return (p, q) with a ~= p/q (q <= max_q, p >= 1), else None."""
+    if not np.isfinite(a) or a <= 0:
+        return None
+    for q in range(1, max_q + 1):
+        p = round(a * q)
+        if p >= 1 and abs(a - p / q) <= tol * max(1.0, abs(a)):
+            return int(p), int(q)
+    return None
+
+
+def _axis_scales(packed_np: np.ndarray, size: Tuple[int, int],
+                 in_shape: Tuple[int, int]):
+    """Host-side: texel step per output pixel along (y, x) for an
+    axis-aligned source — the `A` in golden's separable coordinate chain
+    x_j = A*j + c (see golden._masks / bilinear_norm)."""
+    w, h = size
+    hin, win = in_shape
+    ax = 2.0 * win * float(packed_np[6]) * float(packed_np[0]) / w
+    ay = 2.0 * hin * float(packed_np[9]) * float(packed_np[3]) / h
+    return ay, ax
+
+
+def _phase_info(packed_list, size: Tuple[int, int],
+                in_shape: Tuple[int, int]):
+    """Shared rational phase info ((py, qy), (px, qx)) when every source has
+    the same rational axis scales, else None (gather path).
+
+    NOTE: the XLA lowering of the phased (strided-slice) path is SLOWER than
+    the gather path on TPU — each strided slice lowers to its own full-plane
+    HBM pass (~0.155 ms/1080p plane on v5e through this stack), so the
+    3-tap separable sampler costs ~6 passes/plane vs the gather path's
+    fused ~1.5.  The phased algebra is therefore NOT wired into the default
+    device paths; it exists for (a) CPU/oracle validation and (b) the
+    pallas kernel, where the taps are VMEM-resident register reads and the
+    formulation wins.  See NOTES_ROUND2.md for the measured pass-cost
+    model."""
+    infos = set()
+    for p in packed_list:
+        ay, ax = _axis_scales(np.asarray(p), size, in_shape)
+        ry, rx = _rationalize(ay), _rationalize(ax)
+        if ry is None or rx is None:
+            return None
+        infos.add((ry, rx))
+    return infos.pop() if len(infos) == 1 else None
+
+
+def _phased_axis_sample(plane, c, p: int, q: int, n_out: int, axis: int):
+    """Gather-free rational-scale bilinear sampling along one axis.
+
+    Samples ``plane`` at positions x_j = (p/q)*j + c for j in [0, n_out)
+    (golden.bilinear_norm algebra: i0 = floor(x), lerp rows i0/i0+1 with
+    clamp-to-edge).  Because the scale is rational, output index j = q*t + k
+    hits source index floor(c) + m_k + p*t with a per-phase constant
+    fractional weight — so sampling is q static-strided slices plus a
+    3-tap hat-weighted sum (the hat spans floor boundaries), with the only
+    dynamic quantity one dynamic_slice start.  No gathers: on TPU this is
+    ~10x the gather path's throughput (gathers lower ~13x off memory
+    bound in this stack; benchmarks/micro_composite.py).
+
+    Positions outside [-0.5, S-0.5] return garbage-but-bounded values;
+    callers mask those out (out-of-texture pixels never use samples).
+    """
+    import math
+
+    S = plane.shape[axis]
+    A = p / q
+    nk = -(-n_out // q)
+    m = [int(math.floor(A * k)) for k in range(q)]
+    r = [A * k - m[k] for k in range(q)]
+    R = max(m) + p * (nk - 1) + 3
+    # Edge padding implements golden's clamp-to-edge for every index the
+    # decomposition can touch: left pad P covers tiles starting up to a
+    # full tile before the texture (any position with a valid sample has
+    # floor(c) >= -P, so clamping M to [-P, S-1] only moves positions that
+    # are fully out-of-texture and masked anyway); right pad R covers the
+    # window for any clamped start.
+    P = int(math.ceil(A * (n_out - 1))) + 2
+    lead = jax.lax.slice_in_dim(plane, 0, 1, axis=axis)
+    tail = jax.lax.slice_in_dim(plane, S - 1, S, axis=axis)
+    reps_l = [1] * plane.ndim
+    reps_l[axis] = P
+    reps_r = [1] * plane.ndim
+    reps_r[axis] = R
+    padded = jnp.concatenate(
+        [jnp.tile(lead, reps_l), plane, jnp.tile(tail, reps_r)], axis=axis)
+    M = jnp.clip(jnp.floor(c), -P, S - 1)
+    g = (c - jnp.floor(c)).astype(jnp.float32)
+    region = jax.lax.dynamic_slice_in_dim(
+        padded, M.astype(jnp.int32) + P, R, axis=axis)
+    outs = []
+    for k in range(q):
+        pos = r[k] + g
+        w0 = jnp.maximum(0.0, 1.0 - pos)
+        w1 = 1.0 - jnp.abs(pos - 1.0)
+        w2 = jnp.maximum(0.0, pos - 1.0)
+        lim = p * (nk - 1) + 1
+        s0 = jax.lax.slice_in_dim(region, m[k], m[k] + lim, stride=p, axis=axis)
+        s1 = jax.lax.slice_in_dim(region, m[k] + 1, m[k] + 1 + lim, stride=p,
+                                  axis=axis)
+        s2 = jax.lax.slice_in_dim(region, m[k] + 2, m[k] + 2 + lim, stride=p,
+                                  axis=axis)
+        outs.append(w0 * s0 + w1 * s1 + w2 * s2)
+    out = jnp.stack(outs, axis=axis + 1)
+    shape = list(out.shape)
+    shape[axis:axis + 2] = [nk * q]
+    out = out.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, n_out, axis=axis)
+
+
 @lru_cache(maxsize=128)
 def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
                                  box: Tuple[int, int],
-                                 in_shape: Tuple[int, int]):
+                                 in_shape: Tuple[int, int],
+                                 phases=None):
     """Two-phase fold for the uniform case (same-size axis-aligned planar-yuv
     sources, one shared box bucket):
 
@@ -245,6 +356,29 @@ def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
                     full, want):
         gh, gw = grid_shape
         d = grid_origin_div
+        if phases is not None:
+            # gather-free rational-scale path: x_j = A*j + c along each
+            # axis (same affine chain as golden._masks separable coords)
+            (py_, qy_), (px_, qx_) = phases
+            fh, fw = full
+
+            def c0(origin, coeff, toff, ucoeff, uoff, fdim, pdim):
+                s = origin.astype(jnp.float32) / np.float32(fdim)
+                t = packed[coeff] * (s * 2.0 - 1.0) + packed[toff]
+                return (packed[ucoeff] * t + packed[uoff]) * pdim - 0.5
+
+            def sample_plane(pl):
+                hin_g, win_g = pl.shape
+                cy = c0(oy // d, 3, 5, 9, 11, fh, hin_g)
+                cx = c0(ox // d, 0, 4, 6, 10, fw, win_g)
+                rows = _phased_axis_sample(golden._to_f(pl, jnp), cy,
+                                           py_, qy_, gh, 0)
+                return _phased_axis_sample(rows, cx, px_, qx_, gw, 1)
+
+            if want == "y":
+                return sample_plane(planes[0])
+            return jnp.stack([sample_plane(planes[1]),
+                              sample_plane(planes[2])])
         m = golden._masks(packed, gh, gw, jnp, True,
                           (oy // d, ox // d), full)
         _, _, _, uv_x, uv_y = m
@@ -275,16 +409,31 @@ def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
     def run(ys, us, vs, uniforms):
         # ys: [N, hin, win] u8 etc.; uniforms [N, UNIFORM_WIDTH]
         oys, oxs = offsets(uniforms)
-        # phase A: batched sampling
-        luma_tiles = jax.vmap(
-            lambda y, u, v, p, oy, ox: sample_tile(
-                (y, u, v), p, oy, ox, (bh, bw), 1, (h, w), "y")
-        )(ys, us, vs, uniforms, oys, oxs)
-        chroma_tiles = jax.vmap(
-            lambda y, u, v, p, oy, ox: sample_tile(
-                (y, u, v), p, oy, ox, (bh // 2, bw // 2), 2,
-                (h // 2, w // 2), "uv")
-        )(ys, us, vs, uniforms, oys, oxs)
+        # phase A sampling.  Gather path: vmap across sources amortizes
+        # per-op dispatch (ops are many and medium-sized).  Phased path:
+        # unroll — vmapping dynamic_slice over per-source traced starts
+        # would lower the region grab to a gather, destroying the whole
+        # point of the gather-free formulation (measured 4.6x slower).
+        if phases is not None:
+            luma_tiles = jnp.stack([
+                sample_tile((ys[i], us[i], vs[i]), uniforms[i], oys[i],
+                            oxs[i], (bh, bw), 1, (h, w), "y")
+                for i in range(n_sources)])
+            chroma_tiles = jnp.stack([
+                sample_tile((ys[i], us[i], vs[i]), uniforms[i], oys[i],
+                            oxs[i], (bh // 2, bw // 2), 2,
+                            (h // 2, w // 2), "uv")
+                for i in range(n_sources)])
+        else:
+            luma_tiles = jax.vmap(
+                lambda y, u, v, p, oy, ox: sample_tile(
+                    (y, u, v), p, oy, ox, (bh, bw), 1, (h, w), "y")
+            )(ys, us, vs, uniforms, oys, oxs)
+            chroma_tiles = jax.vmap(
+                lambda y, u, v, p, oy, ox: sample_tile(
+                    (y, u, v), p, oy, ox, (bh // 2, bw // 2), 2,
+                    (h // 2, w // 2), "uv")
+            )(ys, us, vs, uniforms, oys, oxs)
         # phase B: sequential blend fold (chroma channels stacked: one
         # slice/blend/update per source instead of two)
         ty = jnp.zeros((h, w), jnp.uint8)
@@ -309,6 +458,40 @@ def _stack_program_batched_boxed(size: Tuple[int, int], n_sources: int,
         return ty, tc[0], tc[1]
 
     return jax.jit(run)
+
+
+@lru_cache(maxsize=32)
+def _stack_program_frames(size: Tuple[int, int], n_sources: int,
+                          box: Tuple[int, int], in_shape: Tuple[int, int],
+                          phases=None):
+    """Frame-batched composite: vmap the whole batched-boxed fold over a
+    leading frame axis, with **uniforms shared across the batch** (a mixer
+    emits many ticks of one scene layout — pixel data changes every tick,
+    the layout doesn't).  Batching frames amortizes the per-op dispatch
+    overhead that dominates single-frame composites on this stack, exactly
+    as stream-batching does for the mixing wall.
+
+    Inputs: ys/us/vs ``[B, N, h, w]`` u8, uniforms ``[N, UNIFORM_WIDTH]``.
+    Returns per-frame planes ``([B,H,W], [B,H/2,W/2], [B,H/2,W/2])``.
+    """
+    base = _stack_program_batched_boxed(size, n_sources, box, in_shape,
+                                        phases)
+    return jax.jit(jax.vmap(base, in_axes=(0, 0, 0, None)))
+
+
+def composite_frames_device(size: Tuple[int, int], ys, us, vs, uniforms):
+    """Frame-batched uniform-case composite (see _stack_program_frames).
+
+    Caller guarantees the batched-boxed preconditions: same-size
+    axis-aligned planar-yuv sources.  ``uniforms`` is a [N, UNIFORM_WIDTH]
+    array of packed uniforms shared by every frame in the batch.
+    """
+    packed = [np.asarray(uniforms[i]) for i in range(uniforms.shape[0])]
+    boxes = [_host_box_size(p, size) for p in packed]
+    box = (max(b[0] for b in boxes), max(b[1] for b in boxes))
+    in_shape = tuple(ys.shape[-2:])
+    program = _stack_program_frames(size, int(ys.shape[1]), box, in_shape)
+    return program(ys, us, vs, jnp.asarray(uniforms))
 
 
 def composite_stack_batched_boxed(size: Tuple[int, int], sources):

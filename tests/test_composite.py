@@ -300,3 +300,77 @@ def test_422_444_composite(fmt):
     # interior pixel shows the source, corner stays cleared
     assert out[0][16, 12] != 0 or src[0].max() == 0
     assert out[0][0, 31] == 0
+
+
+def test_frame_batched_matches_per_frame():
+    """composite_frames_device (vmap over a leading frame axis, shared
+    uniforms) must match composite_stack_batched_boxed frame by frame."""
+    import jax.numpy as jnp
+    B, N = 3, 2
+    unis = [rect_uniforms((32, 24), (128, 96), x=10.3 + 30 * s, y=6.7,
+                          w=50.5, h=40.2, opacity=0.8,
+                          fill_color=(0.2, 0.4, 0.1, 0.5)).pack()
+            for s in range(N)]
+    frames = [[_rand_planes(PixelFormat.y420p, (32, 24), 10 * b + s)
+               for s in range(N)] for b in range(B)]
+    ys = jnp.asarray(np.stack([[f[s][0] for s in range(N)] for f in frames]))
+    us = jnp.asarray(np.stack([[f[s][1] for s in range(N)] for f in frames]))
+    vs = jnp.asarray(np.stack([[f[s][2] for s in range(N)] for f in frames]))
+    out = composite.composite_frames_device((128, 96), ys, us, vs,
+                                            np.stack(unis))
+    for b in range(B):
+        ref = composite.composite_stack_batched_boxed(
+            (128, 96), [(frames[b][s], PixelFormat.y420p, unis[s])
+                        for s in range(N)])
+        for p, r in zip(out, ref):
+            assert np.array_equal(np.asarray(p[b]), np.asarray(r))
+
+
+def test_phased_rational_scale_matches_oracle():
+    """Rational-scale sources take the gather-free polyphase path
+    (static-strided slices + hat lerp); must match the oracle <=1 LSB for
+    downscale 2:1, 3:2, and upscale 1:2."""
+    from swiftvideo_tpu.ops.composite import _phase_info
+    cases = [
+        ((64, 48), (32, 24), (2, 1)),    # source -> element half size
+        ((48, 36), (32, 24), (3, 2)),    # 3:2 downscale
+        ((16, 12), (32, 24), (1, 2)),    # 2x upscale
+    ]
+    import jax.numpy as jnp
+    from swiftvideo_tpu.ops.composite import (_host_box_size,
+                                              _stack_program_batched_boxed)
+    for (sw, sh), (ew, eh), expect in cases:
+        unis = [rect_uniforms((sw, sh), (128, 96), x=10.3 + 40 * s, y=8.7,
+                              w=ew, h=eh, opacity=0.85,
+                              fill_color=(0.2, 0.1, 0.5, 0.4)).pack()
+                for s in range(2)]
+        srcs = [_rand_planes(PixelFormat.y420p, (sw, sh), s)
+                for s in range(2)]
+        packed = [np.asarray(u) for u in unis]
+        info = _phase_info(packed, (128, 96), (sh, sw))
+        assert info is not None, (sw, ew)
+        assert info[1] == expect, (info, expect)  # x-axis (p, q)
+        ref = golden.composite_stack(
+            PixelFormat.y420p, (128, 96),
+            [(srcs[s], PixelFormat.y420p, unis[s]) for s in range(2)])
+        boxes = [_host_box_size(p, (128, 96)) for p in packed]
+        box = (max(b[0] for b in boxes), max(b[1] for b in boxes))
+        # phased program invoked explicitly (not the device default; see
+        # _phase_info docstring for why the XLA lowering is gather-only)
+        prog = _stack_program_batched_boxed((128, 96), 2, box, (sh, sw),
+                                            info)
+        dev = prog(jnp.stack([jnp.asarray(s[0]) for s in srcs]),
+                   jnp.stack([jnp.asarray(s[1]) for s in srcs]),
+                   jnp.stack([jnp.asarray(s[2]) for s in srcs]),
+                   jnp.asarray(np.stack(packed)))
+        for r, d in zip(ref, dev):
+            err = np.abs(np.asarray(d).astype(int) - r.astype(int)).max()
+            assert err <= 1, (sw, ew, err)
+
+
+def test_phased_irrational_falls_back():
+    """Non-rational scales must keep the gather path (phase info None)."""
+    from swiftvideo_tpu.ops.composite import _phase_info
+    u = rect_uniforms((24, 16), (128, 128), x=13.3, y=7.7,
+                      w=40.4, h=36.2).pack()
+    assert _phase_info([np.asarray(u)], (128, 128), (16, 24)) is None

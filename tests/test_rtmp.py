@@ -245,6 +245,11 @@ async def _play_loopback(port: int):
                                   publish_to_peer=False, max_attempts=2,
                                   retry_delay=0.2)
     assert sub is not None
+    # the client's conn->session chain must survive a full gc: emit chains
+    # are weak, and connect()'s locals are gone by now (regression for the
+    # chain being anchored only in a connect-helper local)
+    import gc
+    gc.collect()
     received = []
     chain = sub >> Tx(lambda s: (received.append(s),
                                  EventBox.nothing(None))[1])
@@ -269,7 +274,10 @@ async def _play_loopback(port: int):
         box = pub.apply(__import__("swiftvideo_tpu.core",
                                    fromlist=["EventBox"]).EventBox
                         .just(sample))
-        if not box.is_error():
+        # only frames the publisher actually wrote (just -> ResultEvent);
+        # nothing() covers metadata-pending and backpressure drops, which
+        # legitimately occur under heavy host load
+        if box.is_just():
             sent.append(sample)
         ts = ts + TimePoint(16, 1000)
         clock.step()
