@@ -36,6 +36,14 @@ from ..ops import ImageUniforms, composite, golden
 from ..ops.registry import ComputeContext, make_compute_context
 
 
+def _on_tpu() -> bool:
+    try:
+        import jax
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 class VideoMixer(Source):
     def __init__(self, clock: Clock, *, workspace_id: str,
                  frame_duration: TimePoint, output_size: Tuple[int, int],
@@ -123,11 +131,20 @@ class VideoMixer(Source):
                                                 self.output_size, sources)
                 btype = BufferType.cpu
             else:
-                planes = composite.composite_stack_batched_boxed(
-                    self.output_size, sources) \
-                    if self.output_format == PixelFormat.y420p else \
-                    composite.composite_stack_boxed(
-                        self.output_format, self.output_size, sources)
+                planes = None
+                if (self.output_format == PixelFormat.y420p
+                        and _on_tpu()):
+                    # fused whole-frame kernel: one HBM read per source
+                    # (ops/pallas_frame.py); None when ineligible
+                    from ..ops.pallas_frame import composite_frame_pallas
+                    planes = composite_frame_pallas(self.output_size,
+                                                    sources)
+                if planes is None:
+                    planes = composite.composite_stack_batched_boxed(
+                        self.output_size, sources) \
+                        if self.output_format == PixelFormat.y420p else \
+                        composite.composite_stack_boxed(
+                            self.output_format, self.output_size, sources)
                 btype = BufferType.gpu
             self.stats.end_timer("mix.video.compose")
             img = ImageBuffer(

@@ -1,0 +1,508 @@
+"""Whole-frame fused Pallas composite (TPU) — the speed-of-light path.
+
+One ``pallas_call`` composites ALL sources of a frame (axis-aligned,
+planar-yuv 4:2:0 -> 4:2:0, integer vertical scale per source), accumulating
+the z-order blend in VMEM so every source plane is read from HBM exactly
+once and the target planes are written exactly once.  Replaces the
+per-source / per-plane XLA passes of ops.composite
+(kernels.cl.swift:186-255 semantics, golden.composite_stack parity).
+
+Why this shape (measured on v5e through this stack — NOTES_ROUND2.md):
+
+* each XLA op that touches an HBM-resident 1080p plane costs ~0.155 ms
+  regardless of content (~100 GB/s effective); strided slices, gathers and
+  dynamic-update-slices never fuse, so any multi-tap sampler pays per tap;
+* Mosaic supports NO strided refs (VMEM or DMA); dynamic sublane starts
+  must be provably 8-aligned; a dynamic sublane start combined with a
+  dynamic lane offset mis-lowers; tpu.dynamic_rotate after a
+  dynamic-offset load mis-lowers whenever the residual is nonzero;
+* therefore: vertical taps come from a host-side row-pair view
+  ``[H, W] -> [H/2, 2W]`` (free reshape) — for a 2:1 vertical scale the
+  taps are *contiguous* 8-aligned sublane slices of the statically
+  lane-split even/odd halves, with the sub-8 residual applied by a 16-way
+  ``pl.when`` switch with static value slices (the only combination that
+  lowers correctly; tests/test_pallas_frame.py) — and horizontal sampling
+  is a small banded matmul per 128-column tile (hat-function weights from
+  iota; MXU; arbitrary horizontal scale <= ~2.9).
+
+Grid = (n_sources, col_tiles); TPU grids run sequentially, which IS the
+z-order blend order.  Per-source runtime box widths gate the column tiles
+so small overlays don't pay for the full-canvas bucket.  Parity: the
+sampled value per pixel is exactly golden.bilinear_norm's separable
+row-lerp -> col-lerp (the hat matmul has two nonzero taps per output
+column; zeros contribute exactly); the blend quantizes to the u8 grid
+after every source exactly like the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import golden
+from .color import RGB2YUV
+from .pallas_composite import _plane_params
+
+TILE_W = 128
+# Left edge-replicated cols (luma; chroma uses 32).  The top pad is
+# geometry-derived (geom["padt"]): it must cover the most negative
+# floor(c_y) across sources — when a full-canvas source forces the shared
+# box to the canvas, an overlay's vertical window starts py*element_top
+# rows above its texture.  Bucketed to 128 rows to bound recompiles.
+PADL = 64
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _frame_kernel(iparams_ref, fparams_ref, *rest,
+                  n_sources: int, h: int, w: int, h_in: int, w_in: int,
+                  bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
+                  has2: bool, has1: bool, ww: int):
+    from jax.experimental import pallas as pl
+
+    n_in = 3 * (int(has2) + int(has1))
+    in_refs = rest[:n_in]
+    outy_ref, outcb_ref, outcr_ref = rest[n_in:n_in + 3]
+    (accy, acccb, acccr, rowsy, rowscb, rowscr,
+     evny, oddy, evnc, oddc) = rest[n_in + 3:]
+    if has2:
+        ysp_ref, usp_ref, vsp_ref = in_refs[0:3]
+    if has1:
+        ysn_ref, usn_ref, vsn_ref = in_refs[3:6] if has2 else in_refs[0:3]
+
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    bhc = bh // 2
+    ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
+
+    @pl.when((s == 0) & (j == 0))
+    def _init():
+        accy[...] = jnp.zeros((ha, wa), jnp.float32)
+        acccb[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
+        acccr[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
+
+    pys = iparams_ref[s, 4]
+
+    def row_pair(pair_ref, dst, evn, odd, by0p, g, n_rows, wfull):
+        """py==2 vertical taps via the statically lane-split even/odd
+        halves + 16-way residual switch (see module docstring)."""
+        evn[...] = pair_ref[0, :, 0:wfull].astype(jnp.int32)
+        odd[...] = pair_ref[0, :, wfull:2 * wfull].astype(jnp.int32)
+        base = pl.multiple_of(((by0p // 2) // 8) * 8, 8)
+        m = by0p % 16
+        blk_e = evn[pl.ds(base, n_rows + 9), :]
+        blk_o = odd[pl.ds(base, n_rows + 9), :]
+        for m_ in range(16):
+            sub0r, par0 = (m_ // 2) % 8, m_ % 2
+            sub1r = ((m_ + 1) // 2) % 8 + (8 if m_ == 15 else 0)
+            par1 = (m_ + 1) % 2
+
+            @pl.when(m == m_)
+            def _(sub0r=sub0r, par0=par0, sub1r=sub1r, par1=par1):
+                t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + n_rows]
+                t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + n_rows]
+                dst[...] = (t0.astype(jnp.float32) * (1.0 - g)
+                            + t1.astype(jnp.float32) * g)
+
+    def row_plain(plain_ref, dst, by0p, g, n_rows):
+        """py==1 vertical taps: contiguous 8-aligned read + 8-way residual
+        switch."""
+        base = pl.multiple_of((by0p // 8) * 8, 8)
+        m = by0p % 8
+        blk = plain_ref[0, pl.ds(base, n_rows + 9), :].astype(jnp.int32)
+        for m_ in range(8):
+            @pl.when(m == m_)
+            def _(m_=m_):
+                t0 = blk[m_:m_ + n_rows]
+                t1 = blk[m_ + 1:m_ + 1 + n_rows]
+                dst[...] = (t0.astype(jnp.float32) * (1.0 - g)
+                            + t1.astype(jnp.float32) * g)
+
+    @pl.when(j == 0)
+    def _rows():
+        by0l, gl = iparams_ref[s, 2], fparams_ref[s, 0]
+        by0c, gc = iparams_ref[s, 3], fparams_ref[s, 1]
+        if has2 and has1:
+            @pl.when(pys == 2)
+            def _p2():
+                row_pair(ysp_ref, rowsy, evny, oddy, by0l, gl, bh, wp)
+                row_pair(usp_ref, rowscb, evnc, oddc, by0c, gc, bhc, wpc)
+                row_pair(vsp_ref, rowscr, evnc, oddc, by0c, gc, bhc, wpc)
+
+            @pl.when(pys == 1)
+            def _p1():
+                row_plain(ysn_ref, rowsy, by0l, gl, bh)
+                row_plain(usn_ref, rowscb, by0c, gc, bhc)
+                row_plain(vsn_ref, rowscr, by0c, gc, bhc)
+        elif has2:
+            row_pair(ysp_ref, rowsy, evny, oddy, by0l, gl, bh, wp)
+            row_pair(usp_ref, rowscb, evnc, oddc, by0c, gc, bhc, wpc)
+            row_pair(vsp_ref, rowscr, evnc, oddc, by0c, gc, bhc, wpc)
+        else:
+            row_plain(ysn_ref, rowsy, by0l, gl, bh)
+            row_plain(usn_ref, rowscb, by0c, gc, bhc)
+            row_plain(vsn_ref, rowscr, by0c, gc, bhc)
+
+    def col_blend(rows_scr, acc, tile_j, n_rows, oy, ox, padl, wfull,
+                  cx0, ax, ay, by, p_off, fill, clamp_lo, src_h, src_w):
+        """Sample one [n_rows, TILE_W] column tile by banded matmul, then
+        z-blend it into the accumulator (golden.apply_composite algebra)."""
+        base_x = cx0 + ax * (TILE_W * tile_j).astype(jnp.float32)
+        w0 = jnp.floor(base_x).astype(jnp.int32) - 2 + padl
+        wstart = jnp.clip((w0 // 128) * 128, 0, wfull - ww)
+        win = rows_scr[:, pl.ds(pl.multiple_of(wstart, 128), ww)]
+        us_ = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0
+                                       ).astype(jnp.float32)
+        ks = (wstart - padl
+              + jax.lax.broadcasted_iota(jnp.int32, (1, ww), 1)
+              ).astype(jnp.float32)
+        xs = base_x + ax * us_                                  # [TW, 1]
+        C = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ks))            # [TW, WW]
+        samp = jnp.dot(win, C.T, preferred_element_type=jnp.float32
+                       ) * (1.0 / 255.0)                        # [NR, TW]
+
+        rows_g = (oy + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+                  ).astype(jnp.float32)
+        cols_g = (ox + TILE_W * tile_j
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+                  ).astype(jnp.float32)
+        y_src = ay * rows_g + by
+        x_src = xs.T
+        in01 = lambda v: (v >= 0.0) & (v <= 1.0)  # noqa: E731
+        ty = p_off[0] * rows_g + p_off[1]
+        txx = p_off[2] * cols_g + p_off[3]
+        bdy = p_off[4] * rows_g + p_off[5]
+        bdx = p_off[6] * cols_g + p_off[7]
+        m_tex = ((y_src >= -0.5) & (y_src <= src_h - 0.5) & in01(ty)
+                 & (x_src >= -0.5) & (x_src <= src_w - 0.5) & in01(txx))
+        m_border = in01(bdy) & in01(bdx)
+
+        op = fparams_ref[s, 26]
+        a_fill = fparams_ref[s, 27]
+        co = ox + TILE_W * tile_j
+        oy8 = pl.multiple_of(oy, 8)
+        cur = acc[pl.ds(oy8, n_rows),
+                  pl.ds(pl.multiple_of(co, 128), TILE_W)] * (1.0 / 255.0)
+        blended = cur * (1.0 - op) + samp * op
+        filled = jnp.clip(cur * (1.0 - a_fill) + fill * a_fill,
+                          clamp_lo, 1.0)
+        # acc is alignment-padded; pad rows/cols never emit, so no canvas
+        # guard is needed
+        out = jnp.where(m_border & m_tex, blended,
+                        jnp.where(m_border, filled, cur))
+        acc[pl.ds(oy8, n_rows), pl.ds(pl.multiple_of(co, 128), TILE_W)] = \
+            jnp.clip(jnp.rint(out * 255.0), 0.0, 255.0)
+
+    oy = iparams_ref[s, 0]
+    ox = iparams_ref[s, 1]
+
+    @pl.when((iparams_ref[s, 5] <= j) & (j < iparams_ref[s, 6]))
+    def _luma():
+        p_off_l = tuple(fparams_ref[s, k] for k in range(10, 18))
+        col_blend(rowsy, accy, j, bh, oy, ox, PADL, wp,
+                  fparams_ref[s, 2], fparams_ref[s, 4],
+                  fparams_ref[s, 6], fparams_ref[s, 7],
+                  p_off_l, fparams_ref[s, 28], 0.0, h_in, w_in)
+
+    @pl.when((iparams_ref[s, 7] <= j) & (j < iparams_ref[s, 8]))
+    def _chroma():
+        p_off_c = tuple(fparams_ref[s, k] for k in range(18, 26))
+        col_blend(rowscb, acccb, j, bhc, oy // 2, ox // 2, PADL // 2, wpc,
+                  fparams_ref[s, 3], fparams_ref[s, 5],
+                  fparams_ref[s, 8], fparams_ref[s, 9],
+                  p_off_c, fparams_ref[s, 29], -1.0,
+                  h_in // 2, w_in // 2)
+        col_blend(rowscr, acccr, j, bhc, oy // 2, ox // 2, PADL // 2, wpc,
+                  fparams_ref[s, 3], fparams_ref[s, 5],
+                  fparams_ref[s, 8], fparams_ref[s, 9],
+                  p_off_c, fparams_ref[s, 30], -1.0,
+                  h_in // 2, w_in // 2)
+
+    @pl.when((s == n_sources - 1) & (j == n_j - 1))
+    def _emit():
+        outy_ref[...] = accy[0:h, 0:w].astype(jnp.int32).astype(jnp.uint8)
+        outcb_ref[...] = acccb[0:h // 2, 0:w // 2].astype(jnp.int32
+                                                          ).astype(jnp.uint8)
+        outcr_ref[...] = acccr[0:h // 2, 0:w // 2].astype(jnp.int32
+                                                          ).astype(jnp.uint8)
+
+
+@lru_cache(maxsize=64)
+def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
+                   bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
+                   has2: bool, has1: bool, ww: int,
+                   interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_j = bw // TILE_W
+    kern = partial(_frame_kernel, n_sources=n_sources, h=h, w=w,
+                   h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
+                   hpc=hpc, wpc=wpc, has2=has2, has1=has1, ww=ww)
+    in_specs = []
+    if has2:
+        in_specs += [
+            pl.BlockSpec((1, hp // 2, 2 * wp), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc // 2, 2 * wpc), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc // 2, 2 * wpc), lambda s, j, *_: (s, 0, 0)),
+        ]
+    if has1:
+        in_specs += [
+            pl.BlockSpec((1, hp, wp), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # iparams, fparams
+        grid=(n_sources, n_j),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((h, w), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_ceil_to(h, 16), _ceil_to(w, 256)), jnp.float32),
+            pltpu.VMEM((_ceil_to(h, 16) // 2, _ceil_to(w, 256) // 2),
+                       jnp.float32),
+            pltpu.VMEM((_ceil_to(h, 16) // 2, _ceil_to(w, 256) // 2),
+                       jnp.float32),
+            pltpu.VMEM((bh, wp), jnp.float32),
+            pltpu.VMEM((bh // 2, wpc), jnp.float32),
+            pltpu.VMEM((bh // 2, wpc), jnp.float32),
+            # even/odd i32 halves (static-lane-split; see row_pair)
+            pltpu.VMEM((hp // 2, wp) if has2 else (8, 128), jnp.int32),
+            pltpu.VMEM((hp // 2, wp) if has2 else (8, 128), jnp.int32),
+            pltpu.VMEM((hpc // 2, wpc) if has2 else (8, 128), jnp.int32),
+            pltpu.VMEM((hpc // 2, wpc) if has2 else (8, 128), jnp.int32),
+        ],
+    )
+    fn = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.uint8),
+                   jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8),
+                   jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return jax.jit(lambda ip, fp, *arrs: fn(ip, fp, *arrs))
+
+
+def pad_sources(ys, us, vs, geom) -> Tuple:
+    """Edge-replicate-pad stacked source planes to the static padded sizes
+    and build the layouts the kernel needs (row-pair view when any source
+    downscales 2:1, plain when any is unity; both are views of one padded
+    buffer).  In a mixer this runs once at frame INGEST."""
+    hp, wp, hpc, wpc = geom["hp"], geom["wp"], geom["hpc"], geom["wpc"]
+
+    def pad(x, ph, pw, padt, padl):
+        n, hh, www = x.shape
+        top = jnp.broadcast_to(x[:, :1], (n, padt, www))
+        bot = jnp.broadcast_to(x[:, -1:], (n, ph - hh - padt, www))
+        x = jnp.concatenate([top, x, bot], axis=1)
+        left = jnp.broadcast_to(x[:, :, :1], (n, ph, padl))
+        right = jnp.broadcast_to(x[:, :, -1:], (n, ph, pw - www - padl))
+        return jnp.concatenate([left, x, right], axis=2)
+
+    n = ys.shape[0]
+    padt = geom["padt"]
+    ysp = pad(ys, hp, wp, padt, PADL)
+    usp = pad(us, hpc, wpc, padt, PADL // 2)
+    vsp = pad(vs, hpc, wpc, padt, PADL // 2)
+    arrs = []
+    if geom["has2"]:
+        arrs += [ysp.reshape(n, hp // 2, 2 * wp),
+                 usp.reshape(n, hpc // 2, 2 * wpc),
+                 vsp.reshape(n, hpc // 2, 2 * wpc)]
+    if geom["has1"]:
+        arrs += [ysp, usp, vsp]
+    return tuple(arrs)
+
+
+def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
+                   in_shape: Tuple[int, int]):
+    """Static geometry + eligibility from HOST (concrete) uniforms.
+
+    Eligible: axis-aligned, positive scales, per-source integer vertical
+    texel step py in {1, 2}, horizontal step <= 2.9 (window bucket), and
+    every source's vertical window fits the padded plane.  Returns None
+    when the XLA path should be used instead.
+    """
+    w, h = size
+    h_in, w_in = in_shape
+    if h_in % 2 or w_in % 2 or h % 2 or w % 2:
+        return None
+    pys = []
+    axs = []
+    geoms = []
+    for p in packed_list:
+        p = np.asarray(p, np.float64)
+        if not golden.is_axis_aligned(p):
+            return None
+        pl_ = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
+                                       h, w, h_in, w_in, 0.0, 0.0))
+        ay, by, ax, bx = (float(pl_[0]), float(pl_[1]), float(pl_[2]),
+                          float(pl_[3]))
+        if not (ay > 0 and ax > 0 and ax <= 2.9):
+            return None
+        py = round(ay)
+        if py not in (1, 2) or abs(ay - py) > 1e-6 * max(1.0, ay):
+            return None
+        pys.append(py)
+        axs.append(ax)
+        geoms.append((ay, by, ax, bx))
+
+    # shared box bucket (16/256-aligned offsets for f32 VMEM stores) +
+    # per-source runtime widths (gate column tiles for small overlays)
+    from .composite import _host_box_size
+    per = [_host_box_size(p, size, bucket_h=16, bucket_w=256)
+           for p in packed_list]
+    bh = min(_ceil_to(max(b for b, _ in per) + 16, 16), _ceil_to(h, 16))
+    bw = min(_ceil_to(max(b for _, b in per) + 256, 256), _ceil_to(w, 256))
+    if bh % 16 or bw % 256 or bw // TILE_W < 2:
+        return None
+
+
+    # per-source concrete offsets (border-rect based, like
+    # composite._box_offsets, but 16/256-aligned for VMEM stores against
+    # the alignment-padded accumulator) and vertical window checks
+    ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
+    offs = []
+    by0s = []
+    jranges = []
+    for i, p in enumerate(packed_list):
+        p = np.asarray(p, np.float64)
+        eps = 1e-12
+        x_lo = min((0.0 - p[16]) / (p[12] + eps),
+                   (1.0 - p[16]) / (p[12] + eps))
+        y_lo = min((0.0 - p[17]) / (p[15] + eps),
+                   (1.0 - p[17]) / (p[15] + eps))
+        ox_f = (x_lo + 1.0) / 2.0 * w - 1.0
+        oy_f = (y_lo + 1.0) / 2.0 * h - 1.0
+        oy = int(np.clip(math.floor(oy_f / 16.0) * 16, 0, max(ha - bh, 0)))
+        ox = int(np.clip(math.floor(ox_f / 256.0) * 256, 0,
+                         max(wa - bw, 0)))
+        offs.append((oy, ox))
+        ay, by = geoms[i][0], geoms[i][1]
+        by0s.append(math.floor(ay * oy + by))
+        # column-tile range of this source's border rect, relative to ox
+        # (the shared box may be canvas-clamped, so the element can sit
+        # anywhere inside [ox, ox+bw))
+        x_hi = max((0.0 - p[16]) / (p[12] + eps),
+                   (1.0 - p[16]) / (p[12] + eps))
+        e_lo = max((x_lo + 1.0) / 2.0 * w - 2.0, 0.0)
+        e_hi = min((x_hi + 1.0) / 2.0 * w + 2.0, float(w))
+        jlo = max(int(math.floor((e_lo - ox) / TILE_W)), 0)
+        jhi = min(int(math.ceil((e_hi - ox) / TILE_W)), bw // TILE_W)
+        jloc = max(int(math.floor((e_lo / 2.0 - ox / 2.0) / TILE_W)), 0)
+        jhic = min(int(math.ceil((e_hi / 2.0 - ox / 2.0) / TILE_W)),
+                   bw // (2 * TILE_W))
+        jranges.append((jlo, max(jhi, jlo), jloc, max(jhic, jloc)))
+    # chroma vertical window bases
+    by0cs = []
+    for (i, p) in enumerate(packed_list):
+        pc = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
+                                      h // 2, w // 2, h_in // 2, w_in // 2,
+                                      0.0, 0.0))
+        c_yc = float(pc[0]) * (offs[i][0] // 2) + float(pc[1])
+        by0cs.append(math.floor(c_yc))
+    # top pad covers the most negative window base (see PADL comment)
+    padt = _ceil_to(max(96, 8 - min(min(by0s), min(by0cs))), 128)
+    # padded rows: every tap slice must fit
+    need = max(by0s[i] + 1 + padt + pys[i] * bh + 24
+               for i in range(len(pys)))
+    hp = _ceil_to(max(padt + h_in + 8, need), 16)
+    wp = _ceil_to(PADL + w_in + 8, 128)
+    needc = max(by0cs[i] + 1 + padt + pys[i] * (bh // 2) + 24
+                for i in range(len(pys)))
+    hpc = _ceil_to(max(padt + h_in // 2 + 8, needc), 16)
+    wpc = _ceil_to(PADL // 2 + w_in // 2 + 8, 128)
+    ww = 384 if max(axs) <= 1.9 else 512
+    if ww > wp or ww > wpc:
+        return None
+    return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
+            "wpc": wpc, "pys": tuple(pys), "jranges": tuple(jranges),
+            "ww": ww, "offs": offs, "has2": 2 in pys, "has1": 1 in pys,
+            "padt": padt}
+
+
+def frame_params(packed_list, size, in_shape, geom):
+    """Runtime (traced-ok) i32/f32 parameter arrays for the kernel."""
+    w, h = size
+    h_in, w_in = in_shape
+    ip, fp = [], []
+    for i, p in enumerate(packed_list):
+        pj = jnp.asarray(p, jnp.float32)
+        pl_ = _plane_params(pj, h, w, h_in, w_in, 0.0, 0.0)
+        pc = _plane_params(pj, h // 2, w // 2, h_in // 2, w_in // 2,
+                           0.0, 0.0)
+        oy, ox = geom["offs"][i]
+        c_y = pl_[0] * oy + pl_[1]
+        by0 = jnp.floor(c_y)
+        gy = c_y - by0
+        c_yc = pc[0] * (oy // 2) + pc[1]
+        by0c = jnp.floor(c_yc)
+        gyc = c_yc - by0c
+        cx0 = pl_[2] * ox + pl_[3]
+        cx0c = pc[2] * (ox // 2) + pc[3]
+        fill = jnp.asarray(p)[18:22]
+        fill_yuv = [RGB2YUV[ch, 0] * fill[0] + RGB2YUV[ch, 1] * fill[1]
+                    + RGB2YUV[ch, 2] * fill[2] + RGB2YUV[ch, 3]
+                    for ch in range(3)]
+        op = jnp.asarray(p)[22]
+        jlo, jhi, jloc, jhic = geom["jranges"][i]
+        ip.append(jnp.stack([jnp.int32(oy), jnp.int32(ox),
+                             by0.astype(jnp.int32) + geom["padt"],
+                             by0c.astype(jnp.int32) + geom["padt"],
+                             jnp.int32(geom["pys"][i]),
+                             jnp.int32(jlo), jnp.int32(jhi),
+                             jnp.int32(jloc), jnp.int32(jhic)]))
+        fp.append(jnp.concatenate([
+            jnp.stack([gy, gyc, cx0, cx0c, pl_[2], pc[2],
+                       pl_[0], pl_[1], pc[0], pc[1]]),
+            pl_[4:12], pc[4:12],
+            jnp.stack([op, op * jnp.asarray(p)[21],
+                       fill_yuv[0], fill_yuv[1], fill_yuv[2],
+                       jnp.float32(0.0)]),
+        ]).astype(jnp.float32))
+    return jnp.stack(ip), jnp.stack(fp)
+
+
+def composite_frame_pallas(size: Tuple[int, int], sources,
+                           interpret: bool = False):
+    """Full-frame fused composite.  ``sources``: [(planes, fmt, uniforms)]
+    like golden.composite_stack; y420p only.  Returns (y, cb, cr) u8 or
+    None if ineligible (caller falls back to the XLA path)."""
+    from ..media.pixel import PixelFormat as PF
+    if not sources or any(fmt != PF.y420p for _, fmt, _ in sources):
+        return None
+    packed = [golden._packed(u) for _, _, u in sources]
+    shapes = {tuple(np.asarray(s[0]).shape) for s, _, _ in sources}
+    if len(shapes) != 1:
+        return None
+    in_shape = shapes.pop()
+    geom = frame_geometry(packed, size, in_shape)
+    if geom is None:
+        return None
+    ys = jnp.stack([jnp.asarray(s[0]) for s, _, _ in sources])
+    us = jnp.stack([jnp.asarray(s[1]) for s, _, _ in sources])
+    vs = jnp.stack([jnp.asarray(s[2]) for s, _, _ in sources])
+    arrs = pad_sources(ys, us, vs, geom)
+    ipar, fpar = frame_params(packed, size, in_shape, geom)
+    w, h = size
+    prog = _frame_program(h, w, in_shape[0], in_shape[1], len(sources),
+                          geom["bh"], geom["bw"], geom["hp"], geom["wp"],
+                          geom["hpc"], geom["wpc"], geom["has2"],
+                          geom["has1"], geom["ww"], interpret)
+    return prog(ipar, fpar, *arrs)

@@ -1,0 +1,109 @@
+"""Whole-frame fused pallas composite: interpreter-mode parity vs the
+oracle (compiled parity + perf measured on real TPU; see bench.py and
+NOTES_ROUND2.md for the Mosaic lowering quirks the kernel works around)."""
+
+import numpy as np
+import pytest
+
+from swiftvideo_tpu.media.pixel import PixelFormat
+from swiftvideo_tpu.ops import golden, rect_uniforms
+from swiftvideo_tpu.ops.pallas_frame import (composite_frame_pallas,
+                                             frame_geometry)
+
+
+def _planes(h, w, seed):
+    r = np.random.default_rng(seed)
+    return [r.integers(0, 256, (h, w), np.int64).astype(np.uint8),
+            r.integers(0, 256, (h // 2, w // 2), np.int64).astype(np.uint8),
+            r.integers(0, 256, (h // 2, w // 2), np.int64).astype(np.uint8)]
+
+
+def _check(size, srcs):
+    ref = golden.composite_stack(PixelFormat.y420p, size, srcs)
+    out = composite_frame_pallas(size, srcs, interpret=True)
+    assert out is not None
+    for o, r in zip(out, ref):
+        err = np.abs(np.asarray(o).astype(int) - r.astype(int)).max()
+        assert err <= 1, err
+
+
+def test_frame_quadrants_2to1():
+    """4 full-size sources 2:1-downscaled into quadrants (the headline
+    benchmark shape, kernels.cl.swift:186-255 family-A blend)."""
+    W, H = 768, 512
+    srcs = []
+    for s in range(4):
+        u = rect_uniforms((W, H), (W, H), x=(s % 2) * 384 + 3.3,
+                          y=(s // 2) * 256 + 2.7, w=W / 2, h=H / 2,
+                          opacity=0.9, fill_color=(0.1, 0.2, 0.3, 0.5)).pack()
+        srcs.append((_planes(H, W, s), PixelFormat.y420p, u))
+    _check((W, H), srcs)
+
+
+def test_frame_unity_overlap():
+    srcs = [
+        (_planes(256, 512, 10), PixelFormat.y420p,
+         rect_uniforms((512, 256), (768, 512), x=10.3, y=20.7, w=512,
+                       h=256, opacity=0.8,
+                       fill_color=(0.3, 0.1, 0.6, 0.4)).pack()),
+        (_planes(256, 512, 11), PixelFormat.y420p,
+         rect_uniforms((512, 256), (768, 512), x=200.5, y=100.1, w=512,
+                       h=256, opacity=0.6).pack()),
+    ]
+    _check((768, 512), srcs)
+
+
+def test_frame_fractional_horizontal():
+    """Horizontal scale need not be an integer (banded-matmul side)."""
+    srcs = [(_planes(256, 768, 20), PixelFormat.y420p,
+             rect_uniforms((768, 256), (768, 512), x=50.3, y=30.7,
+                           w=512, h=256, opacity=0.9).pack())]
+    _check((768, 512), srcs)
+
+
+def test_frame_rejects_rotation():
+    u = np.asarray(rect_uniforms((512, 256), (768, 512), x=10, y=10,
+                                 w=256, h=128).pack()).copy()
+    u[1] = 0.3  # cross term -> not axis-aligned
+    assert frame_geometry([u], (768, 512), (256, 512)) is None
+    out = composite_frame_pallas(
+        (768, 512), [(_planes(256, 512, 30), PixelFormat.y420p, u)],
+        interpret=True)
+    assert out is None
+
+
+def test_frame_rejects_fractional_vertical():
+    u = rect_uniforms((512, 384), (768, 512), x=10, y=10,
+                      w=512, h=256).pack()  # ay = 1.5
+    assert frame_geometry([np.asarray(golden._packed(u))],
+                          (768, 512), (384, 512)) is None
+
+
+def test_frame_mixed_vertical_scales():
+    """Unity background + 2:1-downscaled overlay in one frame (the common
+    mixer scene: full-canvas camera + PiP)."""
+    W, H = 768, 512
+    srcs = [
+        (_planes(H, W, 40), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_planes(H, W, 41), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=400.3, y=30.7, w=W / 2, h=H / 2,
+                       opacity=0.85).pack()),
+    ]
+    _check((W, H), srcs)
+
+
+def test_frame_overlay_in_clamped_box():
+    """When a full-canvas source forces the shared box to the canvas,
+    an overlay's column tiles must still be gated by its position relative
+    to the (clamped) box offset — regression for the per-source tile-range
+    gate (the overlay vanished when the gate assumed box-local tiles)."""
+    W, H = 1280, 720
+    srcs = [
+        (_planes(H, W, 50), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_planes(H, W, 51), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=832.5, y=52.3, w=640, h=360,
+                       opacity=0.9).pack()),
+    ]
+    _check((W, H), srcs)
