@@ -64,11 +64,13 @@ def _ceil_to(v: int, m: int) -> int:
 def _frame_kernel(iparams_ref, fparams_ref, *rest,
                   n_sources: int, h: int, w: int, h_in: int, w_in: int,
                   bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
-                  has2: bool, has1: bool, ww: int):
+                  has2: bool, has1: bool, ww: int, chained: bool):
     from jax.experimental import pallas as pl
 
     n_in = 3 * (int(has2) + int(has1))
     in_refs = rest[:n_in]
+    cur_refs = rest[n_in:n_in + 3] if chained else None
+    n_in += 3 if chained else 0
     outy_ref, outcb_ref, outcr_ref = rest[n_in:n_in + 3]
     (accy, acccb, acccr, rowsy, rowscb, rowscr,
      evny, oddy, evnc, oddc) = rest[n_in + 3:]
@@ -85,9 +87,20 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 
     @pl.when((s == 0) & (j == 0))
     def _init():
-        accy[...] = jnp.zeros((ha, wa), jnp.float32)
-        acccb[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
-        acccr[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
+        # chained: continue blending over a previously composited frame
+        # (mixed source sizes run as one kernel call per same-shape run,
+        # z-order preserved by call order)
+        if chained:
+            accy[0:h, 0:w] = cur_refs[0][...].astype(jnp.int32
+                                                     ).astype(jnp.float32)
+            acccb[0:h // 2, 0:w // 2] = cur_refs[1][...].astype(
+                jnp.int32).astype(jnp.float32)
+            acccr[0:h // 2, 0:w // 2] = cur_refs[2][...].astype(
+                jnp.int32).astype(jnp.float32)
+        else:
+            accy[...] = jnp.zeros((ha, wa), jnp.float32)
+            acccb[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
+            acccr[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
 
     pys = iparams_ref[s, 4]
 
@@ -154,15 +167,19 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
     def col_blend(rows_scr, acc, tile_j, n_rows, oy, ox, padl, wfull,
                   cx0, ax, ay, by, p_off, fill, clamp_lo, src_h, src_w):
         """Sample one [n_rows, TILE_W] column tile by banded matmul, then
-        z-blend it into the accumulator (golden.apply_composite algebra)."""
+        z-blend it into the accumulator (golden.apply_composite algebra).
+        The window is clamped to the rows scratch; positions it cannot
+        cover get all-zero hat weights, and those are always
+        out-of-texture (masked)."""
+        ww_p = min(ww, wfull)
         base_x = cx0 + ax * (TILE_W * tile_j).astype(jnp.float32)
         w0 = jnp.floor(base_x).astype(jnp.int32) - 2 + padl
-        wstart = jnp.clip((w0 // 128) * 128, 0, wfull - ww)
-        win = rows_scr[:, pl.ds(pl.multiple_of(wstart, 128), ww)]
+        wstart = jnp.clip((w0 // 128) * 128, 0, wfull - ww_p)
+        win = rows_scr[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
         us_ = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0
                                        ).astype(jnp.float32)
         ks = (wstart - padl
-              + jax.lax.broadcasted_iota(jnp.int32, (1, ww), 1)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, ww_p), 1)
               ).astype(jnp.float32)
         xs = base_x + ax * us_                                  # [TW, 1]
         C = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ks))            # [TW, WW]
@@ -239,14 +256,15 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
                    bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
                    has2: bool, has1: bool, ww: int,
-                   interpret: bool = False):
+                   chained: bool = False, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_j = bw // TILE_W
     kern = partial(_frame_kernel, n_sources=n_sources, h=h, w=w,
                    h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
-                   hpc=hpc, wpc=wpc, has2=has2, has1=has1, ww=ww)
+                   hpc=hpc, wpc=wpc, has2=has2, has1=has1, ww=ww,
+                   chained=chained)
     in_specs = []
     if has2:
         in_specs += [
@@ -259,6 +277,12 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
             pl.BlockSpec((1, hp, wp), lambda s, j, *_: (s, 0, 0)),
             pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
             pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
+        ]
+    if chained:
+        in_specs += [
+            pl.BlockSpec((h, w), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # iparams, fparams
@@ -429,8 +453,6 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
     hpc = _ceil_to(max(padt + h_in // 2 + 8, needc), 16)
     wpc = _ceil_to(PADL // 2 + w_in // 2 + 8, 128)
     ww = 384 if max(axs) <= 1.9 else 512
-    if ww > wp or ww > wpc:
-        return None
     return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
             "wpc": wpc, "pys": tuple(pys), "jranges": tuple(jranges),
             "ww": ww, "offs": offs, "has2": 2 in pys, "has1": 1 in pys,
@@ -487,22 +509,34 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
     from ..media.pixel import PixelFormat as PF
     if not sources or any(fmt != PF.y420p for _, fmt, _ in sources):
         return None
-    packed = [golden._packed(u) for _, _, u in sources]
-    shapes = {tuple(np.asarray(s[0]).shape) for s, _, _ in sources}
-    if len(shapes) != 1:
-        return None
-    in_shape = shapes.pop()
-    geom = frame_geometry(packed, size, in_shape)
-    if geom is None:
-        return None
-    ys = jnp.stack([jnp.asarray(s[0]) for s, _, _ in sources])
-    us = jnp.stack([jnp.asarray(s[1]) for s, _, _ in sources])
-    vs = jnp.stack([jnp.asarray(s[2]) for s, _, _ in sources])
-    arrs = pad_sources(ys, us, vs, geom)
-    ipar, fpar = frame_params(packed, size, in_shape, geom)
+    # consecutive same-shape runs (z-order preserved across chained calls)
+    runs = []
+    for src in sources:
+        shape = tuple(np.asarray(src[0][0]).shape)
+        if runs and runs[-1][0] == shape:
+            runs[-1][1].append(src)
+        else:
+            runs.append((shape, [src]))
+    plan = []
+    for in_shape, group in runs:
+        packed = [golden._packed(u) for _, _, u in group]
+        geom = frame_geometry(packed, size, in_shape)
+        if geom is None:
+            return None
+        plan.append((in_shape, group, packed, geom))
     w, h = size
-    prog = _frame_program(h, w, in_shape[0], in_shape[1], len(sources),
-                          geom["bh"], geom["bw"], geom["hp"], geom["wp"],
-                          geom["hpc"], geom["wpc"], geom["has2"],
-                          geom["has1"], geom["ww"], interpret)
-    return prog(ipar, fpar, *arrs)
+    cur = None
+    for in_shape, group, packed, geom in plan:
+        ys = jnp.stack([jnp.asarray(s[0]) for s, _, _ in group])
+        us = jnp.stack([jnp.asarray(s[1]) for s, _, _ in group])
+        vs = jnp.stack([jnp.asarray(s[2]) for s, _, _ in group])
+        arrs = pad_sources(ys, us, vs, geom)
+        ipar, fpar = frame_params(packed, size, in_shape, geom)
+        prog = _frame_program(h, w, in_shape[0], in_shape[1], len(group),
+                              geom["bh"], geom["bw"], geom["hp"],
+                              geom["wp"], geom["hpc"], geom["wpc"],
+                              geom["has2"], geom["has1"], geom["ww"],
+                              cur is not None, interpret)
+        cur = prog(ipar, fpar, *(arrs + cur)) if cur is not None \
+            else prog(ipar, fpar, *arrs)
+    return cur

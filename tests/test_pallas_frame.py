@@ -107,3 +107,21 @@ def test_frame_overlay_in_clamped_box():
                        opacity=0.9).pack()),
     ]
     _check((W, H), srcs)
+
+
+def test_frame_mixed_source_sizes():
+    """Sources of different resolutions run as chained same-shape calls
+    (full-res background + half-res overlays, z-order across the seam)."""
+    W, H = 768, 512
+    srcs = [
+        (_planes(H, W, 60), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_planes(H // 2, W // 2, 61), PixelFormat.y420p,
+         rect_uniforms((W // 2, H // 2), (W, H), x=100.3, y=60.7,
+                       w=W // 2, h=H // 2, opacity=0.85).pack()),
+        (_planes(H // 2, W // 2, 62), PixelFormat.y420p,
+         rect_uniforms((W // 2, H // 2), (W, H), x=300.5, y=150.1,
+                       w=W // 4, h=H // 4, opacity=0.7,
+                       fill_color=(0.2, 0.4, 0.1, 0.5)).pack()),
+    ]
+    _check((W, H), srcs)
