@@ -507,36 +507,422 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
     like golden.composite_stack; y420p only.  Returns (y, cb, cr) u8 or
     None if ineligible (caller falls back to the XLA path)."""
     from ..media.pixel import PixelFormat as PF
-    if not sources or any(fmt != PF.y420p for _, fmt, _ in sources):
+    families = {PF.y420p: "A", PF.RGBA: "B", PF.BGRA: "B"}
+    if not sources or any(fmt not in families for _, fmt, _ in sources):
         return None
-    # consecutive same-shape runs (z-order preserved across chained calls)
+    # consecutive same-(family, shape, fmt) runs; z-order preserved
+    # across chained calls
     runs = []
     for src in sources:
-        shape = tuple(np.asarray(src[0][0]).shape)
-        if runs and runs[-1][0] == shape:
+        key = (families[src[1]], src[1],
+               tuple(np.asarray(src[0][0]).shape))
+        if runs and runs[-1][0] == key:
             runs[-1][1].append(src)
         else:
-            runs.append((shape, [src]))
+            runs.append((key, [src]))
     plan = []
-    for in_shape, group in runs:
+    for (family, fmt, shape), group in runs:
         packed = [golden._packed(u) for _, _, u in group]
-        geom = frame_geometry(packed, size, in_shape)
+        if family == "A":
+            geom = frame_geometry(packed, size, shape)
+        else:
+            geom = frame_geometry_rgba(packed, size, shape[:2])
         if geom is None:
             return None
-        plan.append((in_shape, group, packed, geom))
+        plan.append((family, fmt, shape, group, packed, geom))
     w, h = size
     cur = None
-    for in_shape, group, packed, geom in plan:
-        ys = jnp.stack([jnp.asarray(s[0]) for s, _, _ in group])
-        us = jnp.stack([jnp.asarray(s[1]) for s, _, _ in group])
-        vs = jnp.stack([jnp.asarray(s[2]) for s, _, _ in group])
-        arrs = pad_sources(ys, us, vs, geom)
-        ipar, fpar = frame_params(packed, size, in_shape, geom)
-        prog = _frame_program(h, w, in_shape[0], in_shape[1], len(group),
-                              geom["bh"], geom["bw"], geom["hp"],
-                              geom["wp"], geom["hpc"], geom["wpc"],
-                              geom["has2"], geom["has1"], geom["ww"],
-                              cur is not None, interpret)
-        cur = prog(ipar, fpar, *(arrs + cur)) if cur is not None \
+    for family, fmt, shape, group, packed, geom in plan:
+        chained = cur is not None
+        if family == "A":
+            ys = jnp.stack([jnp.asarray(s[0]) for s, _, _ in group])
+            us = jnp.stack([jnp.asarray(s[1]) for s, _, _ in group])
+            vs = jnp.stack([jnp.asarray(s[2]) for s, _, _ in group])
+            arrs = pad_sources(ys, us, vs, geom)
+            ipar, fpar = frame_params(packed, size, shape, geom)
+            prog = _frame_program(h, w, shape[0], shape[1], len(group),
+                                  geom["bh"], geom["bw"], geom["hp"],
+                                  geom["wp"], geom["hpc"], geom["wpc"],
+                                  geom["has2"], geom["has1"], geom["ww"],
+                                  chained, interpret)
+        else:
+            rgba = jnp.stack([jnp.asarray(s[0]) for s, _, _ in group])
+            arrs = pad_sources_rgba(rgba, fmt, geom)
+            ipar, fpar = frame_params_rgba(packed, size, shape[:2], geom)
+            prog = _frame_program_rgba(h, w, shape[0], shape[1],
+                                       len(group), geom["bh"], geom["bw"],
+                                       geom["hp"], geom["wp"],
+                                       geom["ww"], geom["wwc"],
+                                       chained, interpret)
+        cur = prog(ipar, fpar, *(tuple(arrs) + tuple(cur))) if chained \
             else prog(ipar, fpar, *arrs)
     return cur
+
+
+# --- family B: rgba/bgra sources over the yuv accumulator -----------------
+#
+# Text / graphics overlays (kernels.cl.swift:267-403 img_rgba_y420p /
+# img_bgra_y420p).  RGBA sources are host-deinterleaved to planar [4,H,W]
+# at ingest (one pass), so each channel reuses the luma-plane machinery:
+# the luma grid samples at unity vertical scale (plain layout) and the
+# chroma grid samples the SAME full-res planes at vertical step 2 (pair
+# layout).  Blend algebra is golden's family B: spatially-varying
+# a_s = alpha*opacity, premultiplied csc, fill premultiplied by a_fill,
+# write mask = border & element (no uv — out-of-texture pixels still get
+# the fill), all quantized to the u8 grid per source.
+
+
+def _frame_kernel_rgba(iparams_ref, fparams_ref, *rest,
+                       n_sources: int, h: int, w: int, h_in: int,
+                       w_in: int, bh: int, bw: int, hp: int, wp: int,
+                       ww: int, wwc: int, chained: bool):
+    from jax.experimental import pallas as pl
+
+    plain_ref, pair_ref = rest[0:2]
+    cur_refs = rest[2:5] if chained else None
+    base = 5 if chained else 2
+    outy_ref, outcb_ref, outcr_ref = rest[base:base + 3]
+    (accy, acccb, acccr, evn, odd) = rest[base + 3:base + 8]
+    rows_l = rest[base + 8:base + 12]
+    rows_c = rest[base + 12:base + 16]
+
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    bhc = bh // 2
+    ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
+
+    @pl.when((s == 0) & (j == 0))
+    def _init():
+        if chained:
+            accy[0:h, 0:w] = cur_refs[0][...].astype(jnp.int32
+                                                     ).astype(jnp.float32)
+            acccb[0:h // 2, 0:w // 2] = cur_refs[1][...].astype(
+                jnp.int32).astype(jnp.float32)
+            acccr[0:h // 2, 0:w // 2] = cur_refs[2][...].astype(
+                jnp.int32).astype(jnp.float32)
+        else:
+            accy[...] = jnp.zeros((ha, wa), jnp.float32)
+            acccb[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
+            acccr[...] = jnp.full((ha // 2, wa // 2), 128.0, jnp.float32)
+
+    @pl.when(j == 0)
+    def _rows():
+        by0l, gl = iparams_ref[s, 2], fparams_ref[s, 0]
+        by0c, gc = iparams_ref[s, 3], fparams_ref[s, 1]
+        for ch in range(4):
+            # luma grid: unity vertical step, contiguous taps
+            base_r = pl.multiple_of((by0l // 8) * 8, 8)
+            m = by0l % 8
+            blk = plain_ref[0, ch, pl.ds(base_r, bh + 9), :].astype(
+                jnp.int32)
+            for m_ in range(8):
+                @pl.when(m == m_)
+                def _(m_=m_, ch=ch):
+                    t0 = blk[m_:m_ + bh]
+                    t1 = blk[m_ + 1:m_ + 1 + bh]
+                    rows_l[ch][...] = (t0.astype(jnp.float32) * (1.0 - gl)
+                                       + t1.astype(jnp.float32) * gl)
+            # chroma grid: vertical step 2 over the full-res plane
+            evn[...] = pair_ref[0, ch, :, 0:wp].astype(jnp.int32)
+            odd[...] = pair_ref[0, ch, :, wp:2 * wp].astype(jnp.int32)
+            base_c = pl.multiple_of(((by0c // 2) // 8) * 8, 8)
+            mc = by0c % 16
+            blk_e = evn[pl.ds(base_c, bhc + 9), :]
+            blk_o = odd[pl.ds(base_c, bhc + 9), :]
+            for m_ in range(16):
+                sub0r, par0 = (m_ // 2) % 8, m_ % 2
+                sub1r = ((m_ + 1) // 2) % 8 + (8 if m_ == 15 else 0)
+                par1 = (m_ + 1) % 2
+
+                @pl.when(mc == m_)
+                def _(sub0r=sub0r, par0=par0, sub1r=sub1r, par1=par1,
+                      ch=ch):
+                    t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + bhc]
+                    t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + bhc]
+                    rows_c[ch][...] = (t0.astype(jnp.float32) * (1.0 - gc)
+                                       + t1.astype(jnp.float32) * gc)
+
+    def sample_ch(rows_scr, tile_j, n_rows, cx0, ax, ww_g):
+        ww_p = min(ww_g, wp)
+        base_x = cx0 + ax * (TILE_W * tile_j).astype(jnp.float32)
+        w0 = jnp.floor(base_x).astype(jnp.int32) - 2 + PADL
+        wstart = jnp.clip((w0 // 128) * 128, 0, wp - ww_p)
+        win = rows_scr[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
+        us_ = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0
+                                       ).astype(jnp.float32)
+        ks = (wstart - PADL
+              + jax.lax.broadcasted_iota(jnp.int32, (1, ww_p), 1)
+              ).astype(jnp.float32)
+        xs = base_x + ax * us_
+        C = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ks))
+        return jnp.dot(win, C.T, preferred_element_type=jnp.float32
+                       ) * (1.0 / 255.0), xs.T
+
+    def masks(tile_j, n_rows, oy, ox, ay, by, x_src, p_off):
+        rows_g = (oy + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+                  ).astype(jnp.float32)
+        cols_g = (ox + TILE_W * tile_j
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+                  ).astype(jnp.float32)
+        y_src = ay * rows_g + by
+        in01 = lambda v: (v >= 0.0) & (v <= 1.0)  # noqa: E731
+        ty = p_off[0] * rows_g + p_off[1]
+        txx = p_off[2] * cols_g + p_off[3]
+        bdy = p_off[4] * rows_g + p_off[5]
+        bdx = p_off[6] * cols_g + p_off[7]
+        m_uv = ((y_src >= -0.5) & (y_src <= h_in - 0.5)
+                & (x_src >= -0.5) & (x_src <= w_in - 0.5))
+        m_write = in01(bdy) & in01(bdx) & in01(ty) & in01(txx)
+        return m_uv, m_write
+
+    op = fparams_ref[s, 26]
+    a_fill = fparams_ref[s, 27]
+    oy = iparams_ref[s, 0]
+    ox = iparams_ref[s, 1]
+
+    def blend(acc, samp4, x_src, tile_j, n_rows, oyg, oxg, ay, by, p_off,
+              fill_ch, csc_row, clamp_lo, clamp):
+        m_uv, m_write = masks(tile_j, n_rows, oyg, oxg, ay, by, x_src,
+                              p_off)
+        a_s = samp4[3] * op
+        prem = [samp4[k] * a_s for k in range(3)]
+        yuv_ch = (csc_row[0] * prem[0] + csc_row[1] * prem[1]
+                  + csc_row[2] * prem[2] + csc_row[3])
+        co = oxg + TILE_W * tile_j
+        oy8 = pl.multiple_of(oyg, 8)
+        cur = acc[pl.ds(oy8, n_rows),
+                  pl.ds(pl.multiple_of(co, 128), TILE_W)] * (1.0 / 255.0)
+        res = cur * (1.0 - a_fill) + fill_ch * a_fill
+        if clamp:
+            res = jnp.clip(res, clamp_lo, 1.0)
+        res = jnp.where(m_uv, res * (1.0 - a_s) + yuv_ch * a_s, res)
+        out = jnp.where(m_write, res, cur)
+        acc[pl.ds(oy8, n_rows), pl.ds(pl.multiple_of(co, 128), TILE_W)] = \
+            jnp.clip(jnp.rint(out * 255.0), 0.0, 255.0)
+
+    @pl.when((iparams_ref[s, 5] <= j) & (j < iparams_ref[s, 6]))
+    def _luma():
+        samp4 = []
+        for ch in range(4):
+            t, xsT = sample_ch(rows_l[ch], j, bh, fparams_ref[s, 2],
+                               fparams_ref[s, 4], ww)
+            samp4.append(t)
+        p_off = tuple(fparams_ref[s, k] for k in range(10, 18))
+        blend(accy, samp4, xsT, j, bh, oy, ox,
+              fparams_ref[s, 6], fparams_ref[s, 7], p_off,
+              fparams_ref[s, 28], tuple(RGB2YUV[0]), 0.0, False)
+
+    @pl.when((iparams_ref[s, 7] <= j) & (j < iparams_ref[s, 8]))
+    def _chroma():
+        samp4 = []
+        for ch in range(4):
+            t, xsT = sample_ch(rows_c[ch], j, bhc, fparams_ref[s, 3],
+                               fparams_ref[s, 5], wwc)
+            samp4.append(t)
+        p_off = tuple(fparams_ref[s, k] for k in range(18, 26))
+        blend(acccb, samp4, xsT, j, bhc, oy // 2, ox // 2,
+              fparams_ref[s, 8], fparams_ref[s, 9], p_off,
+              fparams_ref[s, 29], tuple(RGB2YUV[1]), -1.0, True)
+        blend(acccr, samp4, xsT, j, bhc, oy // 2, ox // 2,
+              fparams_ref[s, 8], fparams_ref[s, 9], p_off,
+              fparams_ref[s, 30], tuple(RGB2YUV[2]), -1.0, True)
+
+    @pl.when((s == n_sources - 1) & (j == n_j - 1))
+    def _emit():
+        outy_ref[...] = accy[0:h, 0:w].astype(jnp.int32).astype(jnp.uint8)
+        outcb_ref[...] = acccb[0:h // 2, 0:w // 2].astype(jnp.int32
+                                                          ).astype(jnp.uint8)
+        outcr_ref[...] = acccr[0:h // 2, 0:w // 2].astype(jnp.int32
+                                                          ).astype(jnp.uint8)
+
+
+@lru_cache(maxsize=32)
+def _frame_program_rgba(h: int, w: int, h_in: int, w_in: int,
+                        n_sources: int, bh: int, bw: int, hp: int, wp: int,
+                        ww: int, wwc: int, chained: bool = False,
+                        interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_j = bw // TILE_W
+    kern = partial(_frame_kernel_rgba, n_sources=n_sources, h=h, w=w,
+                   h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
+                   ww=ww, wwc=wwc, chained=chained)
+    in_specs = [
+        pl.BlockSpec((1, 4, hp, wp), lambda s, j, *_: (s, 0, 0, 0)),
+        pl.BlockSpec((1, 4, hp // 2, 2 * wp),
+                     lambda s, j, *_: (s, 0, 0, 0)),
+    ]
+    if chained:
+        in_specs += [
+            pl.BlockSpec((h, w), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_sources, n_j),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((h, w), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((_ceil_to(h, 16), _ceil_to(w, 256)), jnp.float32),
+             pltpu.VMEM((_ceil_to(h, 16) // 2, _ceil_to(w, 256) // 2),
+                        jnp.float32),
+             pltpu.VMEM((_ceil_to(h, 16) // 2, _ceil_to(w, 256) // 2),
+                        jnp.float32),
+             pltpu.VMEM((hp // 2, wp), jnp.int32),
+             pltpu.VMEM((hp // 2, wp), jnp.int32)]
+            + [pltpu.VMEM((bh, wp), jnp.float32) for _ in range(4)]
+            + [pltpu.VMEM((bh // 2, wp), jnp.float32) for _ in range(4)]
+        ),
+    )
+    fn = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.uint8),
+                   jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8),
+                   jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return jax.jit(lambda ip, fp, *arrs: fn(ip, fp, *arrs))
+
+
+def frame_geometry_rgba(packed_list, size, in_shape):
+    """Eligibility + static geometry for an rgba-source run: axis-aligned,
+    unity vertical scale (the chroma grid then steps 2 over the full-res
+    planes), horizontal scale <= 1.45 (chroma step doubles it)."""
+    w, h = size
+    h_in, w_in = in_shape
+    if h % 2 or w % 2:
+        return None
+    geoms = []
+    for p in packed_list:
+        p = np.asarray(p, np.float64)
+        if not golden.is_axis_aligned(p):
+            return None
+        pl_ = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
+                                       h, w, h_in, w_in, 0.0, 0.0))
+        ay, ax = float(pl_[0]), float(pl_[2])
+        if not (0 < ay and abs(ay - 1.0) < 1e-6 and 0 < ax <= 1.45):
+            return None
+        geoms.append((ay, float(pl_[1]), ax, float(pl_[3])))
+
+    from .composite import _host_box_size
+    per = [_host_box_size(p, size, bucket_h=16, bucket_w=256)
+           for p in packed_list]
+    bh = min(_ceil_to(max(b for b, _ in per) + 16, 16), _ceil_to(h, 16))
+    bw = min(_ceil_to(max(b for _, b in per) + 256, 256), _ceil_to(w, 256))
+    if bh % 16 or bw % 256 or bw // TILE_W < 2:
+        return None
+
+    ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
+    offs, by0s, by0cs, jranges = [], [], [], []
+    for i, p in enumerate(packed_list):
+        p = np.asarray(p, np.float64)
+        eps = 1e-12
+        x_lo = min((0.0 - p[16]) / (p[12] + eps),
+                   (1.0 - p[16]) / (p[12] + eps))
+        x_hi = max((0.0 - p[16]) / (p[12] + eps),
+                   (1.0 - p[16]) / (p[12] + eps))
+        y_lo = min((0.0 - p[17]) / (p[15] + eps),
+                   (1.0 - p[17]) / (p[15] + eps))
+        ox_f = (x_lo + 1.0) / 2.0 * w - 1.0
+        oy_f = (y_lo + 1.0) / 2.0 * h - 1.0
+        oy = int(np.clip(math.floor(oy_f / 16.0) * 16, 0, max(ha - bh, 0)))
+        ox = int(np.clip(math.floor(ox_f / 256.0) * 256, 0,
+                         max(wa - bw, 0)))
+        offs.append((oy, ox))
+        by0s.append(math.floor(geoms[i][0] * oy + geoms[i][1]))
+        pc = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
+                                      h // 2, w // 2, h_in, w_in,
+                                      0.0, 0.0))
+        by0cs.append(math.floor(float(pc[0]) * (oy // 2) + float(pc[1])))
+        e_lo = max((x_lo + 1.0) / 2.0 * w - 2.0, 0.0)
+        e_hi = min((x_hi + 1.0) / 2.0 * w + 2.0, float(w))
+        jlo = max(int(math.floor((e_lo - ox) / TILE_W)), 0)
+        jhi = min(int(math.ceil((e_hi - ox) / TILE_W)), bw // TILE_W)
+        jloc = max(int(math.floor((e_lo / 2.0 - ox / 2.0) / TILE_W)), 0)
+        jhic = min(int(math.ceil((e_hi / 2.0 - ox / 2.0) / TILE_W)),
+                   bw // (2 * TILE_W))
+        jranges.append((jlo, max(jhi, jlo), jloc, max(jhic, jloc)))
+
+    padt = _ceil_to(max(96, 8 - min(min(by0s), min(by0cs))), 128)
+    need_l = max(b + 1 + padt + bh + 24 for b in by0s)
+    need_c = max(b + 1 + padt + 2 * (bh // 2) + 24 for b in by0cs)
+    hp = _ceil_to(max(padt + h_in + 8, need_l, need_c), 16)
+    wp = _ceil_to(PADL + w_in + 8, 128)
+    ww = 384 if max(g[2] for g in geoms) <= 0.95 else 512
+    wwc = 512 if max(g[2] for g in geoms) <= 0.95 else 512
+    return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "ww": ww, "wwc": wwc,
+            "offs": offs, "jranges": tuple(jranges), "padt": padt}
+
+
+def frame_params_rgba(packed_list, size, in_shape, geom):
+    """i32/f32 kernel params for an rgba run (family-B fill algebra:
+    fill premultiplied by a_fill, golden.apply_composite family B)."""
+    w, h = size
+    h_in, w_in = in_shape
+    ip, fp = [], []
+    for i, p in enumerate(packed_list):
+        pj = jnp.asarray(p, jnp.float32)
+        pl_ = _plane_params(pj, h, w, h_in, w_in, 0.0, 0.0)
+        pc = _plane_params(pj, h // 2, w // 2, h_in, w_in, 0.0, 0.0)
+        oy, ox = geom["offs"][i]
+        c_y = pl_[0] * oy + pl_[1]
+        by0 = jnp.floor(c_y)
+        gy = c_y - by0
+        c_yc = pc[0] * (oy // 2) + pc[1]
+        by0c = jnp.floor(c_yc)
+        gyc = c_yc - by0c
+        cx0 = pl_[2] * ox + pl_[3]
+        cx0c = pc[2] * (ox // 2) + pc[3]
+        fill = jnp.asarray(p)[18:22]
+        op = jnp.asarray(p)[22]
+        a_fill = op * fill[3]
+        fill_yuv = [RGB2YUV[ch, 0] * fill[0] * a_fill
+                    + RGB2YUV[ch, 1] * fill[1] * a_fill
+                    + RGB2YUV[ch, 2] * fill[2] * a_fill + RGB2YUV[ch, 3]
+                    for ch in range(3)]
+        jlo, jhi, jloc, jhic = geom["jranges"][i]
+        ip.append(jnp.stack([jnp.int32(oy), jnp.int32(ox),
+                             by0.astype(jnp.int32) + geom["padt"],
+                             by0c.astype(jnp.int32) + geom["padt"],
+                             jnp.int32(1),
+                             jnp.int32(jlo), jnp.int32(jhi),
+                             jnp.int32(jloc), jnp.int32(jhic)]))
+        fp.append(jnp.concatenate([
+            jnp.stack([gy, gyc, cx0, cx0c, pl_[2], pc[2],
+                       pl_[0], pl_[1], pc[0], pc[1]]),
+            pl_[4:12], pc[4:12],
+            jnp.stack([op, a_fill,
+                       fill_yuv[0], fill_yuv[1], fill_yuv[2],
+                       jnp.float32(0.0)]),
+        ]).astype(jnp.float32))
+    return jnp.stack(ip), jnp.stack(fp)
+
+
+def pad_sources_rgba(rgba, fmt, geom):
+    """[N,H,W,4] interleaved (rgba or bgra) -> planar padded views:
+    plain [N,4,hp,wp] u8 and row-pair [N,4,hp//2,2*wp].  One deinterleave
+    pass at ingest."""
+    from ..media.pixel import PixelFormat as PF
+    hp, wp, padt = geom["hp"], geom["wp"], geom["padt"]
+    if fmt == PF.BGRA:
+        rgba = rgba[..., [2, 1, 0, 3]]
+    x = jnp.moveaxis(rgba, -1, 1)  # [N, 4, H, W]
+    n, _, hh, www = x.shape
+    top = jnp.broadcast_to(x[:, :, :1], (n, 4, padt, www))
+    bot = jnp.broadcast_to(x[:, :, -1:], (n, 4, hp - hh - padt, www))
+    x = jnp.concatenate([top, x, bot], axis=2)
+    left = jnp.broadcast_to(x[:, :, :, :1], (n, 4, hp, PADL))
+    right = jnp.broadcast_to(x[:, :, :, -1:], (n, 4, hp, wp - www - PADL))
+    x = jnp.concatenate([left, x, right], axis=3)
+    return x, x.reshape(n, 4, hp // 2, 2 * wp)

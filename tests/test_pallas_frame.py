@@ -125,3 +125,43 @@ def test_frame_mixed_source_sizes():
                        fill_color=(0.2, 0.4, 0.1, 0.5)).pack()),
     ]
     _check((W, H), srcs)
+
+
+def _rgba_plane(h, w, seed):
+    r = np.random.default_rng(seed)
+    return [r.integers(0, 256, (h, w, 4), np.int64).astype(np.uint8)]
+
+
+def test_frame_rgba_overlay():
+    """Family B: rgba graphics/text overlay over a yuv background
+    (kernels.cl.swift:336-403 img_rgba_y420p; premultiplied csc,
+    spatially-varying alpha, fill without uv mask)."""
+    W, H = 768, 512
+    srcs = [
+        (_planes(H, W, 70), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_rgba_plane(128, 256, 71), PixelFormat.RGBA,
+         rect_uniforms((256, 128), (W, H), x=100.3, y=60.7, w=256, h=128,
+                       opacity=0.9, fill_color=(0.2, 0.1, 0.5, 0.4)).pack()),
+    ]
+    _check((W, H), srcs)
+
+
+def test_frame_bgra_overlay():
+    W, H = 768, 512
+    srcs = [
+        (_planes(H, W, 72), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_rgba_plane(128, 256, 73), PixelFormat.BGRA,
+         rect_uniforms((256, 128), (W, H), x=300.5, y=200.1, w=256,
+                       h=128, opacity=0.8).pack()),
+    ]
+    _check((W, H), srcs)
+
+
+def test_frame_rgba_rejects_downscale():
+    from swiftvideo_tpu.ops.pallas_frame import frame_geometry_rgba
+    u = rect_uniforms((512, 256), (768, 512), x=10, y=10,
+                      w=256, h=128).pack()  # 2:1 -> chroma step 4
+    assert frame_geometry_rgba([np.asarray(golden._packed(u))],
+                               (768, 512), (256, 512)) is None
