@@ -172,7 +172,29 @@ def main() -> None:
                                       separable=True)[0]
 
     dt1 = time_fn(convert_scale, tuple(src720), uni1, iters=100)
-    log(f"config1 720p->360p RGBA convert: {dt1*1e3:.3f} ms = {1/dt1:.1f} fps")
+    log(f"config1 720p->360p RGBA convert (XLA): {dt1*1e3:.3f} ms = {1/dt1:.1f} fps")
+    try:
+        if jax.devices()[0].platform == "tpu":
+            from swiftvideo_tpu.ops.pallas_frame import convert_frame_pallas
+            srcs1 = [([np.asarray(p) for p in src720], PixelFormat.y420p,
+                      identity_uniforms((1280, 720), (640, 360)))]
+            out1 = convert_frame_pallas((640, 360), srcs1, PixelFormat.RGBA)
+            if out1 is not None:
+                ref1 = golden.composite_stack(PixelFormat.RGBA, (640, 360),
+                                              srcs1)[0]
+                e1 = int(np.abs(np.asarray(out1).astype(int)
+                                - ref1.astype(int)).max())
+                assert e1 <= 1, e1
+
+                def conv1(_unused):
+                    return convert_frame_pallas((640, 360), srcs1,
+                                                PixelFormat.RGBA)
+
+                dt1p = time_fn(conv1, 0, iters=100)
+                log(f"config1 pallas rgba-out: {dt1p*1e3:.3f} ms = "
+                    f"{1/dt1p:.1f} fps (parity err {e1})")
+    except Exception as exc:  # noqa: BLE001
+        log("config1 pallas unavailable:", exc)
 
     # ---- config 4: transcode ladder 1080p -> {720p, 480p, 360p} ----------
     src1080 = dev_sources[0]

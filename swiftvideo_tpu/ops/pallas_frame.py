@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import golden
-from .color import RGB2YUV
+from .color import RGB2YUV, YUV2RGB
 from .pallas_composite import _plane_params
 
 TILE_W = 128
@@ -59,6 +59,37 @@ PADL = 64
 
 def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _plane_params_np(packed: np.ndarray, h_out: int, w_out: int,
+                     h_in: int, w_in: int) -> np.ndarray:
+    """Numpy twin of pallas_composite._plane_params (host geometry must
+    not issue eager device ops — each costs ~1-2 ms through the tunnel).
+    Computed in f32 to match the traced version bit-for-bit."""
+    p = np.asarray(packed, np.float32)
+    t0, t3, t4, t5 = p[0], p[3], p[4], p[5]
+    e0, e3, e4, e5 = p[6], p[9], p[10], p[11]
+    b0, b3, b4, b5 = p[12], p[15], p[16], p[17]
+    f = np.float32
+    a_tx_x = f(t0 * f(2.0) / f(w_out))
+    b_tx_x = f(t4 - t0)
+    a_uv_x = f(e0 * a_tx_x)
+    b_uv_x = f(f(e0 * b_tx_x) + e4)
+    ax = f(a_uv_x * f(w_in))
+    bx = f(f(b_uv_x * f(w_in)) - f(0.5))
+    a_tx_y = f(t3 * f(2.0) / f(h_out))
+    b_tx_y = f(t5 - t3)
+    a_uv_y = f(e3 * a_tx_y)
+    b_uv_y = f(f(e3 * b_tx_y) + e5)
+    ay = f(a_uv_y * f(h_in))
+    by = f(f(b_uv_y * f(h_in)) - f(0.5))
+    a_bd_x = f(b0 * f(2.0) / f(w_out))
+    b_bd_x = f(b4 - b0)
+    a_bd_y = f(b3 * f(2.0) / f(h_out))
+    b_bd_y = f(b5 - b3)
+    return np.array([ay, by, ax, bx, a_tx_y, b_tx_y, a_tx_x, b_tx_x,
+                     a_bd_y, b_bd_y, a_bd_x, b_bd_x], np.float32)
+
 
 
 def _frame_kernel(iparams_ref, fparams_ref, *rest,
@@ -374,8 +405,7 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
         p = np.asarray(p, np.float64)
         if not golden.is_axis_aligned(p):
             return None
-        pl_ = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
-                                       h, w, h_in, w_in, 0.0, 0.0))
+        pl_ = _plane_params_np(p, h, w, h_in, w_in)
         ay, by, ax, bx = (float(pl_[0]), float(pl_[1]), float(pl_[2]),
                           float(pl_[3]))
         if not (ay > 0 and ax > 0 and ax <= 2.9):
@@ -436,9 +466,7 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
     # chroma vertical window bases
     by0cs = []
     for (i, p) in enumerate(packed_list):
-        pc = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
-                                      h // 2, w // 2, h_in // 2, w_in // 2,
-                                      0.0, 0.0))
+        pc = _plane_params_np(p, h // 2, w // 2, h_in // 2, w_in // 2)
         c_yc = float(pc[0]) * (offs[i][0] // 2) + float(pc[1])
         by0cs.append(math.floor(c_yc))
     # top pad covers the most negative window base (see PADL comment)
@@ -459,46 +487,81 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
             "padt": padt}
 
 
-def frame_params(packed_list, size, in_shape, geom):
-    """Runtime (traced-ok) i32/f32 parameter arrays for the kernel."""
+def frame_params(packed, offs, jranges, size, in_shape, pys, padt,
+                 rgba_fill: bool = False):
+    """i32/f32 kernel parameter arrays.  ``packed`` [N,29] f32, ``offs``
+    [N,2] i32, ``jranges`` [N,4] i32 may all be traced (the runners jit
+    this together with padding and the kernel so a frame costs ONE host
+    dispatch); ``pys``/``padt`` are static."""
     w, h = size
     h_in, w_in = in_shape
     ip, fp = [], []
-    for i, p in enumerate(packed_list):
-        pj = jnp.asarray(p, jnp.float32)
+    n = len(pys)
+    for i in range(n):
+        pj = packed[i].astype(jnp.float32)
         pl_ = _plane_params(pj, h, w, h_in, w_in, 0.0, 0.0)
         pc = _plane_params(pj, h // 2, w // 2, h_in // 2, w_in // 2,
                            0.0, 0.0)
-        oy, ox = geom["offs"][i]
-        c_y = pl_[0] * oy + pl_[1]
+        oy = offs[i, 0]
+        ox = offs[i, 1]
+        c_y = pl_[0] * oy.astype(jnp.float32) + pl_[1]
         by0 = jnp.floor(c_y)
         gy = c_y - by0
-        c_yc = pc[0] * (oy // 2) + pc[1]
+        c_yc = pc[0] * (oy // 2).astype(jnp.float32) + pc[1]
         by0c = jnp.floor(c_yc)
         gyc = c_yc - by0c
-        cx0 = pl_[2] * ox + pl_[3]
-        cx0c = pc[2] * (ox // 2) + pc[3]
-        fill = jnp.asarray(p)[18:22]
-        fill_yuv = [RGB2YUV[ch, 0] * fill[0] + RGB2YUV[ch, 1] * fill[1]
-                    + RGB2YUV[ch, 2] * fill[2] + RGB2YUV[ch, 3]
-                    for ch in range(3)]
-        op = jnp.asarray(p)[22]
-        jlo, jhi, jloc, jhic = geom["jranges"][i]
-        ip.append(jnp.stack([jnp.int32(oy), jnp.int32(ox),
-                             by0.astype(jnp.int32) + geom["padt"],
-                             by0c.astype(jnp.int32) + geom["padt"],
-                             jnp.int32(geom["pys"][i]),
-                             jnp.int32(jlo), jnp.int32(jhi),
-                             jnp.int32(jloc), jnp.int32(jhic)]))
+        cx0 = pl_[2] * ox.astype(jnp.float32) + pl_[3]
+        cx0c = pc[2] * (ox // 2).astype(jnp.float32) + pc[3]
+        fill = pj[18:22]
+        op = pj[22]
+        if rgba_fill:
+            a_fill = op * fill[3]
+            fill_yuv = [RGB2YUV[ch, 0] * fill[0] * a_fill
+                        + RGB2YUV[ch, 1] * fill[1] * a_fill
+                        + RGB2YUV[ch, 2] * fill[2] * a_fill
+                        + RGB2YUV[ch, 3] for ch in range(3)]
+        else:
+            a_fill = op * pj[21]
+            fill_yuv = [RGB2YUV[ch, 0] * fill[0] + RGB2YUV[ch, 1] * fill[1]
+                        + RGB2YUV[ch, 2] * fill[2] + RGB2YUV[ch, 3]
+                        for ch in range(3)]
+        ip.append(jnp.stack([oy, ox,
+                             by0.astype(jnp.int32) + padt,
+                             by0c.astype(jnp.int32) + padt,
+                             jnp.int32(pys[i]),
+                             jranges[i, 0], jranges[i, 1],
+                             jranges[i, 2], jranges[i, 3]]))
         fp.append(jnp.concatenate([
             jnp.stack([gy, gyc, cx0, cx0c, pl_[2], pc[2],
                        pl_[0], pl_[1], pc[0], pc[1]]),
             pl_[4:12], pc[4:12],
-            jnp.stack([op, op * jnp.asarray(p)[21],
+            jnp.stack([op, a_fill,
                        fill_yuv[0], fill_yuv[1], fill_yuv[2],
                        jnp.float32(0.0)]),
         ]).astype(jnp.float32))
     return jnp.stack(ip), jnp.stack(fp)
+
+
+@lru_cache(maxsize=64)
+def _runner_A(size, in_shape, n, bh, bw, hp, wp, hpc, wpc,
+              pys, padt, has2, has1, ww, chained, interpret):
+    """One jitted function per geometry: params + pad + kernel (a frame
+    is ONE host dispatch; eager per-op dispatch through the device tunnel
+    costs ~10 ms/op)."""
+    w, h = size
+    geom = {"hp": hp, "wp": wp, "hpc": hpc, "wpc": wpc, "padt": padt,
+            "has2": has2, "has1": has1}
+    prog = _frame_program(h, w, in_shape[0], in_shape[1], n, bh, bw, hp,
+                          wp, hpc, wpc, has2, has1, ww, chained,
+                          interpret)
+
+    def run(packed, offs, jranges, ys, us, vs, *cur):
+        ipar, fpar = frame_params(packed, offs, jranges, size, in_shape,
+                                  pys, padt)
+        arrs = pad_sources(ys, us, vs, geom)
+        return prog(ipar, fpar, *(tuple(arrs) + tuple(cur)))
+
+    return jax.jit(run)
 
 
 def composite_frame_pallas(size: Tuple[int, int], sources,
@@ -530,32 +593,40 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         if geom is None:
             return None
         plan.append((family, fmt, shape, group, packed, geom))
-    w, h = size
+    from ..media.pixel import PixelFormat as PF2
+
+    def hstack(arrs):
+        # stack host-side when possible: every eager device op through
+        # the tunnel costs ~10 ms; the jitted runner transfers its
+        # arguments in ONE dispatch
+        if all(isinstance(a, np.ndarray) for a in arrs):
+            return np.stack(arrs)
+        return jnp.stack([jnp.asarray(a) for a in arrs])
+
     cur = None
     for family, fmt, shape, group, packed, geom in plan:
         chained = cur is not None
+        packed_a = np.stack([np.asarray(q, np.float32) for q in packed])
+        offs_a = np.asarray(geom["offs"], np.int32)
+        jr_a = np.asarray(geom["jranges"], np.int32)
+        extra = tuple(cur) if chained else ()
         if family == "A":
-            ys = jnp.stack([jnp.asarray(s[0]) for s, _, _ in group])
-            us = jnp.stack([jnp.asarray(s[1]) for s, _, _ in group])
-            vs = jnp.stack([jnp.asarray(s[2]) for s, _, _ in group])
-            arrs = pad_sources(ys, us, vs, geom)
-            ipar, fpar = frame_params(packed, size, shape, geom)
-            prog = _frame_program(h, w, shape[0], shape[1], len(group),
-                                  geom["bh"], geom["bw"], geom["hp"],
-                                  geom["wp"], geom["hpc"], geom["wpc"],
-                                  geom["has2"], geom["has1"], geom["ww"],
-                                  chained, interpret)
+            ys = hstack([s[0] for s, _, _ in group])
+            us = hstack([s[1] for s, _, _ in group])
+            vs = hstack([s[2] for s, _, _ in group])
+            run = _runner_A(size, shape, len(group), geom["bh"],
+                            geom["bw"], geom["hp"], geom["wp"],
+                            geom["hpc"], geom["wpc"], geom["pys"],
+                            geom["padt"], geom["has2"], geom["has1"],
+                            geom["ww"], chained, interpret)
+            cur = run(packed_a, offs_a, jr_a, ys, us, vs, *extra)
         else:
-            rgba = jnp.stack([jnp.asarray(s[0]) for s, _, _ in group])
-            arrs = pad_sources_rgba(rgba, fmt, geom)
-            ipar, fpar = frame_params_rgba(packed, size, shape[:2], geom)
-            prog = _frame_program_rgba(h, w, shape[0], shape[1],
-                                       len(group), geom["bh"], geom["bw"],
-                                       geom["hp"], geom["wp"],
-                                       geom["ww"], geom["wwc"],
-                                       chained, interpret)
-        cur = prog(ipar, fpar, *(tuple(arrs) + tuple(cur))) if chained \
-            else prog(ipar, fpar, *arrs)
+            rgba = hstack([s[0] for s, _, _ in group])
+            run = _runner_B(size, shape[:2], fmt == PF2.BGRA, len(group),
+                            geom["bh"], geom["bw"], geom["hp"],
+                            geom["wp"], geom["padt"], geom["ww"],
+                            geom["wwc"], chained, interpret)
+            cur = run(packed_a, offs_a, jr_a, rgba, *extra)
     return cur
 
 
@@ -808,8 +879,7 @@ def frame_geometry_rgba(packed_list, size, in_shape):
         p = np.asarray(p, np.float64)
         if not golden.is_axis_aligned(p):
             return None
-        pl_ = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
-                                       h, w, h_in, w_in, 0.0, 0.0))
+        pl_ = _plane_params_np(p, h, w, h_in, w_in)
         ay, ax = float(pl_[0]), float(pl_[2])
         if not (0 < ay and abs(ay - 1.0) < 1e-6 and 0 < ax <= 1.45):
             return None
@@ -841,9 +911,7 @@ def frame_geometry_rgba(packed_list, size, in_shape):
                          max(wa - bw, 0)))
         offs.append((oy, ox))
         by0s.append(math.floor(geoms[i][0] * oy + geoms[i][1]))
-        pc = np.asarray(_plane_params(jnp.asarray(p, jnp.float32),
-                                      h // 2, w // 2, h_in, w_in,
-                                      0.0, 0.0))
+        pc = _plane_params_np(p, h // 2, w // 2, h_in, w_in)
         by0cs.append(math.floor(float(pc[0]) * (oy // 2) + float(pc[1])))
         e_lo = max((x_lo + 1.0) / 2.0 * w - 2.0, 0.0)
         e_hi = min((x_hi + 1.0) / 2.0 * w + 2.0, float(w))
@@ -865,39 +933,41 @@ def frame_geometry_rgba(packed_list, size, in_shape):
             "offs": offs, "jranges": tuple(jranges), "padt": padt}
 
 
-def frame_params_rgba(packed_list, size, in_shape, geom):
+def frame_params_rgba(packed, offs, jranges, size, in_shape, padt):
     """i32/f32 kernel params for an rgba run (family-B fill algebra:
-    fill premultiplied by a_fill, golden.apply_composite family B)."""
+    fill premultiplied by a_fill; chroma grid samples the FULL-res
+    planes).  Traced-friendly like frame_params."""
     w, h = size
     h_in, w_in = in_shape
+    n = offs.shape[0] if hasattr(offs, "shape") else len(offs)
     ip, fp = [], []
-    for i, p in enumerate(packed_list):
-        pj = jnp.asarray(p, jnp.float32)
+    for i in range(n):
+        pj = packed[i].astype(jnp.float32)
         pl_ = _plane_params(pj, h, w, h_in, w_in, 0.0, 0.0)
         pc = _plane_params(pj, h // 2, w // 2, h_in, w_in, 0.0, 0.0)
-        oy, ox = geom["offs"][i]
-        c_y = pl_[0] * oy + pl_[1]
+        oy = offs[i, 0]
+        ox = offs[i, 1]
+        c_y = pl_[0] * oy.astype(jnp.float32) + pl_[1]
         by0 = jnp.floor(c_y)
         gy = c_y - by0
-        c_yc = pc[0] * (oy // 2) + pc[1]
+        c_yc = pc[0] * (oy // 2).astype(jnp.float32) + pc[1]
         by0c = jnp.floor(c_yc)
         gyc = c_yc - by0c
-        cx0 = pl_[2] * ox + pl_[3]
-        cx0c = pc[2] * (ox // 2) + pc[3]
-        fill = jnp.asarray(p)[18:22]
-        op = jnp.asarray(p)[22]
+        cx0 = pl_[2] * ox.astype(jnp.float32) + pl_[3]
+        cx0c = pc[2] * (ox // 2).astype(jnp.float32) + pc[3]
+        fill = pj[18:22]
+        op = pj[22]
         a_fill = op * fill[3]
         fill_yuv = [RGB2YUV[ch, 0] * fill[0] * a_fill
                     + RGB2YUV[ch, 1] * fill[1] * a_fill
                     + RGB2YUV[ch, 2] * fill[2] * a_fill + RGB2YUV[ch, 3]
                     for ch in range(3)]
-        jlo, jhi, jloc, jhic = geom["jranges"][i]
-        ip.append(jnp.stack([jnp.int32(oy), jnp.int32(ox),
-                             by0.astype(jnp.int32) + geom["padt"],
-                             by0c.astype(jnp.int32) + geom["padt"],
+        ip.append(jnp.stack([oy, ox,
+                             by0.astype(jnp.int32) + padt,
+                             by0c.astype(jnp.int32) + padt,
                              jnp.int32(1),
-                             jnp.int32(jlo), jnp.int32(jhi),
-                             jnp.int32(jloc), jnp.int32(jhic)]))
+                             jranges[i, 0], jranges[i, 1],
+                             jranges[i, 2], jranges[i, 3]]))
         fp.append(jnp.concatenate([
             jnp.stack([gy, gyc, cx0, cx0c, pl_[2], pc[2],
                        pl_[0], pl_[1], pc[0], pc[1]]),
@@ -907,6 +977,25 @@ def frame_params_rgba(packed_list, size, in_shape, geom):
                        jnp.float32(0.0)]),
         ]).astype(jnp.float32))
     return jnp.stack(ip), jnp.stack(fp)
+
+
+@lru_cache(maxsize=32)
+def _runner_B(size, in_shape, fmt_is_bgra, n, bh, bw, hp, wp, padt,
+              ww, wwc, chained, interpret):
+    w, h = size
+    geom = {"hp": hp, "wp": wp, "padt": padt}
+    prog = _frame_program_rgba(h, w, in_shape[0], in_shape[1], n, bh, bw,
+                               hp, wp, ww, wwc, chained, interpret)
+    from ..media.pixel import PixelFormat as PF
+    fmt = PF.BGRA if fmt_is_bgra else PF.RGBA
+
+    def run(packed, offs, jranges, rgba, *cur):
+        ipar, fpar = frame_params_rgba(packed, offs, jranges, size,
+                                       in_shape, padt)
+        arrs = pad_sources_rgba(rgba, fmt, geom)
+        return prog(ipar, fpar, *(tuple(arrs) + tuple(cur)))
+
+    return jax.jit(run)
 
 
 def pad_sources_rgba(rgba, fmt, geom):
@@ -926,3 +1015,341 @@ def pad_sources_rgba(rgba, fmt, geom):
     right = jnp.broadcast_to(x[:, :, :, -1:], (n, 4, hp, wp - www - PADL))
     x = jnp.concatenate([left, x, right], axis=3)
     return x, x.reshape(n, 4, hp // 2, 2 * wp)
+
+
+# --- rgba-family TARGET: yuv sources onto an rgba canvas -------------------
+#
+# The y420p->RGBA convert+scale config (BASELINE config 1) and rgba canvas
+# mixes (kernels.metal img_bgra_bgra blit semantics, extended to yuv
+# inputs via YUV2RGB exactly like golden._composite_rgba_out).  The canvas
+# accumulates as four PLANAR f32 channels (lane-interleaving inside the
+# kernel is not lowerable); the host interleaves the emitted planar u8
+# channels in one cheap pass.  Luma samples at vertical step 2 (pair
+# layout), the half-res chroma planes sample the same out grid at step 1.
+
+
+def _frame_kernel_rgbaout(iparams_ref, fparams_ref, *rest,
+                          n_sources: int, h: int, w: int, h_in: int,
+                          w_in: int, bh: int, bw: int, hp: int, wp: int,
+                          hpc: int, wpc: int, ww: int, wwc: int):
+    from jax.experimental import pallas as pl
+
+    ysp_ref, usn_ref, vsn_ref = rest[0:3]
+    out_refs = rest[3:7]
+    accs = rest[7:11]
+    rows_y, rows_cb, rows_cr, evn, odd = rest[11:16]
+
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
+
+    @pl.when((s == 0) & (j == 0))
+    def _init():
+        for ch in range(3):
+            accs[ch][...] = jnp.zeros((ha, wa), jnp.float32)
+        accs[3][...] = jnp.full((ha, wa), 255.0, jnp.float32)
+
+    @pl.when(j == 0)
+    def _rows():
+        by0l, gl = iparams_ref[s, 2], fparams_ref[s, 0]
+        by0c, gc = iparams_ref[s, 3], fparams_ref[s, 1]
+        # luma: vertical step 2 (pair layout + 16-way residual switch)
+        evn[...] = ysp_ref[0, :, 0:wp].astype(jnp.int32)
+        odd[...] = ysp_ref[0, :, wp:2 * wp].astype(jnp.int32)
+        base = pl.multiple_of(((by0l // 2) // 8) * 8, 8)
+        m = by0l % 16
+        blk_e = evn[pl.ds(base, bh + 9), :]
+        blk_o = odd[pl.ds(base, bh + 9), :]
+        for m_ in range(16):
+            sub0r, par0 = (m_ // 2) % 8, m_ % 2
+            sub1r = ((m_ + 1) // 2) % 8 + (8 if m_ == 15 else 0)
+            par1 = (m_ + 1) % 2
+
+            @pl.when(m == m_)
+            def _(sub0r=sub0r, par0=par0, sub1r=sub1r, par1=par1):
+                t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + bh]
+                t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + bh]
+                rows_y[...] = (t0.astype(jnp.float32) * (1.0 - gl)
+                               + t1.astype(jnp.float32) * gl)
+        # chroma: vertical step 1 over the half-res planes, full out grid
+        for (ref, dst) in ((usn_ref, rows_cb), (vsn_ref, rows_cr)):
+            base_c = pl.multiple_of((by0c // 8) * 8, 8)
+            mc = by0c % 8
+            blk = ref[0, pl.ds(base_c, bh + 9), :].astype(jnp.int32)
+            for m_ in range(8):
+                @pl.when(mc == m_)
+                def _(m_=m_, blk=blk, dst=dst):
+                    t0 = blk[m_:m_ + bh]
+                    t1 = blk[m_ + 1:m_ + 1 + bh]
+                    dst[...] = (t0.astype(jnp.float32) * (1.0 - gc)
+                                + t1.astype(jnp.float32) * gc)
+
+    def sample(rows_scr, cx0, ax, wfull, ww_g, padl):
+        ww_p = min(ww_g, wfull)
+        base_x = cx0 + ax * (TILE_W * j).astype(jnp.float32)
+        w0 = jnp.floor(base_x).astype(jnp.int32) - 2 + padl
+        wstart = jnp.clip((w0 // 128) * 128, 0, wfull - ww_p)
+        win = rows_scr[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
+        us_ = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0
+                                       ).astype(jnp.float32)
+        ks = (wstart - padl
+              + jax.lax.broadcasted_iota(jnp.int32, (1, ww_p), 1)
+              ).astype(jnp.float32)
+        xs = base_x + ax * us_
+        C = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ks))
+        # the csc downstream amplifies sampling rounding by up to ~1.8x,
+        # so this kernel needs exact-f32 matmuls to hold the 1-LSB
+        # contract (the yuv-target kernels blend sampled channels
+        # directly and tolerate default precision)
+        return jax.lax.dot_general(
+            win, C.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) * (1.0 / 255.0), xs.T
+
+    @pl.when((iparams_ref[s, 5] <= j) & (j < iparams_ref[s, 6]))
+    def _tile():
+        oy = iparams_ref[s, 0]
+        ox = iparams_ref[s, 1]
+        y_t, x_src = sample(rows_y, fparams_ref[s, 2], fparams_ref[s, 4],
+                            wp, ww, PADL)
+        cb_t, _ = sample(rows_cb, fparams_ref[s, 3], fparams_ref[s, 5],
+                         wpc, wwc, PADL // 2)
+        cr_t, _ = sample(rows_cr, fparams_ref[s, 3], fparams_ref[s, 5],
+                         wpc, wwc, PADL // 2)
+        rows_g = (oy + jax.lax.broadcasted_iota(jnp.int32, (bh, 1), 0)
+                  ).astype(jnp.float32)
+        cols_g = (ox + TILE_W * j
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+                  ).astype(jnp.float32)
+        y_src = fparams_ref[s, 6] * rows_g + fparams_ref[s, 7]
+        yc_src = fparams_ref[s, 8] * rows_g + fparams_ref[s, 9]
+        in01 = lambda v: (v >= 0.0) & (v <= 1.0)  # noqa: E731
+        p_off = tuple(fparams_ref[s, k] for k in range(10, 18))
+        ty = p_off[0] * rows_g + p_off[1]
+        txx = p_off[2] * cols_g + p_off[3]
+        bdy = p_off[4] * rows_g + p_off[5]
+        bdx = p_off[6] * cols_g + p_off[7]
+        m_tex = ((y_src >= -0.5) & (y_src <= h_in - 0.5) & in01(ty)
+                 & (x_src >= -0.5) & (x_src <= w_in - 0.5) & in01(txx))
+        del yc_src
+        m_border = in01(bdy) & in01(bdx)
+        op = fparams_ref[s, 26]
+        a_fill = fparams_ref[s, 27]
+        co = ox + TILE_W * j
+        oy8 = pl.multiple_of(oy, 8)
+        for ch in range(4):
+            if ch < 3:
+                mrow = YUV2RGB[ch]
+                new = (mrow[0] * y_t + mrow[1] * cb_t + mrow[2] * cr_t
+                       + mrow[3])
+                fill_ch = fparams_ref[s, 28 + ch]
+            else:
+                new = 1.0
+                fill_ch = 1.0
+            cur = accs[ch][pl.ds(oy8, bh),
+                           pl.ds(pl.multiple_of(co, 128), TILE_W)] \
+                * (1.0 / 255.0)
+            blended = cur * (1.0 - op) + new * op
+            filled = jnp.clip(cur * (1.0 - a_fill) + fill_ch * a_fill,
+                              0.0, 1.0)
+            out = jnp.where(m_border & m_tex, blended,
+                            jnp.where(m_border, filled, cur))
+            accs[ch][pl.ds(oy8, bh),
+                     pl.ds(pl.multiple_of(co, 128), TILE_W)] = \
+                jnp.clip(jnp.rint(out * 255.0), 0.0, 255.0)
+
+    @pl.when((s == n_sources - 1) & (j == n_j - 1))
+    def _emit():
+        for ch in range(4):
+            out_refs[ch][...] = accs[ch][0:h, 0:w].astype(jnp.int32
+                                                          ).astype(jnp.uint8)
+
+
+@lru_cache(maxsize=32)
+def _frame_program_rgbaout(h: int, w: int, h_in: int, w_in: int,
+                           n_sources: int, bh: int, bw: int, hp: int,
+                           wp: int, hpc: int, wpc: int, ww: int, wwc: int,
+                           interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_j = bw // TILE_W
+    kern = partial(_frame_kernel_rgbaout, n_sources=n_sources, h=h, w=w,
+                   h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
+                   hpc=hpc, wpc=wpc, ww=ww, wwc=wwc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_sources, n_j),
+        in_specs=[
+            pl.BlockSpec((1, hp // 2, 2 * wp), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((h, w), lambda s, j, *_: (0, 0))
+                   for _ in range(4)],
+        scratch_shapes=(
+            [pltpu.VMEM((_ceil_to(h, 16), _ceil_to(w, 256)), jnp.float32)
+             for _ in range(4)]
+            + [pltpu.VMEM((bh, wp), jnp.float32),
+               pltpu.VMEM((bh, wpc), jnp.float32),
+               pltpu.VMEM((bh, wpc), jnp.float32),
+               pltpu.VMEM((hp // 2, wp), jnp.int32),
+               pltpu.VMEM((hp // 2, wp), jnp.int32)]
+        ),
+    )
+    fn = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.uint8)
+                   for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return jax.jit(lambda ip, fp, *arrs: fn(ip, fp, *arrs))
+
+
+def convert_frame_pallas(size: Tuple[int, int], sources, out_fmt,
+                         interpret: bool = False):
+    """yuv-planar sources composited onto an RGBA/BGRA canvas (one kernel
+    call; golden._composite_rgba_out semantics).  Returns [H, W, 4] u8 or
+    None if ineligible.  Eligible: axis-aligned y420p sources at vertical
+    scale exactly 2 (the convert+downscale config; the half-res chroma
+    planes then sample the out grid at step 1)."""
+    from ..media.pixel import PixelFormat as PF
+    if out_fmt not in (PF.RGBA, PF.BGRA) or not sources:
+        return None
+    if any(fmt != PF.y420p for _, fmt, _ in sources):
+        return None
+    shapes = {tuple(np.asarray(s[0]).shape) for s, _, _ in sources}
+    if len(shapes) != 1:
+        return None
+    in_shape = shapes.pop()
+    h_in, w_in = in_shape
+    w, h = size
+    packed = [golden._packed(u) for _, _, u in sources]
+    geoms = []
+    for p in packed:
+        p64 = np.asarray(p, np.float64)
+        if not golden.is_axis_aligned(p64):
+            return None
+        pl_ = _plane_params_np(p, h, w, h_in, w_in)
+        ay, ax = float(pl_[0]), float(pl_[2])
+        if not (abs(ay - 2.0) < 1e-6 and 0 < ax <= 2.9):
+            return None
+        geoms.append((ay, float(pl_[1]), ax, float(pl_[3])))
+    # geometry: rgba-out specifics (luma step 2, chroma step 1)
+    from .composite import _host_box_size
+    per = [_host_box_size(p, size, bucket_h=16, bucket_w=256)
+           for p in packed]
+    bh = min(_ceil_to(max(b for b, _ in per) + 16, 16), _ceil_to(h, 16))
+    bw = min(_ceil_to(max(b for _, b in per) + 256, 256), _ceil_to(w, 256))
+    if bh % 16 or bw % 256 or bw // TILE_W < 2:
+        return None
+    ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
+    offs, by0s, by0cs, jranges = [], [], [], []
+    for i, p in enumerate(packed):
+        p64 = np.asarray(p, np.float64)
+        eps = 1e-12
+        x_lo = min((0.0 - p64[16]) / (p64[12] + eps),
+                   (1.0 - p64[16]) / (p64[12] + eps))
+        x_hi = max((0.0 - p64[16]) / (p64[12] + eps),
+                   (1.0 - p64[16]) / (p64[12] + eps))
+        y_lo = min((0.0 - p64[17]) / (p64[15] + eps),
+                   (1.0 - p64[17]) / (p64[15] + eps))
+        ox_f = (x_lo + 1.0) / 2.0 * w - 1.0
+        oy_f = (y_lo + 1.0) / 2.0 * h - 1.0
+        oy = int(np.clip(math.floor(oy_f / 16.0) * 16, 0, max(ha - bh, 0)))
+        ox = int(np.clip(math.floor(ox_f / 256.0) * 256, 0,
+                         max(wa - bw, 0)))
+        offs.append((oy, ox))
+        by0s.append(math.floor(geoms[i][0] * oy + geoms[i][1]))
+        pc = _plane_params_np(p, h, w, h_in // 2, w_in // 2)
+        by0cs.append(math.floor(float(pc[0]) * oy + float(pc[1])))
+        e_lo = max((x_lo + 1.0) / 2.0 * w - 2.0, 0.0)
+        e_hi = min((x_hi + 1.0) / 2.0 * w + 2.0, float(w))
+        jlo = max(int(math.floor((e_lo - ox) / TILE_W)), 0)
+        jhi = min(int(math.ceil((e_hi - ox) / TILE_W)), bw // TILE_W)
+        jranges.append((jlo, max(jhi, jlo), 0, 0))
+    padt = _ceil_to(max(96, 8 - min(min(by0s), min(by0cs))), 128)
+    need_l = max(b + 1 + padt + 2 * bh + 24 for b in by0s)
+    hp = _ceil_to(max(padt + h_in + 8, need_l), 16)
+    wp = _ceil_to(PADL + w_in + 8, 128)
+    need_c = max(b + 1 + padt + bh + 24 for b in by0cs)
+    hpc = _ceil_to(max(padt + h_in // 2 + 8, need_c), 16)
+    wpc = _ceil_to(PADL // 2 + w_in // 2 + 8, 128)
+    ww = 384 if max(g[2] for g in geoms) <= 1.9 else 512
+    wwc = 384
+    geom = {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
+            "wpc": wpc, "offs": offs, "jranges": tuple(jranges),
+            "padt": padt, "has2": True, "has1": False}
+    def hstack(arrs):
+        if all(isinstance(a, np.ndarray) for a in arrs):
+            return np.stack(arrs)
+        return jnp.stack([jnp.asarray(a) for a in arrs])
+
+    ys = hstack([s[0] for s, _, _ in sources])
+    us = hstack([s[1] for s, _, _ in sources])
+    vs = hstack([s[2] for s, _, _ in sources])
+    packed_a = np.stack([np.asarray(q, np.float32) for q in packed])
+    offs_a = np.asarray(offs, np.int32)
+    jr_a = np.asarray(jranges, np.int32)
+    run = _runner_rgbaout(size, in_shape, out_fmt == PF.BGRA,
+                          len(sources), bh, bw, hp, wp, hpc, wpc, padt,
+                          ww, wwc, interpret)
+    return run(packed_a, offs_a, jr_a, ys, us, vs)
+
+
+@lru_cache(maxsize=32)
+def _runner_rgbaout(size, in_shape, is_bgra, n, bh, bw, hp, wp, hpc, wpc,
+                    padt, ww, wwc, interpret):
+    w, h = size
+    h_in, w_in = in_shape
+    prog = _frame_program_rgbaout(h, w, h_in, w_in, n, bh, bw, hp, wp,
+                                  hpc, wpc, ww, wwc, interpret)
+
+    def run(packed, offs, jranges, ys, us, vs):
+        # pair view for luma; chroma stays plain
+        geom_pair = {"hp": hp, "wp": wp, "hpc": hpc, "wpc": wpc,
+                     "padt": padt, "has2": True, "has1": False}
+        geom_plain = {**geom_pair, "has2": False, "has1": True}
+        ysp = pad_sources(ys, us, vs, geom_pair)[0]
+        arrs_plain = pad_sources(ys, us, vs, geom_plain)
+        usn, vsn = arrs_plain[1], arrs_plain[2]
+        ip, fp = [], []
+        for i in range(n):
+            pj = packed[i].astype(jnp.float32)
+            pl_ = _plane_params(pj, h, w, h_in, w_in, 0.0, 0.0)
+            pc = _plane_params(pj, h, w, h_in // 2, w_in // 2, 0.0, 0.0)
+            oy = offs[i, 0]
+            ox = offs[i, 1]
+            c_y = pl_[0] * oy.astype(jnp.float32) + pl_[1]
+            by0 = jnp.floor(c_y)
+            gy = c_y - by0
+            c_yc = pc[0] * oy.astype(jnp.float32) + pc[1]
+            by0c = jnp.floor(c_yc)
+            gyc = c_yc - by0c
+            fill = pj[18:22]
+            op = pj[22]
+            ip.append(jnp.stack([oy, ox,
+                                 by0.astype(jnp.int32) + padt,
+                                 by0c.astype(jnp.int32) + padt,
+                                 jnp.int32(2),
+                                 jranges[i, 0], jranges[i, 1],
+                                 jnp.int32(0), jnp.int32(0)]))
+            oxf = ox.astype(jnp.float32)
+            fp.append(jnp.concatenate([
+                jnp.stack([gy, gyc, pl_[2] * oxf + pl_[3],
+                           pc[2] * oxf + pc[3],
+                           pl_[2], pc[2], pl_[0], pl_[1], pc[0], pc[1]]),
+                pl_[4:12], pc[4:12],
+                jnp.stack([op, op * fill[3], fill[0], fill[1], fill[2],
+                           jnp.float32(0.0)]),
+            ]).astype(jnp.float32))
+        r, g, b, a = prog(jnp.stack(ip), jnp.stack(fp), ysp, usn, vsn)
+        chans = (b, g, r, a) if is_bgra else (r, g, b, a)
+        return jnp.stack(chans, axis=-1)
+
+    return jax.jit(run)

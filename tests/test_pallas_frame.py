@@ -165,3 +165,44 @@ def test_frame_rgba_rejects_downscale():
                       w=256, h=128).pack()  # 2:1 -> chroma step 4
     assert frame_geometry_rgba([np.asarray(golden._packed(u))],
                                (768, 512), (256, 512)) is None
+
+
+def test_convert_frame_rgba_out():
+    """y420p -> RGBA convert+downscale (BASELINE config 1 shape;
+    golden._composite_rgba_out blit semantics)."""
+    from swiftvideo_tpu.ops.pallas_frame import convert_frame_pallas
+    W, H = 640, 360  # out canvas; source 1280x720 at exactly 2:1
+    src = _planes(720, 1280, 80)
+    u = rect_uniforms((1280, 720), (W, H), x=0, y=0, w=W, h=H,
+                      opacity=1.0).pack()
+    srcs = [(src, PixelFormat.y420p, u)]
+    ref = golden.composite_stack(PixelFormat.RGBA, (W, H), srcs)[0]
+    out = convert_frame_pallas((W, H), srcs, PixelFormat.RGBA,
+                               interpret=True)
+    assert out is not None
+    err = np.abs(np.asarray(out).astype(int) - ref.astype(int)).max()
+    assert err <= 1, err
+
+
+def test_convert_frame_bgra_out_with_placement():
+    from swiftvideo_tpu.ops.pallas_frame import convert_frame_pallas
+    W, H = 640, 360
+    src = _planes(512, 768, 81)
+    u = rect_uniforms((768, 512), (W, H), x=40.3, y=20.7, w=384, h=256,
+                      opacity=0.85, fill_color=(0.3, 0.1, 0.6, 0.4)).pack()
+    srcs = [(src, PixelFormat.y420p, u)]
+    ref = golden.composite_stack(PixelFormat.BGRA, (W, H), srcs)[0]
+    out = convert_frame_pallas((W, H), srcs, PixelFormat.BGRA,
+                               interpret=True)
+    assert out is not None
+    err = np.abs(np.asarray(out).astype(int) - ref.astype(int)).max()
+    assert err <= 1, err
+
+
+def test_convert_frame_rejects_non_2to1():
+    from swiftvideo_tpu.ops.pallas_frame import convert_frame_pallas
+    src = _planes(512, 768, 82)
+    u = rect_uniforms((768, 512), (640, 360), x=0, y=0, w=640, h=360).pack()
+    assert convert_frame_pallas((640, 360),
+                                [(src, PixelFormat.y420p, u)],
+                                PixelFormat.RGBA, interpret=True) is None
