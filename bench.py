@@ -134,21 +134,26 @@ def main() -> None:
                            for o, r in zip(out_pl, ref))
                 log("pallas frame kernel parity err:", errs)
                 assert errs <= 1, f"pallas parity failure: {errs}"
+                from swiftvideo_tpu.ops.pallas_frame import _runner_A
                 geom = frame_geometry(unis, (W, H), (H, W))
-                arrs = pad_sources(ys4, us4, vs4, geom)
-                ipar, fpar = frame_params(unis, (W, H), (H, W), geom)
-                prog = _frame_program(
-                    H, W, H, W, n_sources, geom["bh"], geom["bw"],
-                    geom["hp"], geom["wp"], geom["hpc"], geom["wpc"],
-                    geom["has2"], geom["has1"], geom["ww"])
+                run_a = _runner_A((W, H), (H, W), n_sources, geom["bh"],
+                                  geom["bw"], geom["hp"], geom["wp"],
+                                  geom["hpc"], geom["wpc"], geom["pys"],
+                                  geom["padt"], geom["pgrp"],
+                                  geom["has1"], geom["ww"], False, False)
+                packed_a = np.stack([np.asarray(u, np.float32)
+                                     for u in unis])
+                offs_a = np.asarray(geom["offs"], np.int32)
+                jr_a = np.asarray(geom["jranges"], np.int32)
 
                 def pl_body(_k, carry):
-                    fp, _o = carry
-                    o2 = prog(ipar, fp, *arrs)
-                    return (fp + o2[0][0, 0].astype(jnp.float32) * 1e-12,
+                    pk, _o = carry
+                    o2 = run_a(pk, offs_a, jr_a, ys4, us4, vs4)
+                    return (pk + o2[0][0, 0].astype(jnp.float32) * 1e-12,
                             o2)
 
-                initp = (fpar, prog(ipar, fpar, *arrs))
+                initp = (jnp.asarray(packed_a),
+                         run_a(packed_a, offs_a, jr_a, ys4, us4, vs4))
                 dtp = time_device_loop(pl_body, initp, iters=100)
                 log(f"config3 pallas frame kernel: {dtp*1e3:.3f} ms/frame"
                     f" = {1/dtp:.1f} fps/chip (device loop)")
@@ -186,11 +191,35 @@ def main() -> None:
                                 - ref1.astype(int)).max())
                 assert e1 <= 1, e1
 
-                def conv1(_unused):
-                    return convert_frame_pallas((640, 360), srcs1,
-                                                PixelFormat.RGBA)
+                # device-loop timing through the cached jitted runner
+                # (per-call wall time is tunnel-queue noise)
+                from swiftvideo_tpu.ops import golden as _g
+                from swiftvideo_tpu.ops.pallas_frame import (
+                    _rgbaout_geometry, _runner_rgbaout)
+                pk1 = np.stack([np.asarray(_g._packed(u), np.float32)
+                                for _, _, u in srcs1])
+                ys1 = np.stack([np.asarray(s[0]) for s, _, _ in srcs1])
+                us1 = np.stack([np.asarray(s[1]) for s, _, _ in srcs1])
+                vs1 = np.stack([np.asarray(s[2]) for s, _, _ in srcs1])
+                g1 = _rgbaout_geometry([_g._packed(u) for _, _, u in srcs1],
+                                       (640, 360), (720, 1280))
+                run1 = _runner_rgbaout((640, 360), (720, 1280), False,
+                                       1, g1["bh"], g1["bw"], g1["hp"],
+                                       g1["wp"], g1["hpc"], g1["wpc"],
+                                       g1["padt"], g1["ww"], g1["wwc"],
+                                       False)
+                offs1 = np.asarray(g1["offs"], np.int32)
+                jr1 = np.asarray(g1["jranges"], np.int32)
 
-                dt1p = time_fn(conv1, 0, iters=100)
+                def c1_body(_k, carry):
+                    pk, _o = carry
+                    o2 = run1(pk, offs1, jr1, ys1, us1, vs1)
+                    return (pk + o2[0, 0, 0].astype(jnp.float32) * 1e-12,
+                            o2)
+
+                init1 = (jnp.asarray(pk1),
+                         run1(pk1, offs1, jr1, ys1, us1, vs1))
+                dt1p = time_device_loop(c1_body, init1, iters=100)
                 log(f"config1 pallas rgba-out: {dt1p*1e3:.3f} ms = "
                     f"{1/dt1p:.1f} fps (parity err {e1})")
     except Exception as exc:  # noqa: BLE001

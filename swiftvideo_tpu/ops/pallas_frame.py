@@ -95,20 +95,22 @@ def _plane_params_np(packed: np.ndarray, h_out: int, w_out: int,
 def _frame_kernel(iparams_ref, fparams_ref, *rest,
                   n_sources: int, h: int, w: int, h_in: int, w_in: int,
                   bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
-                  has2: bool, has1: bool, ww: int, chained: bool):
+                  pgrp: int, has1: bool, ww: int, chained: bool):
     from jax.experimental import pallas as pl
 
-    n_in = 3 * (int(has2) + int(has1))
+    n_in = 3 * (int(pgrp > 0) + int(has1))
     in_refs = rest[:n_in]
     cur_refs = rest[n_in:n_in + 3] if chained else None
     n_in += 3 if chained else 0
     outy_ref, outcb_ref, outcr_ref = rest[n_in:n_in + 3]
-    (accy, acccb, acccr, rowsy, rowscb, rowscr,
-     evny, oddy, evnc, oddc) = rest[n_in + 3:]
-    if has2:
+    scr = rest[n_in + 3:]
+    accy, acccb, acccr, rowsy, rowscb, rowscr = scr[0:6]
+    grp_y = scr[6:10]
+    grp_c = scr[10:14]
+    if pgrp:
         ysp_ref, usp_ref, vsp_ref = in_refs[0:3]
     if has1:
-        ysn_ref, usn_ref, vsn_ref = in_refs[3:6] if has2 else in_refs[0:3]
+        ysn_ref, usn_ref, vsn_ref = in_refs[3:6] if pgrp else in_refs[0:3]
 
     s = pl.program_id(0)
     j = pl.program_id(1)
@@ -135,24 +137,28 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 
     pys = iparams_ref[s, 4]
 
-    def row_pair(pair_ref, dst, evn, odd, by0p, g, n_rows, wfull):
-        """py==2 vertical taps via the statically lane-split even/odd
-        halves + 16-way residual switch (see module docstring)."""
-        evn[...] = pair_ref[0, :, 0:wfull].astype(jnp.int32)
-        odd[...] = pair_ref[0, :, wfull:2 * wfull].astype(jnp.int32)
-        base = pl.multiple_of(((by0p // 2) // 8) * 8, 8)
-        m = by0p % 16
-        blk_e = evn[pl.ds(base, n_rows + 9), :]
-        blk_o = odd[pl.ds(base, n_rows + 9), :]
-        for m_ in range(16):
-            sub0r, par0 = (m_ // 2) % 8, m_ % 2
-            sub1r = ((m_ + 1) // 2) % 8 + (8 if m_ == 15 else 0)
-            par1 = (m_ + 1) % 2
+    def row_group(view_ref, dst, gscr, by0p, g, n_rows, wfull):
+        """Integer vertical step p = pgrp taps via the statically
+        lane-split row-group view [Hp/p, p*Wp]: tap row by0p + p*t lives
+        at sub-row by0p//p + t of lane group by0p%p — contiguous
+        8-aligned sublane slices, residual + group resolved by an
+        (8*p)-way pl.when switch with static slices (see module
+        docstring for the Mosaic quirks this dodges)."""
+        P = pgrp
+        for k in range(P):
+            gscr[k][...] = view_ref[0, :, k * wfull:(k + 1) * wfull
+                                    ].astype(jnp.int32)
+        base = pl.multiple_of(((by0p // P) // 8) * 8, 8)
+        m = by0p % (8 * P)
+        blks = [gscr[k][pl.ds(base, n_rows + 9), :] for k in range(P)]
+        for m_ in range(8 * P):
+            g0, sub0r = m_ % P, m_ // P
+            g1, sub1r = (m_ + 1) % P, (m_ + 1) // P
 
             @pl.when(m == m_)
-            def _(sub0r=sub0r, par0=par0, sub1r=sub1r, par1=par1):
-                t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + n_rows]
-                t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + n_rows]
+            def _(g0=g0, sub0r=sub0r, g1=g1, sub1r=sub1r):
+                t0 = blks[g0][sub0r:sub0r + n_rows]
+                t1 = blks[g1][sub1r:sub1r + n_rows]
                 dst[...] = (t0.astype(jnp.float32) * (1.0 - g)
                             + t1.astype(jnp.float32) * g)
 
@@ -174,22 +180,22 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
     def _rows():
         by0l, gl = iparams_ref[s, 2], fparams_ref[s, 0]
         by0c, gc = iparams_ref[s, 3], fparams_ref[s, 1]
-        if has2 and has1:
-            @pl.when(pys == 2)
-            def _p2():
-                row_pair(ysp_ref, rowsy, evny, oddy, by0l, gl, bh, wp)
-                row_pair(usp_ref, rowscb, evnc, oddc, by0c, gc, bhc, wpc)
-                row_pair(vsp_ref, rowscr, evnc, oddc, by0c, gc, bhc, wpc)
+        if pgrp and has1:
+            @pl.when(pys == pgrp)
+            def _pg():
+                row_group(ysp_ref, rowsy, grp_y, by0l, gl, bh, wp)
+                row_group(usp_ref, rowscb, grp_c, by0c, gc, bhc, wpc)
+                row_group(vsp_ref, rowscr, grp_c, by0c, gc, bhc, wpc)
 
             @pl.when(pys == 1)
             def _p1():
                 row_plain(ysn_ref, rowsy, by0l, gl, bh)
                 row_plain(usn_ref, rowscb, by0c, gc, bhc)
                 row_plain(vsn_ref, rowscr, by0c, gc, bhc)
-        elif has2:
-            row_pair(ysp_ref, rowsy, evny, oddy, by0l, gl, bh, wp)
-            row_pair(usp_ref, rowscb, evnc, oddc, by0c, gc, bhc, wpc)
-            row_pair(vsp_ref, rowscr, evnc, oddc, by0c, gc, bhc, wpc)
+        elif pgrp:
+            row_group(ysp_ref, rowsy, grp_y, by0l, gl, bh, wp)
+            row_group(usp_ref, rowscb, grp_c, by0c, gc, bhc, wpc)
+            row_group(vsp_ref, rowscr, grp_c, by0c, gc, bhc, wpc)
         else:
             row_plain(ysn_ref, rowsy, by0l, gl, bh)
             row_plain(usn_ref, rowscb, by0c, gc, bhc)
@@ -286,7 +292,7 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 @lru_cache(maxsize=64)
 def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
                    bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
-                   has2: bool, has1: bool, ww: int,
+                   pgrp: int, has1: bool, ww: int,
                    chained: bool = False, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -294,14 +300,17 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
     n_j = bw // TILE_W
     kern = partial(_frame_kernel, n_sources=n_sources, h=h, w=w,
                    h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
-                   hpc=hpc, wpc=wpc, has2=has2, has1=has1, ww=ww,
+                   hpc=hpc, wpc=wpc, pgrp=pgrp, has1=has1, ww=ww,
                    chained=chained)
     in_specs = []
-    if has2:
+    if pgrp:
         in_specs += [
-            pl.BlockSpec((1, hp // 2, 2 * wp), lambda s, j, *_: (s, 0, 0)),
-            pl.BlockSpec((1, hpc // 2, 2 * wpc), lambda s, j, *_: (s, 0, 0)),
-            pl.BlockSpec((1, hpc // 2, 2 * wpc), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hp // pgrp, pgrp * wp),
+                         lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc // pgrp, pgrp * wpc),
+                         lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc // pgrp, pgrp * wpc),
+                         lambda s, j, *_: (s, 0, 0)),
         ]
     if has1:
         in_specs += [
@@ -333,12 +342,12 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
             pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh // 2, wpc), jnp.float32),
             pltpu.VMEM((bh // 2, wpc), jnp.float32),
-            # even/odd i32 halves (static-lane-split; see row_pair)
-            pltpu.VMEM((hp // 2, wp) if has2 else (8, 128), jnp.int32),
-            pltpu.VMEM((hp // 2, wp) if has2 else (8, 128), jnp.int32),
-            pltpu.VMEM((hpc // 2, wpc) if has2 else (8, 128), jnp.int32),
-            pltpu.VMEM((hpc // 2, wpc) if has2 else (8, 128), jnp.int32),
-        ],
+            # row-group i32 lane splits (see row_group); 4 slots, the
+            # first pgrp of each set are used
+        ] + [pltpu.VMEM((hp // pgrp, wp) if pgrp and k < pgrp
+                        else (8, 128), jnp.int32) for k in range(4)]
+          + [pltpu.VMEM((hpc // pgrp, wpc) if pgrp and k < pgrp
+                        else (8, 128), jnp.int32) for k in range(4)],
     )
     fn = pl.pallas_call(
         kern,
@@ -376,10 +385,11 @@ def pad_sources(ys, us, vs, geom) -> Tuple:
     usp = pad(us, hpc, wpc, padt, PADL // 2)
     vsp = pad(vs, hpc, wpc, padt, PADL // 2)
     arrs = []
-    if geom["has2"]:
-        arrs += [ysp.reshape(n, hp // 2, 2 * wp),
-                 usp.reshape(n, hpc // 2, 2 * wpc),
-                 vsp.reshape(n, hpc // 2, 2 * wpc)]
+    pgrp = geom.get("pgrp", 2 if geom.get("has2") else 0)
+    if pgrp:
+        arrs += [ysp.reshape(n, hp // pgrp, pgrp * wp),
+                 usp.reshape(n, hpc // pgrp, pgrp * wpc),
+                 vsp.reshape(n, hpc // pgrp, pgrp * wpc)]
     if geom["has1"]:
         arrs += [ysp, usp, vsp]
     return tuple(arrs)
@@ -408,14 +418,18 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
         pl_ = _plane_params_np(p, h, w, h_in, w_in)
         ay, by, ax, bx = (float(pl_[0]), float(pl_[1]), float(pl_[2]),
                           float(pl_[3]))
-        if not (ay > 0 and ax > 0 and ax <= 2.9):
+        if not (ay > 0 and ax > 0 and ax <= 4.9):
             return None
         py = round(ay)
-        if py not in (1, 2) or abs(ay - py) > 1e-6 * max(1.0, ay):
+        if py not in (1, 2, 3, 4) or abs(ay - py) > 1e-6 * max(1.0, ay):
             return None
         pys.append(py)
         axs.append(ax)
         geoms.append((ay, by, ax, bx))
+    scaled = sorted(set(q for q in pys if q > 1))
+    if len(scaled) > 1:
+        return None  # one scaled group per run (plus optional unity)
+    pgrp = scaled[0] if scaled else 0
 
     # shared box bucket (16/256-aligned offsets for f32 VMEM stores) +
     # per-source runtime widths (gate column tiles for small overlays)
@@ -471,19 +485,23 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
         by0cs.append(math.floor(c_yc))
     # top pad covers the most negative window base (see PADL comment)
     padt = _ceil_to(max(96, 8 - min(min(by0s), min(by0cs))), 128)
-    # padded rows: every tap slice must fit
+    # padded rows: every tap slice must fit; row-group views need
+    # hp divisible by the group p
+    rowmult = 16 * (3 if pgrp == 3 else 1) * (1 if pgrp != 4 else 1)
+    if pgrp:
+        rowmult = {2: 16, 3: 48, 4: 16}[pgrp]
     need = max(by0s[i] + 1 + padt + pys[i] * bh + 24
                for i in range(len(pys)))
-    hp = _ceil_to(max(padt + h_in + 8, need), 16)
+    hp = _ceil_to(max(padt + h_in + 8, need), rowmult)
     wp = _ceil_to(PADL + w_in + 8, 128)
     needc = max(by0cs[i] + 1 + padt + pys[i] * (bh // 2) + 24
                 for i in range(len(pys)))
-    hpc = _ceil_to(max(padt + h_in // 2 + 8, needc), 16)
+    hpc = _ceil_to(max(padt + h_in // 2 + 8, needc), rowmult)
     wpc = _ceil_to(PADL // 2 + w_in // 2 + 8, 128)
-    ww = 384 if max(axs) <= 1.9 else 512
+    ww = 384 if max(axs) <= 1.9 else (512 if max(axs) <= 2.9 else 768)
     return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
             "wpc": wpc, "pys": tuple(pys), "jranges": tuple(jranges),
-            "ww": ww, "offs": offs, "has2": 2 in pys, "has1": 1 in pys,
+            "ww": ww, "offs": offs, "pgrp": pgrp, "has1": 1 in pys,
             "padt": padt}
 
 
@@ -544,15 +562,15 @@ def frame_params(packed, offs, jranges, size, in_shape, pys, padt,
 
 @lru_cache(maxsize=64)
 def _runner_A(size, in_shape, n, bh, bw, hp, wp, hpc, wpc,
-              pys, padt, has2, has1, ww, chained, interpret):
+              pys, padt, pgrp, has1, ww, chained, interpret):
     """One jitted function per geometry: params + pad + kernel (a frame
     is ONE host dispatch; eager per-op dispatch through the device tunnel
     costs ~10 ms/op)."""
     w, h = size
     geom = {"hp": hp, "wp": wp, "hpc": hpc, "wpc": wpc, "padt": padt,
-            "has2": has2, "has1": has1}
+            "pgrp": pgrp, "has1": has1}
     prog = _frame_program(h, w, in_shape[0], in_shape[1], n, bh, bw, hp,
-                          wp, hpc, wpc, has2, has1, ww, chained,
+                          wp, hpc, wpc, pgrp, has1, ww, chained,
                           interpret)
 
     def run(packed, offs, jranges, ys, us, vs, *cur):
@@ -617,7 +635,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
             run = _runner_A(size, shape, len(group), geom["bh"],
                             geom["bw"], geom["hp"], geom["wp"],
                             geom["hpc"], geom["wpc"], geom["pys"],
-                            geom["padt"], geom["has2"], geom["has1"],
+                            geom["padt"], geom["pgrp"], geom["has1"],
                             geom["ww"], chained, interpret)
             cur = run(packed_a, offs_a, jr_a, ys, us, vs, *extra)
         else:
@@ -1211,27 +1229,14 @@ def _frame_program_rgbaout(h: int, w: int, h_in: int, w_in: int,
     return jax.jit(lambda ip, fp, *arrs: fn(ip, fp, *arrs))
 
 
-def convert_frame_pallas(size: Tuple[int, int], sources, out_fmt,
-                         interpret: bool = False):
-    """yuv-planar sources composited onto an RGBA/BGRA canvas (one kernel
-    call; golden._composite_rgba_out semantics).  Returns [H, W, 4] u8 or
-    None if ineligible.  Eligible: axis-aligned y420p sources at vertical
-    scale exactly 2 (the convert+downscale config; the half-res chroma
-    planes then sample the out grid at step 1)."""
-    from ..media.pixel import PixelFormat as PF
-    if out_fmt not in (PF.RGBA, PF.BGRA) or not sources:
-        return None
-    if any(fmt != PF.y420p for _, fmt, _ in sources):
-        return None
-    shapes = {tuple(np.asarray(s[0]).shape) for s, _, _ in sources}
-    if len(shapes) != 1:
-        return None
-    in_shape = shapes.pop()
-    h_in, w_in = in_shape
+def _rgbaout_geometry(packed_list, size, in_shape):
+    """Static geometry + eligibility for the rgba-target kernel: luma
+    vertical step exactly 2 (the half-res chroma planes then sample the
+    out grid at step 1), arbitrary horizontal scale <= 2.9."""
     w, h = size
-    packed = [golden._packed(u) for _, _, u in sources]
+    h_in, w_in = in_shape
     geoms = []
-    for p in packed:
+    for p in packed_list:
         p64 = np.asarray(p, np.float64)
         if not golden.is_axis_aligned(p64):
             return None
@@ -1240,17 +1245,16 @@ def convert_frame_pallas(size: Tuple[int, int], sources, out_fmt,
         if not (abs(ay - 2.0) < 1e-6 and 0 < ax <= 2.9):
             return None
         geoms.append((ay, float(pl_[1]), ax, float(pl_[3])))
-    # geometry: rgba-out specifics (luma step 2, chroma step 1)
     from .composite import _host_box_size
     per = [_host_box_size(p, size, bucket_h=16, bucket_w=256)
-           for p in packed]
+           for p in packed_list]
     bh = min(_ceil_to(max(b for b, _ in per) + 16, 16), _ceil_to(h, 16))
     bw = min(_ceil_to(max(b for _, b in per) + 256, 256), _ceil_to(w, 256))
     if bh % 16 or bw % 256 or bw // TILE_W < 2:
         return None
     ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
     offs, by0s, by0cs, jranges = [], [], [], []
-    for i, p in enumerate(packed):
+    for i, p in enumerate(packed_list):
         p64 = np.asarray(p, np.float64)
         eps = 1e-12
         x_lo = min((0.0 - p64[16]) / (p64[12] + eps),
@@ -1281,10 +1285,30 @@ def convert_frame_pallas(size: Tuple[int, int], sources, out_fmt,
     hpc = _ceil_to(max(padt + h_in // 2 + 8, need_c), 16)
     wpc = _ceil_to(PADL // 2 + w_in // 2 + 8, 128)
     ww = 384 if max(g[2] for g in geoms) <= 1.9 else 512
-    wwc = 384
-    geom = {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
+    return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
             "wpc": wpc, "offs": offs, "jranges": tuple(jranges),
-            "padt": padt, "has2": True, "has1": False}
+            "padt": padt, "ww": ww, "wwc": 384}
+
+
+def convert_frame_pallas(size: Tuple[int, int], sources, out_fmt,
+                         interpret: bool = False):
+    """yuv-planar sources composited onto an RGBA/BGRA canvas (one kernel
+    call; golden._composite_rgba_out semantics).  Returns [H, W, 4] u8 or
+    None if ineligible (see _rgbaout_geometry)."""
+    from ..media.pixel import PixelFormat as PF
+    if out_fmt not in (PF.RGBA, PF.BGRA) or not sources:
+        return None
+    if any(fmt != PF.y420p for _, fmt, _ in sources):
+        return None
+    shapes = {tuple(np.asarray(s[0]).shape) for s, _, _ in sources}
+    if len(shapes) != 1:
+        return None
+    in_shape = shapes.pop()
+    packed = [golden._packed(u) for _, _, u in sources]
+    geom = _rgbaout_geometry(packed, size, in_shape)
+    if geom is None:
+        return None
+
     def hstack(arrs):
         if all(isinstance(a, np.ndarray) for a in arrs):
             return np.stack(arrs)
@@ -1294,11 +1318,13 @@ def convert_frame_pallas(size: Tuple[int, int], sources, out_fmt,
     us = hstack([s[1] for s, _, _ in sources])
     vs = hstack([s[2] for s, _, _ in sources])
     packed_a = np.stack([np.asarray(q, np.float32) for q in packed])
-    offs_a = np.asarray(offs, np.int32)
-    jr_a = np.asarray(jranges, np.int32)
+    offs_a = np.asarray(geom["offs"], np.int32)
+    jr_a = np.asarray(geom["jranges"], np.int32)
     run = _runner_rgbaout(size, in_shape, out_fmt == PF.BGRA,
-                          len(sources), bh, bw, hp, wp, hpc, wpc, padt,
-                          ww, wwc, interpret)
+                          len(sources), geom["bh"], geom["bw"],
+                          geom["hp"], geom["wp"], geom["hpc"],
+                          geom["wpc"], geom["padt"], geom["ww"],
+                          geom["wwc"], interpret)
     return run(packed_a, offs_a, jr_a, ys, us, vs)
 
 

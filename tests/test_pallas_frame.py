@@ -206,3 +206,39 @@ def test_convert_frame_rejects_non_2to1():
     assert convert_frame_pallas((640, 360),
                                 [(src, PixelFormat.y420p, u)],
                                 PixelFormat.RGBA, interpret=True) is None
+
+
+def test_frame_3x3_multiview():
+    """3x3 multiview wall: nine full-size sources at 3:1 downscale
+    (row-group view p=3)."""
+    W, H = 768, 480  # 480 divisible by 3 tiles of 160
+    srcs = []
+    for s in range(9):
+        u = rect_uniforms((W, H), (W, H), x=(s % 3) * 256 + 1.3,
+                          y=(s // 3) * 160 + 1.7, w=W / 3, h=H / 3,
+                          opacity=0.95).pack()
+        srcs.append((_planes(H, W, 90 + s), PixelFormat.y420p, u))
+    _check((W, H), srcs)
+
+
+def test_frame_4x4_multiview():
+    """4x4 multiview wall at 4:1 downscale (row-group p=4)."""
+    W, H = 768, 512
+    srcs = []
+    for s in range(16):
+        u = rect_uniforms((W, H), (W, H), x=(s % 4) * 192 + 0.8,
+                          y=(s // 4) * 128 + 0.6, w=W / 4, h=H / 4,
+                          opacity=0.9).pack()
+        srcs.append((_planes(H, W, 110 + s), PixelFormat.y420p, u))
+    _check((W, H), srcs)
+
+
+def test_frame_mixed_scaled_groups_fall_back():
+    """Two different scaled factors in one run are not supported: the
+    geometry declines and the caller falls back."""
+    from swiftvideo_tpu.ops.pallas_frame import frame_geometry
+    W, H = 768, 480
+    u2 = rect_uniforms((W, H), (W, H), x=0, y=0, w=W / 2, h=H / 2).pack()
+    u3 = rect_uniforms((W, H), (W, H), x=300, y=200, w=W / 3, h=H / 3).pack()
+    packed = [np.asarray(golden._packed(u)) for u in (u2, u3)]
+    assert frame_geometry(packed, (W, H), (H, W)) is None
