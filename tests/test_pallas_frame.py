@@ -242,3 +242,54 @@ def test_frame_mixed_scaled_groups_fall_back():
     u3 = rect_uniforms((W, H), (W, H), x=300, y=200, w=W / 3, h=H / 3).pack()
     packed = [np.asarray(golden._packed(u)) for u in (u2, u3)]
     assert frame_geometry(packed, (W, H), (H, W)) is None
+
+
+def test_frame_edge_cases():
+    """Kernel edge cases: zero-opacity source, fully off-canvas overlay,
+    and an element flush against the bottom-right canvas corner."""
+    W, H = 768, 512
+    srcs = [
+        (_planes(H, W, 120), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_planes(H, W, 121), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=100.3, y=50.7, w=W / 2, h=H / 2,
+                       opacity=0.0).pack()),             # invisible
+        (_planes(H, W, 122), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=2000.0, y=50.0, w=W / 2,
+                       h=H / 2, opacity=0.9).pack()),    # off-canvas
+        (_planes(H, W, 123), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=W - W / 2 - 0.7,
+                       y=H - H / 2 - 0.3, w=W / 2, h=H / 2,
+                       opacity=0.8).pack()),             # corner-flush
+    ]
+    _check((W, H), srcs)
+
+
+def test_frame_unity_copy():
+    """A single full-canvas unity source at opacity 1: the kernel must
+    match the oracle within the 1-LSB contract (integer-position f32
+    coordinate rounding can flip the lerp branch at f ~ 0)."""
+    W, H = 768, 512
+    src = _planes(H, W, 130)
+    u = rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H,
+                      opacity=1.0).pack()
+    out = composite_frame_pallas((W, H), [(src, PixelFormat.y420p, u)],
+                                 interpret=True)
+    ref = golden.composite_stack(PixelFormat.y420p, (W, H),
+                                 [(src, PixelFormat.y420p, u)])
+    for o, r in zip(out, ref):
+        assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_frame_narrow_overlay_single_tile():
+    """An overlay narrower than one column tile exercises the jlo==jhi-1
+    gating edge."""
+    W, H = 1280, 720
+    srcs = [
+        (_planes(H, W, 140), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_planes(114, 200, 141), PixelFormat.y420p,
+         rect_uniforms((200, 114), (W, H), x=601.3, y=300.7, w=100, h=57,
+                       opacity=0.9).pack()),
+    ]
+    _check((W, H), srcs)
