@@ -146,8 +146,7 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
         docstring for the Mosaic quirks this dodges)."""
         P = pgrp
         for k in range(P):
-            gscr[k][...] = view_ref[0, :, k * wfull:(k + 1) * wfull
-                                    ].astype(jnp.int32)
+            gscr[k][...] = view_ref[0, :, k * wfull:(k + 1) * wfull]
         base = pl.multiple_of(((by0p // P) // 8) * 8, 8)
         m = by0p % (8 * P)
         blks = [gscr[k][pl.ds(base, n_rows + 9), :] for k in range(P)]
@@ -157,8 +156,8 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 
             @pl.when(m == m_)
             def _(g0=g0, sub0r=sub0r, g1=g1, sub1r=sub1r):
-                t0 = blks[g0][sub0r:sub0r + n_rows]
-                t1 = blks[g1][sub1r:sub1r + n_rows]
+                t0 = blks[g0][sub0r:sub0r + n_rows].astype(jnp.int32)
+                t1 = blks[g1][sub1r:sub1r + n_rows].astype(jnp.int32)
                 dst[...] = (t0.astype(jnp.float32) * (1.0 - g)
                             + t1.astype(jnp.float32) * g)
 
@@ -345,9 +344,9 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
             # row-group i32 lane splits (see row_group); 4 slots, the
             # first pgrp of each set are used
         ] + [pltpu.VMEM((hp // pgrp, wp) if pgrp and k < pgrp
-                        else (8, 128), jnp.int32) for k in range(4)]
+                        else (8, 128), jnp.uint8) for k in range(4)]
           + [pltpu.VMEM((hpc // pgrp, wpc) if pgrp and k < pgrp
-                        else (8, 128), jnp.int32) for k in range(4)],
+                        else (8, 128), jnp.uint8) for k in range(4)],
     )
     fn = pl.pallas_call(
         kern,
@@ -486,10 +485,8 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
     # top pad covers the most negative window base (see PADL comment)
     padt = _ceil_to(max(96, 8 - min(min(by0s), min(by0cs))), 128)
     # padded rows: every tap slice must fit; row-group views need
-    # hp divisible by the group p
-    rowmult = 16 * (3 if pgrp == 3 else 1) * (1 if pgrp != 4 else 1)
-    if pgrp:
-        rowmult = {2: 16, 3: 48, 4: 16}[pgrp]
+    # hp divisible by the group p (lcm with the 16-row bucket)
+    rowmult = {0: 16, 1: 16, 2: 16, 3: 48, 4: 16}[pgrp]
     need = max(by0s[i] + 1 + padt + pys[i] * bh + 24
                for i in range(len(pys)))
     hp = _ceil_to(max(padt + h_in + 8, need), rowmult)
@@ -713,8 +710,8 @@ def _frame_kernel_rgba(iparams_ref, fparams_ref, *rest,
                     rows_l[ch][...] = (t0.astype(jnp.float32) * (1.0 - gl)
                                        + t1.astype(jnp.float32) * gl)
             # chroma grid: vertical step 2 over the full-res plane
-            evn[...] = pair_ref[0, ch, :, 0:wp].astype(jnp.int32)
-            odd[...] = pair_ref[0, ch, :, wp:2 * wp].astype(jnp.int32)
+            evn[...] = pair_ref[0, ch, :, 0:wp]
+            odd[...] = pair_ref[0, ch, :, wp:2 * wp]
             base_c = pl.multiple_of(((by0c // 2) // 8) * 8, 8)
             mc = by0c % 16
             blk_e = evn[pl.ds(base_c, bhc + 9), :]
@@ -727,8 +724,10 @@ def _frame_kernel_rgba(iparams_ref, fparams_ref, *rest,
                 @pl.when(mc == m_)
                 def _(sub0r=sub0r, par0=par0, sub1r=sub1r, par1=par1,
                       ch=ch):
-                    t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + bhc]
-                    t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + bhc]
+                    t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + bhc
+                                                    ].astype(jnp.int32)
+                    t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + bhc
+                                                    ].astype(jnp.int32)
                     rows_c[ch][...] = (t0.astype(jnp.float32) * (1.0 - gc)
                                        + t1.astype(jnp.float32) * gc)
 
@@ -864,8 +863,8 @@ def _frame_program_rgba(h: int, w: int, h_in: int, w_in: int,
                         jnp.float32),
              pltpu.VMEM((_ceil_to(h, 16) // 2, _ceil_to(w, 256) // 2),
                         jnp.float32),
-             pltpu.VMEM((hp // 2, wp), jnp.int32),
-             pltpu.VMEM((hp // 2, wp), jnp.int32)]
+             pltpu.VMEM((hp // 2, wp), jnp.uint8),
+             pltpu.VMEM((hp // 2, wp), jnp.uint8)]
             + [pltpu.VMEM((bh, wp), jnp.float32) for _ in range(4)]
             + [pltpu.VMEM((bh // 2, wp), jnp.float32) for _ in range(4)]
         ),
@@ -1073,8 +1072,8 @@ def _frame_kernel_rgbaout(iparams_ref, fparams_ref, *rest,
         by0l, gl = iparams_ref[s, 2], fparams_ref[s, 0]
         by0c, gc = iparams_ref[s, 3], fparams_ref[s, 1]
         # luma: vertical step 2 (pair layout + 16-way residual switch)
-        evn[...] = ysp_ref[0, :, 0:wp].astype(jnp.int32)
-        odd[...] = ysp_ref[0, :, wp:2 * wp].astype(jnp.int32)
+        evn[...] = ysp_ref[0, :, 0:wp]
+        odd[...] = ysp_ref[0, :, wp:2 * wp]
         base = pl.multiple_of(((by0l // 2) // 8) * 8, 8)
         m = by0l % 16
         blk_e = evn[pl.ds(base, bh + 9), :]
@@ -1086,8 +1085,10 @@ def _frame_kernel_rgbaout(iparams_ref, fparams_ref, *rest,
 
             @pl.when(m == m_)
             def _(sub0r=sub0r, par0=par0, sub1r=sub1r, par1=par1):
-                t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + bh]
-                t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + bh]
+                t0 = (blk_o if par0 else blk_e)[sub0r:sub0r + bh
+                                                ].astype(jnp.int32)
+                t1 = (blk_o if par1 else blk_e)[sub1r:sub1r + bh
+                                                ].astype(jnp.int32)
                 rows_y[...] = (t0.astype(jnp.float32) * (1.0 - gl)
                                + t1.astype(jnp.float32) * gl)
         # chroma: vertical step 1 over the half-res planes, full out grid
@@ -1212,8 +1213,8 @@ def _frame_program_rgbaout(h: int, w: int, h_in: int, w_in: int,
             + [pltpu.VMEM((bh, wp), jnp.float32),
                pltpu.VMEM((bh, wpc), jnp.float32),
                pltpu.VMEM((bh, wpc), jnp.float32),
-               pltpu.VMEM((hp // 2, wp), jnp.int32),
-               pltpu.VMEM((hp // 2, wp), jnp.int32)]
+               pltpu.VMEM((hp // 2, wp), jnp.uint8),
+               pltpu.VMEM((hp // 2, wp), jnp.uint8)]
         ),
     )
     fn = pl.pallas_call(
