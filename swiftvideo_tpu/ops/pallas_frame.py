@@ -588,16 +588,47 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
     families = {PF.y420p: "A", PF.RGBA: "B", PF.BGRA: "B"}
     if not sources or any(fmt not in families for _, fmt, _ in sources):
         return None
-    # consecutive same-(family, shape, fmt) runs; z-order preserved
-    # across chained calls
-    runs = []
+    # group sources into same-(family, fmt, shape) runs; z-order is
+    # preserved across chained calls, and a source may join an EARLIER
+    # compatible run when its border rect does not overlap any source
+    # between (blending is only order-sensitive where pixels overlap) —
+    # this collapses interleaved camera/label stacks from 2N calls to 2
+    def border_rect(u):
+        p64 = np.asarray(golden._packed(u), np.float64)
+        eps = 1e-12
+        xs = sorted(((q - p64[16]) / (p64[12] + eps) + 1.0) / 2.0 * size[0]
+                    for q in (0.0, 1.0))
+        ys = sorted(((q - p64[17]) / (p64[15] + eps) + 1.0) / 2.0 * size[1]
+                    for q in (0.0, 1.0))
+        return (xs[0], ys[0], xs[1], ys[1])
+
+    def overlaps(a, b):
+        return not (a[2] <= b[0] or b[2] <= a[0]
+                    or a[3] <= b[1] or b[3] <= a[1])
+
+    runs = []  # [(key, [src...], [rect...])]
     for src in sources:
         key = (families[src[1]], src[1],
                tuple(np.asarray(src[0][0]).shape))
-        if runs and runs[-1][0] == key:
-            runs[-1][1].append(src)
+        rect = border_rect(src[2])
+        # the source must execute after everything it overlaps: find the
+        # LAST run containing an overlap; any run after it (or that run
+        # itself, appending after the overlap) is a valid home
+        last_overlap = -1
+        for ri, (_, _, rects) in enumerate(runs):
+            if any(overlaps(rect, r) for r in rects):
+                last_overlap = ri
+        target = None
+        for ri in range(max(last_overlap, 0), len(runs)):
+            if ri >= last_overlap and runs[ri][0] == key:
+                target = ri
+                break
+        if target is None:
+            runs.append((key, [src], [rect]))
         else:
-            runs.append((key, [src]))
+            runs[target][1].append(src)
+            runs[target][2].append(rect)
+    runs = [(k, grp) for k, grp, _ in runs]
     plan = []
     for (family, fmt, shape), group in runs:
         packed = [golden._packed(u) for _, _, u in group]

@@ -293,3 +293,38 @@ def test_frame_narrow_overlay_single_tile():
                        opacity=0.9).pack()),
     ]
     _check((W, H), srcs)
+
+
+def test_frame_run_coalescing_non_overlapping():
+    """Interleaved camera/label stacks coalesce into two runs when the
+    overlays don't overlap each other — and the output still matches the
+    oracle's strict z-order blend."""
+    W, H = 768, 512
+    srcs = []
+    for s in range(3):
+        x, y = (s % 2) * 384, (s // 2) * 256
+        srcs.append((_planes(H, W, 150 + s), PixelFormat.y420p,
+                     rect_uniforms((W, H), (W, H), x=x + 0.4, y=y + 0.3,
+                                   w=384, h=256).pack()))
+        srcs.append((_rgba_plane(32, 128, 160 + s), PixelFormat.RGBA,
+                     rect_uniforms((128, 32), (W, H), x=x + 10.3,
+                                   y=y + 200.7, w=128, h=32,
+                                   opacity=0.8).pack()))
+    _check((W, H), srcs)
+
+
+def test_frame_overlapping_interleave_keeps_order():
+    """Overlapping sources must NOT be reordered: a label covering two
+    tiles pins the z order (chained per-overlap runs)."""
+    W, H = 768, 512
+    srcs = [
+        (_planes(H, W, 170), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0.4, y=0.3, w=384, h=256).pack()),
+        (_rgba_plane(64, 512, 171), PixelFormat.RGBA,
+         rect_uniforms((512, 64), (W, H), x=100.3, y=100.7, w=512, h=64,
+                       opacity=0.7).pack()),   # spans both tiles
+        (_planes(H, W, 172), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=384.4, y=0.3, w=384,
+                       h=256).pack()),          # overlaps the label
+    ]
+    _check((W, H), srcs)
