@@ -105,20 +105,19 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
     outy_ref, outcb_ref, outcr_ref = rest[n_in:n_in + 3]
     scr = rest[n_in + 3:]
     accy, acccb, acccr, rowsy, rowscb, rowscr = scr[0:6]
-    grp_y = scr[6:10]
-    grp_c = scr[10:14]
+    rowsy1, rowscb1, rowscr1 = scr[6:9]
+    grp_y = scr[9:13]
+    grp_c = scr[13:17]
     if pgrp:
         ysp_ref, usp_ref, vsp_ref = in_refs[0:3]
     if has1:
         ysn_ref, usn_ref, vsn_ref = in_refs[3:6] if pgrp else in_refs[0:3]
 
     s = pl.program_id(0)
-    j = pl.program_id(1)
-    n_j = pl.num_programs(1)
     bhc = bh // 2
     ha, wa = _ceil_to(h, 16), _ceil_to(w, 256)
 
-    @pl.when((s == 0) & (j == 0))
+    @pl.when(s == 0)
     def _init():
         # chained: continue blending over a previously composited frame
         # (mixed source sizes run as one kernel call per same-shape run,
@@ -137,13 +136,20 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 
     pys = iparams_ref[s, 4]
 
-    def row_group(view_ref, dst, gscr, by0p, g, n_rows, wfull):
+    def row_group(view_ref, dst0, dst1, gscr, by0p, n_rows, wfull):
         """Integer vertical step p = pgrp taps via the statically
         lane-split row-group view [Hp/p, p*Wp]: tap row by0p + p*t lives
         at sub-row by0p//p + t of lane group by0p%p — contiguous
         8-aligned sublane slices, residual + group resolved by an
         (8*p)-way pl.when switch with static slices (see module
-        docstring for the Mosaic quirks this dodges)."""
+        docstring for the Mosaic quirks this dodges).
+
+        The two vertical taps are stored UNLERPED into dst0/dst1 and the
+        vertical lerp folds into the column matmul weights (col_blend):
+        a single misaligned-u8 slice+convert+store lowers as a cheap
+        rotate-copy, while a two-operand lerp over misaligned u8 slices
+        costs ~5x the whole kernel (measured; benchmarks/kern_ablate.py
+        rows_live=0.22ms vs rows_2tap_live=0.044ms per 4-source frame)."""
         P = pgrp
         for k in range(P):
             gscr[k][...] = view_ref[0, :, k * wfull:(k + 1) * wfull]
@@ -155,55 +161,63 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
             g1, sub1r = (m_ + 1) % P, (m_ + 1) // P
 
             @pl.when(m == m_)
-            def _(g0=g0, sub0r=sub0r, g1=g1, sub1r=sub1r):
-                t0 = blks[g0][sub0r:sub0r + n_rows].astype(jnp.int32)
-                t1 = blks[g1][sub1r:sub1r + n_rows].astype(jnp.int32)
-                dst[...] = (t0.astype(jnp.float32) * (1.0 - g)
-                            + t1.astype(jnp.float32) * g)
+            def _(g0=g0, sub0r=sub0r):
+                dst0[...] = blks[g0][sub0r:sub0r + n_rows].astype(
+                    jnp.int32).astype(jnp.float32)
 
-    def row_plain(plain_ref, dst, by0p, g, n_rows):
+            @pl.when(m == m_)
+            def _(g1=g1, sub1r=sub1r):
+                dst1[...] = blks[g1][sub1r:sub1r + n_rows].astype(
+                    jnp.int32).astype(jnp.float32)
+
+    def row_plain(plain_ref, dst0, dst1, by0p, n_rows):
         """py==1 vertical taps: contiguous 8-aligned read + 8-way residual
-        switch."""
+        switch; both taps stored unlerped (see row_group)."""
         base = pl.multiple_of((by0p // 8) * 8, 8)
         m = by0p % 8
-        blk = plain_ref[0, pl.ds(base, n_rows + 9), :].astype(jnp.int32)
+        blk = plain_ref[0, pl.ds(base, n_rows + 9), :]
         for m_ in range(8):
             @pl.when(m == m_)
             def _(m_=m_):
-                t0 = blk[m_:m_ + n_rows]
-                t1 = blk[m_ + 1:m_ + 1 + n_rows]
-                dst[...] = (t0.astype(jnp.float32) * (1.0 - g)
-                            + t1.astype(jnp.float32) * g)
+                dst0[...] = blk[m_:m_ + n_rows].astype(
+                    jnp.int32).astype(jnp.float32)
 
-    @pl.when(j == 0)
+            @pl.when(m == m_)
+            def _(m_=m_):
+                dst1[...] = blk[m_ + 1:m_ + 1 + n_rows].astype(
+                    jnp.int32).astype(jnp.float32)
+
     def _rows():
-        by0l, gl = iparams_ref[s, 2], fparams_ref[s, 0]
-        by0c, gc = iparams_ref[s, 3], fparams_ref[s, 1]
+        by0l = iparams_ref[s, 2]
+        by0c = iparams_ref[s, 3]
         if pgrp and has1:
             @pl.when(pys == pgrp)
             def _pg():
-                row_group(ysp_ref, rowsy, grp_y, by0l, gl, bh, wp)
-                row_group(usp_ref, rowscb, grp_c, by0c, gc, bhc, wpc)
-                row_group(vsp_ref, rowscr, grp_c, by0c, gc, bhc, wpc)
+                row_group(ysp_ref, rowsy, rowsy1, grp_y, by0l, bh, wp)
+                row_group(usp_ref, rowscb, rowscb1, grp_c, by0c, bhc, wpc)
+                row_group(vsp_ref, rowscr, rowscr1, grp_c, by0c, bhc, wpc)
 
             @pl.when(pys == 1)
             def _p1():
-                row_plain(ysn_ref, rowsy, by0l, gl, bh)
-                row_plain(usn_ref, rowscb, by0c, gc, bhc)
-                row_plain(vsn_ref, rowscr, by0c, gc, bhc)
+                row_plain(ysn_ref, rowsy, rowsy1, by0l, bh)
+                row_plain(usn_ref, rowscb, rowscb1, by0c, bhc)
+                row_plain(vsn_ref, rowscr, rowscr1, by0c, bhc)
         elif pgrp:
-            row_group(ysp_ref, rowsy, grp_y, by0l, gl, bh, wp)
-            row_group(usp_ref, rowscb, grp_c, by0c, gc, bhc, wpc)
-            row_group(vsp_ref, rowscr, grp_c, by0c, gc, bhc, wpc)
+            row_group(ysp_ref, rowsy, rowsy1, grp_y, by0l, bh, wp)
+            row_group(usp_ref, rowscb, rowscb1, grp_c, by0c, bhc, wpc)
+            row_group(vsp_ref, rowscr, rowscr1, grp_c, by0c, bhc, wpc)
         else:
-            row_plain(ysn_ref, rowsy, by0l, gl, bh)
-            row_plain(usn_ref, rowscb, by0c, gc, bhc)
-            row_plain(vsn_ref, rowscr, by0c, gc, bhc)
+            row_plain(ysn_ref, rowsy, rowsy1, by0l, bh)
+            row_plain(usn_ref, rowscb, rowscb1, by0c, bhc)
+            row_plain(vsn_ref, rowscr, rowscr1, by0c, bhc)
 
-    def col_blend(rows_scr, acc, tile_j, n_rows, oy, ox, padl, wfull,
-                  cx0, ax, ay, by, p_off, fill, clamp_lo, src_h, src_w):
-        """Sample one [n_rows, TILE_W] column tile by banded matmul, then
-        z-blend it into the accumulator (golden.apply_composite algebra).
+    def col_blend(rows0, rows1, acc, tile_j, n_rows, oy, ox, padl, wfull,
+                  cx0, ax, gv, ay, by, p_off, fill, clamp_lo, src_h,
+                  src_w):
+        """Sample one [n_rows, TILE_W] column tile by banded matmuls over
+        the two unlerped vertical-tap buffers — the vertical lerp lives
+        in the weights: samp = win0 @ (Ct*(1-g)) + win1 @ (Ct*g) — then
+        z-blend into the accumulator (golden.apply_composite algebra).
         The window is clamped to the rows scratch; positions it cannot
         cover get all-zero hat weights, and those are always
         out-of-texture (masked)."""
@@ -211,16 +225,22 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
         base_x = cx0 + ax * (TILE_W * tile_j).astype(jnp.float32)
         w0 = jnp.floor(base_x).astype(jnp.int32) - 2 + padl
         wstart = jnp.clip((w0 // 128) * 128, 0, wfull - ww_p)
-        win = rows_scr[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
+        win0 = rows0[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
+        win1 = rows1[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
         us_ = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0
                                        ).astype(jnp.float32)
-        ks = (wstart - padl
-              + jax.lax.broadcasted_iota(jnp.int32, (1, ww_p), 1)
-              ).astype(jnp.float32)
+        ks_c = (wstart - padl
+                + jax.lax.broadcasted_iota(jnp.int32, (ww_p, 1), 0)
+                ).astype(jnp.float32)
         xs = base_x + ax * us_                                  # [TW, 1]
-        C = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ks))            # [TW, WW]
-        samp = jnp.dot(win, C.T, preferred_element_type=jnp.float32
-                       ) * (1.0 / 255.0)                        # [NR, TW]
+        xs_r = base_x + ax * jax.lax.broadcasted_iota(
+            jnp.int32, (1, TILE_W), 1).astype(jnp.float32)
+        Ct = jnp.maximum(0.0, 1.0 - jnp.abs(xs_r - ks_c))       # [WW, TW]
+        samp = (jnp.dot(win0, Ct * (1.0 - gv),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(win1, Ct * gv,
+                          preferred_element_type=jnp.float32)
+                ) * (1.0 / 255.0)                               # [NR, TW]
 
         rows_g = (oy + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
                   ).astype(jnp.float32)
@@ -257,29 +277,40 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
     oy = iparams_ref[s, 0]
     ox = iparams_ref[s, 1]
 
-    @pl.when((iparams_ref[s, 5] <= j) & (j < iparams_ref[s, 6]))
-    def _luma():
+    # one grid step per source: rows + all column tiles in program order.
+    # Splitting tiles across grid steps costs ~0.13 ms/frame in scratch
+    # write->read cross-step hazards (benchmarks/kern_ablate.py v2 vs v2f)
+    _rows()
+
+    def _luma(jj, carry):
         p_off_l = tuple(fparams_ref[s, k] for k in range(10, 18))
-        col_blend(rowsy, accy, j, bh, oy, ox, PADL, wp,
-                  fparams_ref[s, 2], fparams_ref[s, 4],
+        col_blend(rowsy, rowsy1, accy, jj, bh, oy, ox, PADL, wp,
+                  fparams_ref[s, 2], fparams_ref[s, 4], fparams_ref[s, 0],
                   fparams_ref[s, 6], fparams_ref[s, 7],
                   p_off_l, fparams_ref[s, 28], 0.0, h_in, w_in)
+        return carry
 
-    @pl.when((iparams_ref[s, 7] <= j) & (j < iparams_ref[s, 8]))
-    def _chroma():
+    jax.lax.fori_loop(iparams_ref[s, 5], iparams_ref[s, 6], _luma, 0)
+
+    def _chroma(jj, carry):
         p_off_c = tuple(fparams_ref[s, k] for k in range(18, 26))
-        col_blend(rowscb, acccb, j, bhc, oy // 2, ox // 2, PADL // 2, wpc,
-                  fparams_ref[s, 3], fparams_ref[s, 5],
+        col_blend(rowscb, rowscb1, acccb, jj, bhc, oy // 2, ox // 2,
+                  PADL // 2, wpc,
+                  fparams_ref[s, 3], fparams_ref[s, 5], fparams_ref[s, 1],
                   fparams_ref[s, 8], fparams_ref[s, 9],
                   p_off_c, fparams_ref[s, 29], -1.0,
                   h_in // 2, w_in // 2)
-        col_blend(rowscr, acccr, j, bhc, oy // 2, ox // 2, PADL // 2, wpc,
-                  fparams_ref[s, 3], fparams_ref[s, 5],
+        col_blend(rowscr, rowscr1, acccr, jj, bhc, oy // 2, ox // 2,
+                  PADL // 2, wpc,
+                  fparams_ref[s, 3], fparams_ref[s, 5], fparams_ref[s, 1],
                   fparams_ref[s, 8], fparams_ref[s, 9],
                   p_off_c, fparams_ref[s, 30], -1.0,
                   h_in // 2, w_in // 2)
+        return carry
 
-    @pl.when((s == n_sources - 1) & (j == n_j - 1))
+    jax.lax.fori_loop(iparams_ref[s, 7], iparams_ref[s, 8], _chroma, 0)
+
+    @pl.when(s == n_sources - 1)
     def _emit():
         outy_ref[...] = accy[0:h, 0:w].astype(jnp.int32).astype(jnp.uint8)
         outcb_ref[...] = acccb[0:h // 2, 0:w // 2].astype(jnp.int32
@@ -296,7 +327,6 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_j = bw // TILE_W
     kern = partial(_frame_kernel, n_sources=n_sources, h=h, w=w,
                    h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
                    hpc=hpc, wpc=wpc, pgrp=pgrp, has1=has1, ww=ww,
@@ -305,32 +335,32 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
     if pgrp:
         in_specs += [
             pl.BlockSpec((1, hp // pgrp, pgrp * wp),
-                         lambda s, j, *_: (s, 0, 0)),
+                         lambda s, *_: (s, 0, 0)),
             pl.BlockSpec((1, hpc // pgrp, pgrp * wpc),
-                         lambda s, j, *_: (s, 0, 0)),
+                         lambda s, *_: (s, 0, 0)),
             pl.BlockSpec((1, hpc // pgrp, pgrp * wpc),
-                         lambda s, j, *_: (s, 0, 0)),
+                         lambda s, *_: (s, 0, 0)),
         ]
     if has1:
         in_specs += [
-            pl.BlockSpec((1, hp, wp), lambda s, j, *_: (s, 0, 0)),
-            pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
-            pl.BlockSpec((1, hpc, wpc), lambda s, j, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hp, wp), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc, wpc), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, hpc, wpc), lambda s, *_: (s, 0, 0)),
         ]
     if chained:
         in_specs += [
-            pl.BlockSpec((h, w), lambda s, j, *_: (0, 0)),
-            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
-            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h, w), lambda s, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, *_: (0, 0)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # iparams, fparams
-        grid=(n_sources, n_j),
+        grid=(n_sources,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((h, w), lambda s, j, *_: (0, 0)),
-            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
-            pl.BlockSpec((h // 2, w // 2), lambda s, j, *_: (0, 0)),
+            pl.BlockSpec((h, w), lambda s, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, *_: (0, 0)),
+            pl.BlockSpec((h // 2, w // 2), lambda s, *_: (0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((_ceil_to(h, 16), _ceil_to(w, 256)), jnp.float32),
@@ -338,6 +368,10 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
                        jnp.float32),
             pltpu.VMEM((_ceil_to(h, 16) // 2, _ceil_to(w, 256) // 2),
                        jnp.float32),
+            # unlerped vertical taps 0 and 1 (see row_group)
+            pltpu.VMEM((bh, wp), jnp.float32),
+            pltpu.VMEM((bh // 2, wpc), jnp.float32),
+            pltpu.VMEM((bh // 2, wpc), jnp.float32),
             pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh // 2, wpc), jnp.float32),
             pltpu.VMEM((bh // 2, wpc), jnp.float32),
@@ -355,7 +389,7 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
                    jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8),
                    jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
