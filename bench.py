@@ -250,22 +250,38 @@ def main() -> None:
         log("config1 pallas unavailable:", exc)
 
     # ---- config 4: transcode ladder 1080p -> {720p, 480p, 360p} ----------
+    # matmul-sampler (ops/matscale.py): each rung = V @ X @ H banded MXU
+    # matmuls; parity vs the golden oracle asserted before timing
+    from swiftvideo_tpu.ops.matscale import plan_scale, scale_y420p
     src1080 = dev_sources[0]
+    rungs = ((1280, 720), (854, 480), (640, 360))
+    plans = [plan_scale(identity_uniforms((W, H), r), r, (H, W))
+             for r in rungs]
 
     @jax.jit
     def ladder(planes):
-        outs = []
-        for (w, h) in ((1280, 720), (854, 480), (640, 360)):
-            uni = jnp.asarray(identity_uniforms((W, H), (w, h)).pack())
-            target = [jnp.zeros((h, w), jnp.uint8),
-                      jnp.full((h // 2, w // 2), 128, jnp.uint8),
-                      jnp.full((h // 2, w // 2), 128, jnp.uint8)]
-            outs.append(tuple(golden.apply_composite(
-                target, PixelFormat.y420p, list(planes), PixelFormat.y420p,
-                uni, xp=jnp, separable=True)))
-        return tuple(outs)
+        return tuple(scale_y420p(planes, p) for p in plans)
 
-    dt4 = time_fn(ladder, src1080, iters=50)
+    lad_out = ladder(src1080)
+    for (w, h), out in zip(rungs, lad_out):
+        uni = identity_uniforms((W, H), (w, h))
+        ref = golden.composite_stack(
+            PixelFormat.y420p, (w, h),
+            [(sources[0], PixelFormat.y420p, uni)])
+        e4 = max(int(np.abs(np.asarray(o).astype(int) - r.astype(int)).max())
+                 for o, r in zip(out, ref))
+        assert e4 <= 1, f"ladder parity failure at {(w, h)}: {e4}"
+
+    def ladder_body(_k, carry):
+        planes, _ = carry
+        out = ladder(planes)
+        # write one emitted pixel back into the source so the whole rung
+        # computation is loop-carried (an integer *0 bump would be
+        # constant-folded and the ladder hoisted out of the loop)
+        y2 = planes[0].at[0, 0].set(out[0][0][0, 0])
+        return ((y2, planes[1], planes[2]), out)
+
+    dt4 = time_device_loop(ladder_body, (src1080, lad_out), iters=100)
     log(f"config4 1080p ladder (3 rungs): {dt4*1e3:.3f} ms = {1/dt4:.1f} ladders/s")
 
     # ---- config 2: audio resample throughput ------------------------------
@@ -286,8 +302,10 @@ def main() -> None:
         win = jnp.take(x, idx, axis=-1)
         y = jnp.einsum("pcr,lr->pcl", win, Hj, precision="highest",
                        preferred_element_type=jnp.float32)
-        # feed a whisper of the output back to keep the loop sequential
-        return x + y[:, 0, 0][:, None] * 1e-12
+        # feed a whisper of EVERY output back to keep the loop sequential:
+        # a single-element probe lets XLA dead-code-eliminate the rest of
+        # the einsum and report phantom throughput
+        return x + jnp.sum(y, axis=(1, 2))[:, None] * 1e-20
 
     dt2 = time_device_loop(resample_body, xa, iters=50)
     msps = n_streams * cycles * M / dt2 / 1e6
@@ -306,15 +324,20 @@ def main() -> None:
         vs = wall.shard(jnp.full((64, 540, 960), 128, jnp.uint8))
         audio = wall.shard(jnp.full((64, 1600), 50, jnp.int16))
         gains = jnp.ones((64,), jnp.float32)
-        wall_unis = wall.default_uniforms()
 
         def wall_body(_k, carry):
-            g, _prev = carry
-            out = wall._step(ys, us, vs, audio, g, wall_unis)
-            return (g + out[0][0, 0].astype(jnp.float32) * 1e-12, out[3])
+            ys_c, _prev = carry
+            out = wall._step_plan(ys_c, us, vs, audio, gains)
+            # loop-carry one wall pixel into the stream batch so the video
+            # path cannot be hoisted (gains only feed the audio mix)
+            ys2 = ys_c.at[0, 0, 0].set(out[0][0, 0])
+            # carry the full wall plane too: a one-pixel probe would let
+            # XLA prune most tiles' matmuls
+            return (ys2, (out[0], out[3]))
 
-        init = (gains, wall.step(ys, us, vs, audio)[3])
-        dt5 = time_device_loop(wall_body, init, iters=20)
+        wall0 = wall.step(ys, us, vs, audio)
+        init = (ys, (wall0[0], wall0[3]))
+        dt5 = time_device_loop(wall_body, init, iters=50)
         log(f"config5 64-stream 1080p wall tick: {dt5*1e3:.3f} ms = "
             f"{1/dt5:.1f} wall fps = {64/dt5:.0f} stream-scales/s/chip")
     except Exception as exc:  # noqa: BLE001

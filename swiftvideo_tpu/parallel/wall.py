@@ -56,8 +56,13 @@ class MixingWall:
         grid = int(round(n_streams ** 0.5))
         if grid * grid != n_streams:
             raise ValueError("n_streams must be a perfect square")
-        if grid % n_dev and n_dev % grid:
-            raise ValueError("wall rows must map to whole devices")
+        # local_step implements the whole-rows-per-device layout only: a
+        # mesh larger than the wall's row count would silently produce a
+        # tile column instead of the wall (advisor finding, round 1)
+        if n_dev > grid or grid % n_dev:
+            raise ValueError("mesh must own whole wall rows: need "
+                             f"n_dev <= grid and grid % n_dev == 0 "
+                             f"(got n_dev={n_dev}, grid={grid})")
         self.grid = grid
         self.n_streams = n_streams
         self.stream_size = stream_size
@@ -78,7 +83,16 @@ class MixingWall:
         tw, th = self.tile
         sw, sh = self.stream_size
         local = self.n_streams // n_dev
-        rows_per_dev = grid // n_dev if grid >= n_dev else 1
+        rows_per_dev = grid // n_dev
+
+        # default-uniform fast path: every cell is a pure full-coverage
+        # scale -> two banded MXU matmuls per plane (ops/matscale.py), no
+        # gathers.  Custom per-cell uniforms fall back to the general
+        # composite fold.
+        from ..ops.matscale import plan_scale, scale_y420p_batch
+        self._plan = plan_scale(identity_uniforms(self.stream_size,
+                                                  self.tile),
+                                self.tile, (sh, sw))
 
         def scale_one(y, u, v, uni):
             """One stream -> one wall tile, with the stream's own composite
@@ -91,9 +105,7 @@ class MixingWall:
                                          uni, xp=jnp, separable=True)
             return out[0], out[1], out[2]
 
-        def local_step(ys, us, vs, audio, gains, unis):
-            # ys: [local, sh, sw] u8 — this device's streams
-            ty, tu, tv = jax.vmap(scale_one)(ys, us, vs, unis)
+        def assemble_and_mix(ty, tu, tv, audio, gains):
             # arrange local streams into wall rows: [rows, cols, th, tw]
             cols = local // rows_per_dev
             wall_y = ty.reshape(rows_per_dev, cols, th, tw) \
@@ -111,11 +123,24 @@ class MixingWall:
             mixed = jnp.clip(jnp.trunc(total), -32768, 32767).astype(jnp.int16)
             return wall_y, wall_u, wall_v, mixed
 
+        def local_step(ys, us, vs, audio, gains, unis):
+            ty, tu, tv = jax.vmap(scale_one)(ys, us, vs, unis)
+            return assemble_and_mix(ty, tu, tv, audio, gains)
+
+        def local_step_plan(ys, us, vs, audio, gains):
+            ty, tu, tv = scale_y420p_batch(ys, us, vs, self._plan)
+            return assemble_and_mix(ty, tu, tv, audio, gains)
+
         spec_s = P(self.axis)
         shard = jax.shard_map(
             local_step, mesh=self.mesh,
             in_specs=(spec_s, spec_s, spec_s, spec_s, spec_s, spec_s),
             out_specs=(spec_s, spec_s, spec_s, P()))
+        shard_plan = jax.shard_map(
+            local_step_plan, mesh=self.mesh,
+            in_specs=(spec_s, spec_s, spec_s, spec_s, spec_s),
+            out_specs=(spec_s, spec_s, spec_s, P()))
+        self._step_plan = jax.jit(shard_plan)
         return jax.jit(shard)
 
     # --- step -------------------------------------------------------------
@@ -132,9 +157,14 @@ class MixingWall:
     def step(self, ys, us, vs, audio, gains=None, uniforms=None):
         """One wall tick.  ys/us/vs: [N, ...] u8 planes; audio: [N, samples]
         s16; gains: [N] f32; uniforms: optional [N, UNIFORM_WIDTH] per-cell
-        composite uniforms.  Returns (wall_y, wall_u, wall_v, mixed)."""
+        composite uniforms.  Returns (wall_y, wall_u, wall_v, mixed).
+
+        Without custom uniforms, cells run the matmul-sampler fast path
+        (ops/matscale.py); per-cell uniforms use the general composite."""
         if gains is None:
             gains = jnp.ones((self.n_streams,), jnp.float32)
+        if uniforms is None and self._plan is not None:
+            return self._step_plan(ys, us, vs, audio, gains)
         if uniforms is None:
             uniforms = self.default_uniforms()
         return self._step(ys, us, vs, audio, gains, uniforms)
