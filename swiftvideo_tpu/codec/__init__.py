@@ -1,26 +1,29 @@
 """Codec layer: bitstream parsers, codecs, file sources, text, transcode."""
 
-from . import bitstream
+from . import bitstream, containers
 from .codecs import (AudioDecoder, AudioEncoder, VideoDecoder, VideoEncoder,
                      ffmpeg_available, pack_uncompressed_audio,
                      pack_uncompressed_picture, unpack_uncompressed_audio,
                      unpack_uncompressed_picture)
-from .ffmpeg_subprocess import (FFmpegVideoDecoder, FFmpegVideoEncoder,
+from .ffmpeg_subprocess import (FFmpegAudioDecoder, FFmpegAudioEncoder,
+                                FFmpegVideoDecoder, FFmpegVideoEncoder,
                                 ffmpeg_path)
-from .file_source import SyntheticSource, open_media_file
+from .file_source import (SyntheticSource, open_media_file,
+                          open_media_file_av)
 from .text import TextRenderer, TextSample, render_text_rgba
-from .transcode import (TranscodeContainer, asset_rename,
+from .transcode import (TranscodeContainer, asset_rename, flat,
                         make_audio_transcoder, make_video_transcoder)
 
 __all__ = [
-    "bitstream",
+    "bitstream", "containers",
     "VideoDecoder", "VideoEncoder", "AudioDecoder", "AudioEncoder",
     "ffmpeg_available", "pack_uncompressed_picture",
     "unpack_uncompressed_picture", "pack_uncompressed_audio",
     "unpack_uncompressed_audio",
-    "SyntheticSource", "open_media_file",
-    "FFmpegVideoDecoder", "FFmpegVideoEncoder", "ffmpeg_path",
+    "SyntheticSource", "open_media_file", "open_media_file_av",
+    "FFmpegVideoDecoder", "FFmpegVideoEncoder",
+    "FFmpegAudioDecoder", "FFmpegAudioEncoder", "ffmpeg_path",
     "TextRenderer", "TextSample", "render_text_rgba",
-    "asset_rename", "make_video_transcoder", "make_audio_transcoder",
+    "asset_rename", "flat", "make_video_transcoder", "make_audio_transcoder",
     "TranscodeContainer",
 ]

@@ -226,6 +226,93 @@ def aac_parse_asc(asc: bytes) -> Tuple[int, int, int]:
     return _aac_parse_asc_py(asc)
 
 
+_ASC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350]
+
+
+def make_asc(sample_rate: int, channels: int, *,
+             object_type: int = 2) -> bytes:
+    """Build a 2-byte AudioSpecificConfig (AAC-LC default) — the inverse of
+    :func:`aac_parse_asc`, used for the encoder's ``side["config"]``
+    (reference: libfdk_aac supplies extradata, enc.audio.ffmpeg.swift)."""
+    idx = _ASC_RATES.index(sample_rate)
+    v = (object_type << 11) | (idx << 7) | (channels << 3)
+    return v.to_bytes(2, "big")
+
+
+def vp8_frame_size(frame: bytes) -> Tuple[int, int]:
+    """(width, height) from a VP8 keyframe (RFC 6386 §9.1).
+
+    Layout: 3-byte frame tag (bit 0 = interframe flag), 3-byte start code
+    9d 01 2a, then 14-bit little-endian width and height.  Used to fill the
+    IVF header when piping raw VP8 packets to ffmpeg (the reference gets
+    dimensions from libavcodec instead, dec.video.ffmpeg.swift:144-160).
+    """
+    if len(frame) < 10:
+        raise ValueError("short VP8 frame")
+    if frame[0] & 1:
+        raise ValueError("not a VP8 keyframe")
+    if frame[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 start code")
+    w = (frame[6] | (frame[7] << 8)) & 0x3FFF
+    h = (frame[8] | (frame[9] << 8)) & 0x3FFF
+    return w, h
+
+
+class _BitReader:
+    """MSB-first bit reader for the VP9 uncompressed header."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def vp9_frame_size(frame: bytes) -> Tuple[int, int]:
+    """(width, height) from a VP9 keyframe uncompressed header
+    (VP9 bitstream spec §6.2)."""
+    br = _BitReader(frame)
+    if br.bits(2) != 2:
+        raise ValueError("bad VP9 frame marker")
+    profile = br.bit() | (br.bit() << 1)
+    if profile == 3:
+        br.bit()
+    if br.bit():                       # show_existing_frame
+        raise ValueError("show_existing_frame has no size")
+    frame_type = br.bit()
+    br.bit()                           # show_frame
+    br.bit()                           # error_resilient_mode
+    if frame_type != 0:
+        raise ValueError("not a VP9 keyframe")
+    if br.bits(24) != 0x498342:        # sync code
+        raise ValueError("bad VP9 sync code")
+    # color config
+    if profile >= 2:
+        br.bit()                       # ten_or_twelve_bit
+    color_space = br.bits(3)
+    if color_space != 7:               # != CS_RGB
+        br.bit()                       # color_range
+        if profile in (1, 3):
+            br.bits(3)                 # subsampling_x/y + reserved
+    else:
+        if profile in (1, 3):
+            br.bit()                   # reserved
+    w = br.bits(16) + 1
+    h = br.bits(16) + 1
+    return w, h
+
+
 def generate_random_bytes(n: int) -> bytes:
     lib = _load_native()
     if lib is not None:

@@ -117,10 +117,20 @@ def _decode_image_cv2(sample: CodedMediaSample) -> PictureSample:
     return PictureSample(img, sample.asset_id(), sample.workspace_id())
 
 
+_BITSTREAM_VIDEO = (MediaFormat.avc, MediaFormat.hevc, MediaFormat.vp8,
+                    MediaFormat.vp9)
+_BITSTREAM_AUDIO = (MediaFormat.aac, MediaFormat.opus)
+
+
 class VideoDecoder(Tx):
-    """Tx[CodedMediaSample, PictureSample] (dec.video.ffmpeg.swift:24-221)."""
+    """Tx[CodedMediaSample, PictureSample | List[PictureSample]] — one
+    decode entry point dispatching per MediaFormat like the reference
+    (dec.video.ffmpeg.swift:109-137): uncompressed/png/jpg inline,
+    avc/hevc/vp8/vp9 via the subprocess FFmpeg backend when a binary
+    exists (bitstream formats emit *lists*, 0..N frames per packet)."""
 
     def __init__(self):
+        self._ffmpeg = None
         super().__init__(self._impl)
 
     def _impl(self, sample: CodedMediaSample) -> EventBox:
@@ -135,6 +145,12 @@ class VideoDecoder(Tx):
             elif sample.media_format in (MediaFormat.png, MediaFormat.jpg,
                                          MediaFormat.apng):
                 pict = _decode_image_cv2(sample)
+            elif sample.media_format in _BITSTREAM_VIDEO and \
+                    ffmpeg_available():
+                if self._ffmpeg is None:
+                    from .ffmpeg_subprocess import FFmpegVideoDecoder
+                    self._ffmpeg = FFmpegVideoDecoder()
+                return self._ffmpeg(sample)
             else:
                 return EventBox.error(EventError(
                     "dec.video", -10,
@@ -147,19 +163,36 @@ class VideoDecoder(Tx):
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("dec.video", -1, str(exc)))
 
+    def flush(self):
+        """End of stream: frames still buffered in the bitstream backend."""
+        return self._ffmpeg.flush() if self._ffmpeg is not None else []
+
+    def close(self) -> None:
+        if self._ffmpeg is not None:
+            self._ffmpeg.close()
+
 
 class VideoEncoder(Tx):
-    """Tx[PictureSample, CodedMediaSample] (enc.video.ffmpeg.swift:21-297).
-    Keyframe forcing intervals are trivially satisfied: every supported
-    backend here produces intra-only samples."""
+    """Tx[PictureSample, CodedMediaSample | List[CodedMediaSample]]
+    (enc.video.ffmpeg.swift:21-297).  Bitstream formats (avc/hevc/vp8/vp9)
+    route to the subprocess FFmpeg backend and emit lists; the inline
+    backends produce intra-only single samples."""
 
     def __init__(self, fmt: MediaFormat = MediaFormat.uncompressed,
-                 quality: int = 90):
+                 quality: int = 90, **ffmpeg_kwargs):
         self.fmt = fmt
         self.quality = quality
+        self._ffmpeg = None
+        self._ffmpeg_kwargs = ffmpeg_kwargs
         super().__init__(self._impl)
 
     def _impl(self, sample: PictureSample) -> EventBox:
+        if self.fmt in _BITSTREAM_VIDEO and ffmpeg_available():
+            if self._ffmpeg is None:
+                from .ffmpeg_subprocess import FFmpegVideoEncoder
+                self._ffmpeg = FFmpegVideoEncoder(self.fmt,
+                                                  **self._ffmpeg_kwargs)
+            return self._ffmpeg(sample)
         try:
             if self.fmt == MediaFormat.uncompressed:
                 data = pack_uncompressed_picture(sample)
@@ -195,11 +228,22 @@ class VideoEncoder(Tx):
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("enc.video", -1, str(exc)))
 
+    def flush(self):
+        """End of stream: samples still buffered in the bitstream backend."""
+        return self._ffmpeg.flush() if self._ffmpeg is not None else []
+
+    def close(self) -> None:
+        if self._ffmpeg is not None:
+            self._ffmpeg.close()
+
 
 class AudioDecoder(Tx):
-    """Tx[CodedMediaSample, AudioSample] (dec.audio.ffmpeg.swift)."""
+    """Tx[CodedMediaSample, AudioSample | List[AudioSample]]
+    (dec.audio.ffmpeg.swift:24-211): uncompressed inline, AAC/Opus via the
+    subprocess FFmpeg backend (list output) when a binary exists."""
 
     def __init__(self):
+        self._ffmpeg = None
         super().__init__(self._impl)
 
     def _impl(self, sample: CodedMediaSample) -> EventBox:
@@ -215,9 +259,21 @@ class AudioDecoder(Tx):
             return EventBox.just(audio.with_(pts=sample.pts(),
                                              time=sample.time(),
                                              event_info=sample.info()))
+        if sample.media_format in _BITSTREAM_AUDIO and ffmpeg_available():
+            if self._ffmpeg is None:
+                from .ffmpeg_subprocess import FFmpegAudioDecoder
+                self._ffmpeg = FFmpegAudioDecoder()
+            return self._ffmpeg(sample)
         return EventBox.error(EventError(
             "dec.audio", -10, f"no backend for {sample.media_format.name}"
             + ("" if ffmpeg_available() else " (ffmpeg not present)")))
+
+    def flush(self):
+        return self._ffmpeg.flush() if self._ffmpeg is not None else []
+
+    def close(self) -> None:
+        if self._ffmpeg is not None:
+            self._ffmpeg.close()
 
 
 class AudioEncoder(Tx):
@@ -226,15 +282,23 @@ class AudioEncoder(Tx):
     segmenter, then packs."""
 
     def __init__(self, fmt: MediaFormat = MediaFormat.uncompressed,
-                 frame_size: int = 1024):
+                 frame_size: int = 1024, **ffmpeg_kwargs):
         from ..mix.segmenter import AudioPacketSegmenter
         self.fmt = fmt
         self._segmenter: Optional[object] = None
         self.frame_size = frame_size
+        self._ffmpeg = None
+        self._ffmpeg_kwargs = ffmpeg_kwargs
         super().__init__(self._impl)
 
     def _impl(self, sample: AudioSample) -> EventBox:
         from ..mix.segmenter import AudioPacketSegmenter
+        if self.fmt in _BITSTREAM_AUDIO and ffmpeg_available():
+            if self._ffmpeg is None:
+                from .ffmpeg_subprocess import FFmpegAudioEncoder
+                self._ffmpeg = FFmpegAudioEncoder(self.fmt,
+                                                  **self._ffmpeg_kwargs)
+            return self._ffmpeg(sample)
         if self.fmt != MediaFormat.uncompressed:
             return EventBox.error(EventError(
                 "enc.audio", -10, f"no backend for {self.fmt.name}"
@@ -254,3 +318,10 @@ class AudioEncoder(Tx):
                 id_workspace=seg.workspace_id(), time_point=seg.time(),
                 event_info=seg.info()))
         return EventBox.just(out)
+
+    def flush(self):
+        return self._ffmpeg.flush() if self._ffmpeg is not None else []
+
+    def close(self) -> None:
+        if self._ffmpeg is not None:
+            self._ffmpeg.close()

@@ -1,0 +1,362 @@
+"""Pure container / framing codecs used by the subprocess FFmpeg backend.
+
+The reference links libavformat/libavcodec directly and passes packets via
+``SwiftFFmpeg`` (`/root/reference/Sources/SwiftVideo_FFmpeg/dec.video.ffmpeg.swift:109-137`,
+``enc.audio.ffmpeg.swift:119-160``), so it never needs wire framing.  Our
+backend talks to an ffmpeg *process* over pipes, so every packet stream must
+be wrapped in a self-delimiting container:
+
+* **IVF** — trivial length-prefixed container for VP8/VP9 packet streams
+  (32-byte file header + 12-byte frame headers, little-endian).
+* **Ogg** — page framing for Opus packet streams (RFC 3533 pages + RFC 7845
+  OpusHead/OpusTags encapsulation).  Opus packets are not self-delimiting,
+  so Ogg is the only way to pipe them.
+* **Y4M** (yuv4mpegpipe) — self-describing raw-video stream used for
+  *decoder output*: dimensions come from the stream header instead of a
+  fragile SPS parse, so one reader covers H.264/HEVC/VP8/VP9 uniformly.
+* **hvcC** — HEVCDecoderConfigurationRecord parse/build (ISO 14496-15
+  §8.3.3.1), the HEVC analogue of the reference's AVCDecoderConfigurationRecord
+  handling (enc.video.ffmpeg.swift:267-297).
+
+Everything here is pure bytes-in/bytes-out and unit-tested without ffmpeg.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+# --- IVF (VP8/VP9) ----------------------------------------------------------
+
+_IVF_FOURCC = {"vp8": b"VP80", "vp9": b"VP90"}
+
+
+def ivf_header(codec: str, width: int, height: int, *,
+               timebase: Tuple[int, int] = (1, 30), n_frames: int = 0) -> bytes:
+    """32-byte IVF file header."""
+    num, den = timebase
+    return (b"DKIF" + struct.pack("<HH", 0, 32) + _IVF_FOURCC[codec]
+            + struct.pack("<HHIIII", width, height, den, num, n_frames, 0))
+
+
+def ivf_frame(payload: bytes, pts: int) -> bytes:
+    """12-byte IVF frame header + payload."""
+    return struct.pack("<IQ", len(payload), pts) + payload
+
+
+def parse_ivf(data: bytes) -> Tuple[Optional[dict], List[Tuple[int, bytes]],
+                                    bytes]:
+    """Parse an IVF byte stream.
+
+    Returns ``(header_or_None, [(pts, payload), ...], remainder)`` where the
+    header dict is present once at least 32 bytes arrived and remainder is
+    the unconsumed tail (feed it back with more bytes appended).
+    """
+    pos = 0
+    header = None
+    if data[:4] == b"DKIF":
+        if len(data) < 32:
+            return None, [], data
+        w, h, den, num, nf, _ = struct.unpack_from("<HHIIII", data, 12)
+        header = {"codec": data[8:12], "width": w, "height": h,
+                  "timebase": (num, den), "n_frames": nf}
+        pos = 32
+    frames = []
+    while pos + 12 <= len(data):
+        size, pts = struct.unpack_from("<IQ", data, pos)
+        if pos + 12 + size > len(data):
+            break
+        frames.append((pts, data[pos + 12:pos + 12 + size]))
+        pos += 12 + size
+    return header, frames, data[pos:]
+
+
+# --- Ogg page framing (RFC 3533) ---------------------------------------------
+
+def _ogg_crc_table() -> List[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
+        table.append(r & 0xFFFFFFFF)
+    return table
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """Ogg's CRC-32: poly 0x04C11DB7, no reflection, init/xorout 0."""
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def ogg_page(packets: List[bytes], *, serial: int, seq: int, granule: int,
+             bos: bool = False, eos: bool = False,
+             continued: bool = False) -> bytes:
+    """Build one Ogg page holding ``packets`` (each fully contained)."""
+    lacing = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n = len(pkt)
+        while True:
+            seg = min(n, 255)
+            lacing.append(seg)
+            n -= seg
+            if seg < 255:
+                break
+            if n == 0:          # length multiple of 255: 0-lacing terminator
+                lacing.append(0)
+                break
+        body += pkt
+    if len(lacing) > 255:
+        raise ValueError("packet set too large for one page")
+    header_type = (1 if continued else 0) | (2 if bos else 0) | \
+        (4 if eos else 0)
+    head = (b"OggS\x00" + bytes([header_type])
+            + struct.pack("<qII", granule, serial, seq)
+            + b"\x00\x00\x00\x00" + bytes([len(lacing)]) + bytes(lacing))
+    page = bytearray(head + bytes(body))
+    crc = ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+class OggPacketReader:
+    """Incremental Ogg page parser -> packet stream.
+
+    Feed arbitrary byte chunks; :meth:`packets` yields completed packets
+    (handling cross-page continuation).  CRC is verified; corrupt pages are
+    skipped by resyncing on the next capture pattern.
+    """
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._partial = bytearray()
+        self._out: List[Tuple[bytes, int]] = []
+
+    def feed(self, data: bytes) -> None:
+        self._buf += data
+        self._parse()
+
+    def _parse(self) -> None:
+        while True:
+            idx = self._buf.find(b"OggS")
+            if idx < 0:
+                del self._buf[:max(0, len(self._buf) - 3)]
+                return
+            if idx:
+                del self._buf[:idx]
+            if len(self._buf) < 27:
+                return
+            nseg = self._buf[26]
+            header_len = 27 + nseg
+            if len(self._buf) < header_len:
+                return
+            lacing = self._buf[27:header_len]
+            body_len = sum(lacing)
+            if len(self._buf) < header_len + body_len:
+                return
+            page = bytes(self._buf[:header_len + body_len])
+            del self._buf[:header_len + body_len]
+            check = bytearray(page)
+            check[22:26] = b"\x00\x00\x00\x00"
+            if ogg_crc(bytes(check)) != struct.unpack_from("<I", page, 22)[0]:
+                continue  # resync on next OggS
+            granule = struct.unpack_from("<q", page, 6)[0]
+            continued = page[5] & 1
+            if not continued:
+                self._partial.clear()
+            pos = header_len
+            for i, seg in enumerate(lacing):
+                self._partial += page[pos:pos + seg]
+                pos += seg
+                if seg < 255:
+                    self._out.append((bytes(self._partial), granule))
+                    self._partial.clear()
+
+    def packets(self) -> List[Tuple[bytes, int]]:
+        """Completed ``(packet, page_granule)`` pairs since the last call."""
+        out, self._out = self._out, []
+        return out
+
+
+# --- Opus-in-Ogg encapsulation (RFC 7845) ------------------------------------
+
+def make_opus_head(channels: int, *, pre_skip: int = 312,
+                   input_rate: int = 48000) -> bytes:
+    return (b"OpusHead" + bytes([1, channels])
+            + struct.pack("<HIh", pre_skip, input_rate, 0) + bytes([0]))
+
+
+def parse_opus_head(data: bytes) -> dict:
+    if data[:8] != b"OpusHead":
+        raise ValueError("not an OpusHead packet")
+    pre_skip, rate, gain = struct.unpack_from("<HIh", data, 10)
+    return {"channels": data[9], "pre_skip": pre_skip, "input_rate": rate,
+            "gain": gain}
+
+
+def make_opus_tags(vendor: bytes = b"swiftvideo_tpu") -> bytes:
+    return (b"OpusTags" + struct.pack("<I", len(vendor)) + vendor
+            + struct.pack("<I", 0))
+
+
+class OggOpusWriter:
+    """Mux raw Opus packets into an Ogg byte stream for piping to ffmpeg."""
+
+    def __init__(self, channels: int, *, serial: int = 0x53565456,
+                 samples_per_packet: int = 960):
+        self._serial = serial
+        self._seq = 0
+        self._granule = 0
+        self._spp = samples_per_packet
+        self._head = (ogg_page([make_opus_head(channels)], serial=serial,
+                               seq=0, granule=0, bos=True)
+                      + ogg_page([make_opus_tags()], serial=serial, seq=1,
+                                 granule=0))
+        self._seq = 2
+
+    def header(self) -> bytes:
+        head, self._head = self._head, b""
+        return head
+
+    def page(self, packet: bytes, *, samples: Optional[int] = None,
+             eos: bool = False) -> bytes:
+        self._granule += self._spp if samples is None else samples
+        out = self.header() + ogg_page([packet], serial=self._serial,
+                                       seq=self._seq, granule=self._granule,
+                                       eos=eos)
+        self._seq += 1
+        return out
+
+
+# --- Y4M (yuv4mpegpipe) reader ------------------------------------------------
+
+_Y4M_FORMATS = {b"420": "y420p", b"420jpeg": "y420p", b"420mpeg2": "y420p",
+                b"420paldv": "y420p", b"422": "y422p", b"444": "y444p"}
+
+
+class Y4MReader:
+    """Incremental yuv4mpegpipe parser.
+
+    ffmpeg's ``-f yuv4mpeg`` output is self-describing (``YUV4MPEG2 W.. H..``
+    stream header + ``FRAME`` markers), which lets one reader serve every
+    video codec without bitstream-specific size parsing (the round-1 decoder
+    assumed SPS dims == output stride; this removes that assumption).
+    """
+
+    def __init__(self):
+        self._buf = bytearray()
+        self.width: Optional[int] = None
+        self.height: Optional[int] = None
+        self.pix_fmt: str = "y420p"
+        self._frame_bytes: Optional[int] = None
+
+    def _frame_size(self) -> int:
+        w, h = self.width, self.height
+        if self.pix_fmt == "y420p":
+            return w * h * 3 // 2
+        if self.pix_fmt == "y422p":
+            return w * h * 2
+        return w * h * 3
+
+    def feed(self, data: bytes) -> List[bytes]:
+        """Feed bytes; returns completed raw frame payloads."""
+        self._buf += data
+        out: List[bytes] = []
+        while True:
+            if self.width is None:
+                nl = self._buf.find(b"\n")
+                if nl < 0:
+                    return out
+                header = bytes(self._buf[:nl])
+                del self._buf[:nl + 1]
+                if not header.startswith(b"YUV4MPEG2"):
+                    raise ValueError("bad y4m signature")
+                for tok in header.split(b" ")[1:]:
+                    if tok[:1] == b"W":
+                        self.width = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        self.height = int(tok[1:])
+                    elif tok[:1] == b"C":
+                        self.pix_fmt = _Y4M_FORMATS.get(tok[1:], "y420p")
+                if self.width is None or self.height is None:
+                    raise ValueError("y4m header missing dimensions")
+                self._frame_bytes = self._frame_size()
+            nl = self._buf.find(b"\n")
+            if nl < 0 or not self._buf.startswith(b"FRAME"):
+                if nl >= 0 and not self._buf.startswith(b"FRAME"[:nl + 1]):
+                    raise ValueError("bad y4m frame marker")
+                return out
+            if len(self._buf) < nl + 1 + self._frame_bytes:
+                return out
+            out.append(bytes(self._buf[nl + 1:nl + 1 + self._frame_bytes]))
+            del self._buf[:nl + 1 + self._frame_bytes]
+
+
+def make_y4m_header(width: int, height: int, *, fps: Tuple[int, int] = (30, 1),
+                    pix: bytes = b"420") -> bytes:
+    return (b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+            % (width, height, fps[0], fps[1], pix))
+
+
+# --- hvcC (HEVCDecoderConfigurationRecord, ISO 14496-15 §8.3.3.1) -------------
+
+_HEVC_NAL_VPS, _HEVC_NAL_SPS, _HEVC_NAL_PPS = 32, 33, 34
+
+
+def params_from_hvcc(record: bytes) -> Dict[int, List[bytes]]:
+    """Parameter-set NALs keyed by NAL type (32=VPS, 33=SPS, 34=PPS)."""
+    if len(record) < 23 or record[0] != 1:
+        raise ValueError("bad hvcC record")
+    pos = 22
+    n_arrays = record[pos]
+    pos += 1
+    out: Dict[int, List[bytes]] = {}
+    for _ in range(n_arrays):
+        nal_type = record[pos] & 0x3F
+        n_nalus = struct.unpack_from(">H", record, pos + 1)[0]
+        pos += 3
+        for _ in range(n_nalus):
+            n = struct.unpack_from(">H", record, pos)[0]
+            pos += 2
+            out.setdefault(nal_type, []).append(record[pos:pos + n])
+            pos += n
+    return out
+
+
+def make_hvcc(vps: bytes, sps: bytes, pps: bytes) -> bytes:
+    """Minimal hvcC from raw parameter-set NALs.
+
+    The profile_tier_level block (12 bytes) sits at a fixed offset in the
+    SPS RBSP: 2-byte NAL header, then 1 byte of sps_video_parameter_set_id/
+    max_sub_layers/nesting, then PTL.  Emulation-prevention bytes cannot
+    occur inside PTL's first 12 bytes for conformant streams (values avoid
+    0x000000 runs), so raw-offset extraction is safe here.
+    """
+    ptl = sps[3:15] if len(sps) >= 15 else bytes(12)
+    rec = bytearray()
+    rec.append(1)                      # configurationVersion
+    rec += ptl[0:1]                    # profile_space/tier/profile_idc
+    rec += ptl[1:5]                    # profile_compatibility_flags
+    rec += ptl[5:11]                   # constraint_indicator_flags
+    rec += ptl[11:12]                  # level_idc
+    rec += struct.pack(">H", 0xF000)   # min_spatial_segmentation_idc
+    rec.append(0xFC)                   # parallelismType
+    rec.append(0xFC | 1)               # chromaFormat 4:2:0
+    rec.append(0xF8)                   # bitDepthLumaMinus8
+    rec.append(0xF8)                   # bitDepthChromaMinus8
+    rec += struct.pack(">H", 0)        # avgFrameRate
+    rec.append((0 << 6) | (1 << 3) | (1 << 2) | 3)  # numTemporalLayers=1,
+    # temporalIdNested=1, lengthSizeMinusOne=3
+    rec.append(3)                      # numOfArrays
+    for nal_type, nal in ((_HEVC_NAL_VPS, vps), (_HEVC_NAL_SPS, sps),
+                          (_HEVC_NAL_PPS, pps)):
+        rec.append(0x80 | nal_type)    # array_completeness=1
+        rec += struct.pack(">H", 1)
+        rec += struct.pack(">H", len(nal)) + nal
+    return bytes(rec)

@@ -31,9 +31,11 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..core import EventBox, EventError, TimePoint, Tx
+from ..media.audio import AudioSample
 from ..media.coded import CodedMediaSample, MediaFormat, MediaType
 from ..media.picture import ImageBuffer, PictureSample
 from ..media.pixel import BufferType, PixelFormat, planes_for_format
+from . import bitstream, containers
 
 
 def ffmpeg_path() -> Optional[str]:
@@ -65,7 +67,12 @@ def annexb_to_avcc(data: bytes, length_size: int = 4) -> bytes:
 
 
 def split_annexb(data: bytes) -> List[bytes]:
-    """Split an Annex B stream into NAL payloads (no start codes)."""
+    """Split an Annex B stream into NAL payloads (no start codes).
+
+    A 4-byte start code is a 3-byte one preceded by a single zero, so at
+    most ONE trailing zero is trimmed from the preceding NAL — legitimate
+    payload zeros (e.g. cabac_zero_words) are preserved.
+    """
     nals = []
     i = 0
     n = len(data)
@@ -74,8 +81,8 @@ def split_annexb(data: bytes) -> List[bytes]:
         if data[i:i + 3] == b"\x00\x00\x01":
             if start is not None:
                 end = i
-                while end > start and data[end - 1] == 0:
-                    end -= 1
+                if end > start and data[end - 1] == 0:
+                    end -= 1        # the 4-byte start-code lead-in only
                 nals.append(data[start:end])
             i += 3
             start = i
@@ -204,6 +211,19 @@ class _PipeProcess:
         with self._lock:
             return len(self._buf)
 
+    def flush_input(self) -> None:
+        """Close stdin and wait for ffmpeg to drain its buffered output
+        (the reader thread collects everything before EOF)."""
+        try:
+            self.proc.stdin.close()
+        except Exception:
+            pass
+        try:
+            self.proc.wait(timeout=10)
+        except Exception:
+            self.proc.terminate()
+        self._thread.join(timeout=10)
+
     def close(self) -> None:
         try:
             self.proc.stdin.close()
@@ -213,16 +233,24 @@ class _PipeProcess:
 
 
 class FFmpegVideoDecoder(Tx):
-    """Tx[CodedMediaSample, PictureSample] for AVC/HEVC via a persistent
-    ffmpeg rawvideo pipe (dec.video.ffmpeg.swift role)."""
+    """Tx[CodedMediaSample, List[PictureSample]] for AVC/HEVC/VP8/VP9 via a
+    persistent ffmpeg pipe (dec.video.ffmpeg.swift:109-137 format dispatch).
 
-    _FORMATS = {MediaFormat.avc: "h264", MediaFormat.hevc: "hevc"}
+    Output is yuv4mpegpipe, so frame dimensions come from the stream itself
+    (no SPS-size assumption); every completed frame buffered by ffmpeg is
+    drained per call, and :meth:`flush` recovers frames still inside the
+    decoder at end of stream.
+    """
+
+    _FORMATS = {MediaFormat.avc: "h264", MediaFormat.hevc: "hevc",
+                MediaFormat.vp8: "ivf", MediaFormat.vp9: "ivf"}
 
     def __init__(self):
         self._proc: Optional[_PipeProcess] = None
-        self._size: Optional[Tuple[int, int]] = None
+        self._y4m: Optional[containers.Y4MReader] = None
         self._pts_queue: List[TimePoint] = []
         self._meta: Optional[CodedMediaSample] = None
+        self._ivf_pts = 0
         super().__init__(self._impl)
 
     def _ensure(self, sample: CodedMediaSample) -> None:
@@ -230,18 +258,55 @@ class FFmpegVideoDecoder(Tx):
             return
         if ffmpeg_path() is None:
             raise RuntimeError("ffmpeg binary not available")
-        from . import bitstream
         fmt = self._FORMATS[sample.media_format]
-        config = sample.side_data().get("config", b"")
-        sps_list, pps_list = sps_pps_from_avcdcr(config)
-        w, h = bitstream.h264_sps_frame_size(sps_list[0])
-        self._size = (w, h)
+        self._y4m = containers.Y4MReader()
         self._proc = _PipeProcess([
             "-f", fmt, "-i", "pipe:0",
-            "-f", "rawvideo", "-pix_fmt", "yuv420p", "pipe:1"])
-        header = b"".join(b"\x00\x00\x00\x01" + n
-                          for n in sps_list + pps_list)
-        self._proc.write(header)
+            "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p", "pipe:1"])
+        config = sample.side_data().get("config", b"")
+        if sample.media_format == MediaFormat.avc:
+            sps_list, pps_list = sps_pps_from_avcdcr(config)
+            self._proc.write(b"".join(b"\x00\x00\x00\x01" + n
+                                      for n in sps_list + pps_list))
+        elif sample.media_format == MediaFormat.hevc:
+            params = containers.params_from_hvcc(config)
+            nals = params.get(32, []) + params.get(33, []) + params.get(34, [])
+            self._proc.write(b"".join(b"\x00\x00\x00\x01" + n for n in nals))
+        else:  # vp8/vp9: IVF header sized from the first keyframe
+            codec = "vp8" if sample.media_format == MediaFormat.vp8 else "vp9"
+            sizer = (bitstream.vp8_frame_size if codec == "vp8"
+                     else bitstream.vp9_frame_size)
+            w, h = sizer(sample.data())
+            self._proc.write(containers.ivf_header(codec, w, h))
+
+    def _write_packet(self, sample: CodedMediaSample) -> None:
+        if sample.media_format in (MediaFormat.avc, MediaFormat.hevc):
+            self._proc.write(avcc_to_annexb(sample.data()))
+        else:
+            self._proc.write(containers.ivf_frame(sample.data(),
+                                                  self._ivf_pts))
+            self._ivf_pts += 1
+
+    def _drain(self) -> List[PictureSample]:
+        meta = self._meta
+        frames = self._y4m.feed(self._proc.take())
+        out = []
+        w, h = self._y4m.width, self._y4m.height
+        for data in frames:
+            y = np.frombuffer(data, np.uint8, w * h).reshape(h, w).copy()
+            u = np.frombuffer(data, np.uint8, w * h // 4, w * h
+                              ).reshape(h // 2, w // 2).copy()
+            v = np.frombuffer(data, np.uint8, w * h // 4, w * h * 5 // 4
+                              ).reshape(h // 2, w // 2).copy()
+            img = ImageBuffer(PixelFormat.y420p, BufferType.cpu, (w, h),
+                              tuple(planes_for_format(PixelFormat.y420p,
+                                                      (w, h))), (y, u, v))
+            pts = self._pts_queue.pop(0) if self._pts_queue else meta.pts()
+            out.append(PictureSample(
+                img, meta.asset_id(), meta.workspace_id(),
+                time_point=meta.time(), pts_value=pts,
+                event_info=meta.info()))
+        return out
 
     def _impl(self, sample: CodedMediaSample) -> EventBox:
         if sample.media_format not in self._FORMATS:
@@ -252,25 +317,24 @@ class FFmpegVideoDecoder(Tx):
             return EventBox.error(EventError("ffmpeg.dec", -1, str(exc)))
         self._meta = sample
         self._pts_queue.append(sample.pts())
-        self._proc.write(avcc_to_annexb(sample.data()))
-        w, h = self._size
-        frame_bytes = w * h * 3 // 2
-        data = self._proc.take(frame_bytes)
-        if not data:
+        try:
+            self._write_packet(sample)
+            out = self._drain()
+        except Exception as exc:  # noqa: BLE001
+            return EventBox.error(EventError("ffmpeg.dec", -1, str(exc)))
+        if not out:
             return EventBox.nothing(sample.info())
-        y = np.frombuffer(data, np.uint8, w * h).reshape(h, w).copy()
-        u = np.frombuffer(data, np.uint8, w * h // 4, w * h
-                          ).reshape(h // 2, w // 2).copy()
-        v = np.frombuffer(data, np.uint8, w * h // 4, w * h * 5 // 4
-                          ).reshape(h // 2, w // 2).copy()
-        img = ImageBuffer(PixelFormat.y420p, BufferType.cpu, (w, h),
-                          tuple(planes_for_format(PixelFormat.y420p, (w, h))),
-                          (y, u, v))
-        pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
-        return EventBox.just(PictureSample(
-            img, sample.asset_id(), sample.workspace_id(),
-            time_point=sample.time(), pts_value=pts,
-            event_info=sample.info()))
+        return EventBox.just(out)
+
+    def flush(self) -> List[PictureSample]:
+        """End of stream: recover frames still buffered inside ffmpeg."""
+        if self._proc is None:
+            return []
+        self._proc.flush_input()
+        try:
+            return self._drain()
+        except Exception:
+            return []
 
     def close(self) -> None:
         if self._proc is not None:
@@ -278,11 +342,24 @@ class FFmpegVideoDecoder(Tx):
 
 
 class FFmpegVideoEncoder(Tx):
-    """Tx[PictureSample, CodedMediaSample] via libx264 with the reference's
-    low-latency settings (enc.video.ffmpeg.swift:240-265)."""
+    """Tx[PictureSample, List[CodedMediaSample]] for AVC (libx264), HEVC
+    (libx265), VP8/VP9 (libvpx) — the reference's codec list
+    (enc.video.ffmpeg.swift:166-197) with its low-latency x264 operating
+    point (:240-265).
 
-    def __init__(self, bitrate: int = 3_000_000, fps: int = 30,
+    Annex B outputs (avc/hevc) split into access units on forced AUDs;
+    VP8/VP9 come back IVF-framed, already one packet per frame.
+    """
+
+    _AUD = {MediaFormat.avc: 9, MediaFormat.hevc: 35}
+
+    def __init__(self, fmt: MediaFormat = MediaFormat.avc,
+                 bitrate: int = 3_000_000, fps: int = 30,
                  keyframe_interval_s: float = 2.0):
+        if fmt not in (MediaFormat.avc, MediaFormat.hevc, MediaFormat.vp8,
+                       MediaFormat.vp9):
+            raise ValueError(f"unsupported encode format {fmt.name}")
+        self.fmt = fmt
         self._proc: Optional[_PipeProcess] = None
         self._size: Optional[Tuple[int, int]] = None
         self.bitrate = bitrate
@@ -293,6 +370,25 @@ class FFmpegVideoEncoder(Tx):
         self._carry = b""
         super().__init__(self._impl)
 
+    def _codec_args(self) -> List[str]:
+        if self.fmt == MediaFormat.avc:
+            x264 = (f"keyint={self.keyint}:min-keyint={self.keyint}:"
+                    "scenecut=0:bframes=0:rc-lookahead=0:sync-lookahead=0:"
+                    "sliced-threads:slices=4:aud=1")
+            return ["-c:v", "libx264", "-preset", "veryfast",
+                    "-tune", "zerolatency", "-b:v", str(self.bitrate),
+                    "-x264-params", x264, "-f", "h264"]
+        if self.fmt == MediaFormat.hevc:
+            x265 = (f"keyint={self.keyint}:min-keyint={self.keyint}:"
+                    "scenecut=0:bframes=0:rc-lookahead=0:aud=1:repeat-headers=1")
+            return ["-c:v", "libx265", "-preset", "ultrafast",
+                    "-b:v", str(self.bitrate), "-x265-params", x265,
+                    "-f", "hevc"]
+        codec = "libvpx" if self.fmt == MediaFormat.vp8 else "libvpx-vp9"
+        return ["-c:v", codec, "-deadline", "realtime", "-cpu-used", "8",
+                "-lag-in-frames", "0", "-g", str(self.keyint),
+                "-b:v", str(self.bitrate), "-f", "ivf"]
+
     def _ensure(self, sample: PictureSample) -> None:
         if self._proc is not None:
             return
@@ -300,15 +396,82 @@ class FFmpegVideoEncoder(Tx):
             raise RuntimeError("ffmpeg binary not available")
         w, h = sample.size()
         self._size = (w, h)
-        x264 = (f"keyint={self.keyint}:min-keyint={self.keyint}:"
-                "scenecut=0:bframes=0:rc-lookahead=0:sync-lookahead=0:"
-                "sliced-threads:slices=4:aud=1")
-        self._proc = _PipeProcess([
-            "-f", "rawvideo", "-pix_fmt", "yuv420p", "-s", f"{w}x{h}",
-            "-r", str(self.fps), "-i", "pipe:0",
-            "-c:v", "libx264", "-preset", "veryfast", "-tune", "zerolatency",
-            "-b:v", str(self.bitrate), "-x264-params", x264,
-            "-f", "h264", "pipe:1"])
+        self._proc = _PipeProcess(
+            ["-f", "rawvideo", "-pix_fmt", "yuv420p", "-s", f"{w}x{h}",
+             "-r", str(self.fps), "-i", "pipe:0"]
+            + self._codec_args() + ["pipe:1"])
+
+    def _nal_type(self, nal: bytes) -> int:
+        if self.fmt == MediaFormat.avc:
+            return nal[0] & 0x1F
+        return (nal[0] >> 1) & 0x3F
+
+    def _update_config(self, unit: List[bytes]) -> None:
+        if self.fmt == MediaFormat.avc:
+            sps = next((n for n in unit if self._nal_type(n) == 7), None)
+            pps = next((n for n in unit if self._nal_type(n) == 8), None)
+            if sps is not None and pps is not None:
+                self._config = make_avcdcr(sps, pps)
+        else:
+            vps = next((n for n in unit if self._nal_type(n) == 32), None)
+            sps = next((n for n in unit if self._nal_type(n) == 33), None)
+            pps = next((n for n in unit if self._nal_type(n) == 34), None)
+            if vps is not None and sps is not None and pps is not None:
+                self._config = containers.make_hvcc(vps, sps, pps)
+
+    def _param_types(self) -> Tuple[int, ...]:
+        return (7, 8) if self.fmt == MediaFormat.avc else (32, 33, 34)
+
+    def _emit_annexb(self, sample: PictureSample) -> List[CodedMediaSample]:
+        self._carry += self._proc.take()
+        aud = self._AUD[self.fmt]
+        nals = split_annexb(self._carry)
+        if not nals:
+            return []
+        units: List[List[bytes]] = []
+        for nal in nals:
+            if nal and self._nal_type(nal) == aud:
+                units.append([])
+            elif units:
+                units[-1].append(nal)
+        if len(units) <= 1:
+            return []
+        aud_nal = b"\x09\xf0" if self.fmt == MediaFormat.avc else b"\x46\x01\x50"
+        complete, tail = units[:-1], units[-1]
+        self._carry = b"".join(b"\x00\x00\x00\x01" + n
+                               for n in ([aud_nal] + tail))
+        out = []
+        params = self._param_types()
+        for unit in complete:
+            self._update_config(unit)
+            payload = annexb_to_avcc(b"".join(
+                b"\x00\x00\x00\x01" + n for n in unit
+                if self._nal_type(n) not in params))
+            if not payload or self._config is None:
+                continue
+            pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
+            out.append(CodedMediaSample(
+                buffer=payload, pts_value=pts, dts_value=pts,
+                media_type=MediaType.video, media_format=self.fmt,
+                id_asset=sample.asset_id(),
+                id_workspace=sample.workspace_id(),
+                time_point=sample.time(), side={"config": self._config},
+                event_info=sample.info()))
+        return out
+
+    def _emit_ivf(self, sample: PictureSample) -> List[CodedMediaSample]:
+        self._carry += self._proc.take()
+        _header, frames, self._carry = containers.parse_ivf(self._carry)
+        out = []
+        for _ivf_pts, payload in frames:
+            pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
+            out.append(CodedMediaSample(
+                buffer=payload, pts_value=pts, dts_value=pts,
+                media_type=MediaType.video, media_format=self.fmt,
+                id_asset=sample.asset_id(),
+                id_workspace=sample.workspace_id(),
+                time_point=sample.time(), event_info=sample.info()))
+        return out
 
     def _impl(self, sample: PictureSample) -> EventBox:
         if sample.pixel_format() != PixelFormat.y420p:
@@ -319,45 +482,278 @@ class FFmpegVideoEncoder(Tx):
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("ffmpeg.enc", -1, str(exc)))
         self._pts_queue.append(sample.pts())
+        self._last_sample = sample
         for plane in sample.planes():
             self._proc.write(np.ascontiguousarray(np.asarray(plane)).tobytes())
-        self._carry += self._proc.take()
-        # split on access-unit delimiters (NAL type 9, forced via aud=1)
-        nals = split_annexb(self._carry)
-        if not nals:
-            return EventBox.nothing(sample.info())
-        units: List[List[bytes]] = []
-        for nal in nals:
-            if nal and (nal[0] & 0x1F) == 9:
-                units.append([])
-            elif units:
-                units[-1].append(nal)
-        if len(units) <= 1:
-            return EventBox.nothing(sample.info())
-        complete, self._carry = units[:-1], b"".join(
-            b"\x00\x00\x00\x01" + n for n in ([b"\x09\xf0"] + units[-1]))
-        out = []
-        for unit in complete:
-            sps = next((n for n in unit if (n[0] & 0x1F) == 7), None)
-            pps = next((n for n in unit if (n[0] & 0x1F) == 8), None)
-            if sps is not None and pps is not None:
-                self._config = make_avcdcr(sps, pps)
-            payload = annexb_to_avcc(b"".join(
-                b"\x00\x00\x00\x01" + n for n in unit
-                if (n[0] & 0x1F) not in (7, 8)))
-            if not payload or self._config is None:
-                continue
-            pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
-            out.append(CodedMediaSample(
-                buffer=payload, pts_value=pts, dts_value=pts,
-                media_type=MediaType.video, media_format=MediaFormat.avc,
-                id_asset=sample.asset_id(),
-                id_workspace=sample.workspace_id(),
-                time_point=sample.time(), side={"config": self._config},
-                event_info=sample.info()))
+        if self.fmt in (MediaFormat.vp8, MediaFormat.vp9):
+            out = self._emit_ivf(sample)
+        else:
+            out = self._emit_annexb(sample)
         if not out:
             return EventBox.nothing(sample.info())
         return EventBox.just(out)
+
+    def flush(self) -> List[CodedMediaSample]:
+        """End of stream: drain samples still buffered inside ffmpeg."""
+        if self._proc is None or self._meta_sample is None:
+            return []
+        self._proc.flush_input()
+        if self.fmt in (MediaFormat.vp8, MediaFormat.vp9):
+            return self._emit_ivf(self._meta_sample)
+        # annexb: no trailing AUD after the final unit — treat remaining
+        # carry as one unit
+        self._carry += self._proc.take()
+        nals = split_annexb(self._carry)
+        self._carry = b""
+        if not nals:
+            return []
+        aud = self._AUD[self.fmt]
+        unit = [n for n in nals if self._nal_type(n) != aud]
+        self._update_config(unit)
+        payload = annexb_to_avcc(b"".join(
+            b"\x00\x00\x00\x01" + n for n in unit
+            if self._nal_type(n) not in self._param_types()))
+        if not payload or self._config is None:
+            return []
+        sample = self._meta_sample
+        pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
+        return [CodedMediaSample(
+            buffer=payload, pts_value=pts, dts_value=pts,
+            media_type=MediaType.video, media_format=self.fmt,
+            id_asset=sample.asset_id(), id_workspace=sample.workspace_id(),
+            time_point=sample.time(), side={"config": self._config},
+            event_info=sample.info())]
+
+    @property
+    def _meta_sample(self):
+        return getattr(self, "_last_sample", None)
+
+    def close(self) -> None:
+        if self._proc is not None:
+            self._proc.close()
+
+
+class FFmpegAudioDecoder(Tx):
+    """Tx[CodedMediaSample, List[AudioSample]] for AAC and Opus via a
+    persistent ffmpeg PCM pipe (dec.audio.ffmpeg.swift:24-211 role).
+
+    AAC packets are ADTS-framed into the pipe (header built from the
+    AudioSpecificConfig in ``side["config"]``); Opus packets are muxed into
+    Ogg pages (RFC 7845) because raw Opus is not self-delimiting.  Output is
+    interleaved s16 PCM; pts anchors at the first packet and advances by
+    emitted samples, matching the reference's gapless accumulation.
+    """
+
+    _FORMATS = (MediaFormat.aac, MediaFormat.opus)
+
+    def __init__(self, *, chunk_samples: int = 1024):
+        self._proc: Optional[_PipeProcess] = None
+        self._rate: Optional[int] = None
+        self._channels: Optional[int] = None
+        self._ogg: Optional[containers.OggOpusWriter] = None
+        self._carry = b""
+        self._next_pts: Optional[TimePoint] = None
+        self._meta: Optional[CodedMediaSample] = None
+        self.chunk_samples = chunk_samples
+        super().__init__(self._impl)
+
+    def _ensure(self, sample: CodedMediaSample) -> None:
+        if self._proc is not None:
+            return
+        if ffmpeg_path() is None:
+            raise RuntimeError("ffmpeg binary not available")
+        config = sample.side_data().get("config", b"")
+        if sample.media_format == MediaFormat.aac:
+            channels, rate, _spf = bitstream.aac_parse_asc(config)
+            self._rate, self._channels = rate, channels
+            self._proc = _PipeProcess([
+                "-f", "aac", "-i", "pipe:0",
+                "-f", "s16le", "-ar", str(rate), "-ac", str(channels),
+                "pipe:1"])
+        else:
+            channels = 2
+            if config[:8] == b"OpusHead":
+                channels = containers.parse_opus_head(config)["channels"]
+            self._rate, self._channels = 48000, channels
+            self._ogg = containers.OggOpusWriter(channels)
+            self._proc = _PipeProcess([
+                "-f", "ogg", "-i", "pipe:0",
+                "-f", "s16le", "-ar", "48000", "-ac", str(channels),
+                "pipe:1"])
+
+    def _write_packet(self, sample: CodedMediaSample) -> None:
+        if sample.media_format == MediaFormat.aac:
+            payload = sample.data()
+            # accept either raw AAC frames or pre-framed ADTS
+            if len(payload) >= 2 and payload[0] == 0xFF and \
+                    (payload[1] & 0xF0) == 0xF0:
+                self._proc.write(payload)
+            else:
+                self._proc.write(adts_header(self._rate, self._channels,
+                                             len(payload)) + payload)
+        else:
+            self._proc.write(self._ogg.page(sample.data()))
+
+    def _drain(self, *, final: bool = False) -> List[AudioSample]:
+        meta = self._meta
+        self._carry += self._proc.take()
+        frame_bytes = 2 * self._channels
+        out = []
+        step = self.chunk_samples
+        while True:
+            avail = len(self._carry) // frame_bytes
+            n = avail if (final and avail) else (step if avail >= step else 0)
+            if n == 0:
+                return out
+            raw = self._carry[:n * frame_bytes]
+            self._carry = self._carry[n * frame_bytes:]
+            pcm = np.frombuffer(raw, np.int16).reshape(n, self._channels)
+            if self._next_pts is None:
+                self._next_pts = meta.pts()
+            pts = self._next_pts
+            self._next_pts = pts + TimePoint(n, self._rate)
+            out.append(AudioSample(
+                buffers=(pcm.reshape(-1).copy(),), frequency=self._rate,
+                channels=self._channels, format="s16i", sample_count=n,
+                id_asset=meta.asset_id(), id_workspace=meta.workspace_id(),
+                pts_value=pts, time_point=meta.time(),
+                event_info=meta.info()))
+
+    def _impl(self, sample: CodedMediaSample) -> EventBox:
+        if sample.media_format not in self._FORMATS:
+            return EventBox.nothing(sample.info())
+        try:
+            self._ensure(sample)
+            self._meta = sample
+            self._write_packet(sample)
+            out = self._drain()
+        except Exception as exc:  # noqa: BLE001
+            return EventBox.error(EventError("ffmpeg.dec.audio", -1,
+                                             str(exc)))
+        if not out:
+            return EventBox.nothing(sample.info())
+        return EventBox.just(out)
+
+    def flush(self) -> List[AudioSample]:
+        if self._proc is None:
+            return []
+        self._proc.flush_input()
+        try:
+            return self._drain(final=True)
+        except Exception:
+            return []
+
+    def close(self) -> None:
+        if self._proc is not None:
+            self._proc.close()
+
+
+class FFmpegAudioEncoder(Tx):
+    """Tx[AudioSample, List[CodedMediaSample]] for AAC (ADTS out) and Opus
+    (Ogg out) — reference codecs enc.audio.ffmpeg.swift:119-160.
+
+    Inputs must be interleaved s16 (the Composer's mixer output format).
+    AAC frames carry an AudioSpecificConfig in ``side["config"]``; Opus
+    samples carry the OpusHead.  pts advances by encoded frame duration
+    from the first input pts (exact-frame-size accumulation happens inside
+    ffmpeg, mirroring the reference's makeAVFrame loop).
+    """
+
+    def __init__(self, fmt: MediaFormat = MediaFormat.aac,
+                 bitrate: int = 96_000):
+        if fmt not in (MediaFormat.aac, MediaFormat.opus):
+            raise ValueError(f"unsupported audio encode format {fmt.name}")
+        self.fmt = fmt
+        self.bitrate = bitrate
+        self._proc: Optional[_PipeProcess] = None
+        self._rate: Optional[int] = None
+        self._channels: Optional[int] = None
+        self._ogg_reader: Optional[containers.OggPacketReader] = None
+        self._config: Optional[bytes] = None
+        self._carry = b""
+        self._next_pts: Optional[TimePoint] = None
+        self._meta: Optional[AudioSample] = None
+        super().__init__(self._impl)
+
+    def _ensure(self, sample: AudioSample) -> None:
+        if self._proc is not None:
+            return
+        if ffmpeg_path() is None:
+            raise RuntimeError("ffmpeg binary not available")
+        rate, channels = sample.sample_rate(), sample.number_channels()
+        self._rate, self._channels = rate, channels
+        src = ["-f", "s16le", "-ar", str(rate), "-ac", str(channels),
+               "-i", "pipe:0"]
+        if self.fmt == MediaFormat.aac:
+            self._config = bitstream.make_asc(rate, channels)
+            self._proc = _PipeProcess(
+                src + ["-c:a", "aac", "-b:a", str(self.bitrate),
+                       "-f", "adts", "pipe:1"])
+        else:
+            self._ogg_reader = containers.OggPacketReader()
+            self._proc = _PipeProcess(
+                src + ["-c:a", "libopus", "-b:a", str(self.bitrate),
+                       "-f", "ogg", "pipe:1"])
+
+    def _emit(self, payload: bytes, duration_samples: int,
+              rate: int) -> CodedMediaSample:
+        meta = self._meta
+        if self._next_pts is None:
+            self._next_pts = meta.pts()
+        pts = self._next_pts
+        self._next_pts = pts + TimePoint(duration_samples, rate)
+        side = {"config": self._config} if self._config else {}
+        return CodedMediaSample(
+            buffer=payload, pts_value=pts, dts_value=pts,
+            media_type=MediaType.audio, media_format=self.fmt,
+            id_asset=meta.asset_id(), id_workspace=meta.workspace_id(),
+            time_point=meta.time(), side=side, event_info=meta.info())
+
+    def _drain(self) -> List[CodedMediaSample]:
+        out = []
+        if self.fmt == MediaFormat.aac:
+            self._carry += self._proc.take()
+            frames, self._carry = parse_adts_frames(self._carry)
+            for frame in frames:
+                out.append(self._emit(adts_payload(frame), 1024, self._rate))
+        else:
+            self._ogg_reader.feed(self._proc.take())
+            for packet, _granule in self._ogg_reader.packets():
+                if packet[:8] == b"OpusHead":
+                    self._config = packet
+                    continue
+                if packet[:8] == b"OpusTags":
+                    continue
+                # libopus default frame duration: 20 ms = 960 samples @48k
+                out.append(self._emit(packet, 960, 48000))
+        return out
+
+    def _impl(self, sample: AudioSample) -> EventBox:
+        if sample.format != "s16i":
+            return EventBox.error(EventError("ffmpeg.enc.audio", -2,
+                                             "encoder wants s16i input"))
+        try:
+            self._ensure(sample)
+            self._meta = sample
+            self._proc.write(b"".join(
+                np.ascontiguousarray(np.asarray(b)).tobytes()
+                for b in sample.data()))
+            out = self._drain()
+        except Exception as exc:  # noqa: BLE001
+            return EventBox.error(EventError("ffmpeg.enc.audio", -1,
+                                             str(exc)))
+        if not out:
+            return EventBox.nothing(sample.info())
+        return EventBox.just(out)
+
+    def flush(self) -> List[CodedMediaSample]:
+        if self._proc is None:
+            return []
+        self._proc.flush_input()
+        try:
+            return self._drain()
+        except Exception:
+            return []
 
     def close(self) -> None:
         if self._proc is not None:

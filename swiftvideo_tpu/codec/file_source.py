@@ -105,11 +105,135 @@ class SyntheticSource(Source):
                             lambda _evt: self._refill())
 
 
+def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
+                       workspace_id: str = "", loop: bool = False,
+                       sample_rate: int = 48000, channels: int = 2,
+                       audio_chunk: int = 1024):
+    """Demux EVERY track of a container file like the reference
+    (file.ffmpeg.swift:44-72 maps all streams), via the gated ffmpeg
+    subprocess backend: returns ``(video_source, audio_source_or_None)``.
+
+    Two decoder processes run faster than realtime behind blocking pullers;
+    the SyntheticSource pacing (2 s read-ahead, 250 ms emit-ahead) applies
+    per track.  Audio is emitted as uncompressed s16i CodedMediaSamples in
+    ``audio_chunk``-sample packets.  Requires an ffmpeg binary; the
+    cv2-backed :func:`open_media_file` below is the video-only fallback.
+    """
+    import subprocess
+    from .codecs import pack_uncompressed_audio
+    from .ffmpeg_subprocess import ffmpeg_path
+    from .containers import Y4MReader
+    from ..media.audio import AudioSample
+    import numpy as np
+
+    exe = ffmpeg_path()
+    if exe is None:
+        raise RuntimeError("ffmpeg binary not available "
+                           "(use open_media_file for cv2 video-only)")
+
+    def spawn(args):
+        return subprocess.Popen([exe, "-hide_banner", "-loglevel", "error",
+                                 "-i", path] + args,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL)
+
+    # --- video track ------------------------------------------------------
+    vproc = spawn(["-an", "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p",
+                   "pipe:1"])
+    y4m = Y4MReader()
+    vstate = {"fps": 30.0, "frames": [], "eof": False}
+
+    def vpull(index: int) -> Optional[CodedMediaSample]:
+        while not vstate["frames"] and not vstate["eof"]:
+            chunk = vproc.stdout.read(65536)
+            if not chunk:
+                vstate["eof"] = True
+                break
+            vstate["frames"].extend(y4m.feed(chunk))
+        if not vstate["frames"]:
+            return None
+        data = vstate["frames"].pop(0)
+        w, h = y4m.width, y4m.height
+        import numpy as _np
+        y = _np.frombuffer(data, _np.uint8, w * h).reshape(h, w).copy()
+        u = _np.frombuffer(data, _np.uint8, w * h // 4, w * h
+                           ).reshape(h // 2, w // 2).copy()
+        v = _np.frombuffer(data, _np.uint8, w * h // 4, w * h * 5 // 4
+                           ).reshape(h // 2, w // 2).copy()
+        img = ImageBuffer(PixelFormat.y420p, BufferType.cpu, (w, h),
+                          tuple(planes_for_format(PixelFormat.y420p,
+                                                  (w, h))), (y, u, v))
+        pict = PictureSample(img, asset_id, workspace_id)
+        return CodedMediaSample(
+            buffer=pack_uncompressed_picture(pict),
+            pts_value=TimePoint(0, 1000), dts_value=TimePoint(0, 1000),
+            media_type=MediaType.video,
+            media_format=MediaFormat.uncompressed,
+            id_asset=asset_id, id_workspace=workspace_id)
+
+    video = SyntheticSource(clock, vpull,
+                            frame_duration=TimePoint(1000, 30000),
+                            asset_id=asset_id, workspace_id=workspace_id,
+                            loop=loop)
+
+    # --- audio track (None when the container has no audio) ----------------
+    aproc = spawn(["-vn", "-f", "s16le", "-ar", str(sample_rate),
+                   "-ac", str(channels), "pipe:1"])
+    astate = {"carry": b"", "eof": False}
+    chunk_bytes = audio_chunk * channels * 2
+
+    def apull(index: int) -> Optional[CodedMediaSample]:
+        while len(astate["carry"]) < chunk_bytes and not astate["eof"]:
+            chunk = aproc.stdout.read(65536)
+            if not chunk:
+                astate["eof"] = True
+                break
+            astate["carry"] += chunk
+        if len(astate["carry"]) < channels * 2:   # nothing left
+            return None
+        take = min(chunk_bytes, len(astate["carry"]) // (channels * 2)
+                   * channels * 2)
+        raw, astate["carry"] = astate["carry"][:take], astate["carry"][take:]
+        n = len(raw) // (channels * 2)
+        pcm = np.frombuffer(raw, np.int16).copy()
+        audio = AudioSample(buffers=(pcm,), frequency=sample_rate,
+                            channels=channels, format="s16i",
+                            sample_count=n, id_asset=asset_id,
+                            id_workspace=workspace_id)
+        return CodedMediaSample(
+            buffer=pack_uncompressed_audio(audio),
+            pts_value=TimePoint(0, 1000), dts_value=TimePoint(0, 1000),
+            media_type=MediaType.audio,
+            media_format=MediaFormat.uncompressed,
+            id_asset=asset_id, id_workspace=workspace_id)
+
+    # probe: if the first pull yields nothing, the file has no audio track
+    first_audio = apull(0)
+    audio_src = None
+    if first_audio is not None:
+        queued = [first_audio]
+
+        def apull_with_head(index: int) -> Optional[CodedMediaSample]:
+            if queued:
+                return queued.pop(0)
+            return apull(index)
+
+        audio_src = SyntheticSource(
+            clock, apull_with_head,
+            frame_duration=TimePoint(audio_chunk, sample_rate),
+            asset_id=asset_id, workspace_id=workspace_id, loop=False)
+    else:
+        aproc.terminate()
+    return video, audio_src
+
+
 def open_media_file(clock: Clock, path: str, *, asset_id: str = "file",
                     workspace_id: str = "", loop: bool = False
                     ) -> SyntheticSource:
     """cv2-backed file source: decodes frames and re-packages them as
-    uncompressed CodedMediaSamples on the pacing timeline."""
+    uncompressed CodedMediaSamples on the pacing timeline (video only —
+    cv2 cannot demux audio; :func:`open_media_file_av` covers A+V where
+    an ffmpeg binary exists)."""
     import cv2
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():

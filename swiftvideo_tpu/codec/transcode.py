@@ -19,6 +19,29 @@ from ..mix.src_audio import AudioSampleRateConversion
 from .codecs import AudioDecoder, AudioEncoder, VideoDecoder, VideoEncoder
 
 
+def flat(tx: Tx) -> Tx:
+    """Lift ``tx`` to accept a single value OR a list, flattening list
+    outputs — the glue that lets 1:1 stages (SRC, animators, publishers)
+    follow 0..N-output codec stages (the reference wires the same shape
+    with ``|>>``, bus.swift:326-340)."""
+    def impl(value) -> EventBox:
+        if not isinstance(value, list):
+            return tx(value)
+        outs = []
+        info = None
+        for item in value:
+            box = tx(item)
+            if box.is_error() or box.is_gone():
+                return box
+            if box.is_just():
+                v = box.value()
+                outs.extend(v if isinstance(v, list) else [v])
+            else:
+                info = box.info()
+        return EventBox.just(outs) if outs else EventBox.nothing(info)
+    return Tx(impl)
+
+
 def asset_rename(new_asset_id: str) -> Tx:
     """Rename a sample, recording provenance (transcode.swift:21-93)."""
     def impl(sample) -> EventBox:
@@ -33,9 +56,10 @@ def asset_rename(new_asset_id: str) -> Tx:
 def make_video_transcoder(new_asset_id: str,
                           out_format: MediaFormat = MediaFormat.uncompressed
                           ) -> Tx:
-    """rename >> decode >> encode (transcode.swift:95-113)."""
+    """rename >> decode >> encode (transcode.swift:95-113).  The encode
+    stage is list-lifted because bitstream decoders emit 0..N frames."""
     return (asset_rename(new_asset_id) >> VideoDecoder()
-            >> VideoEncoder(out_format))
+            >> flat(VideoEncoder(out_format)))
 
 
 def make_audio_transcoder(new_asset_id: str, *, sample_rate: int = 48000,
@@ -44,9 +68,9 @@ def make_audio_transcoder(new_asset_id: str, *, sample_rate: int = 48000,
                           frame_size: int = 1024) -> Tx:
     """rename >> decode >> SRC >> encode (transcode.swift:115-128)."""
     return (asset_rename(new_asset_id) >> AudioDecoder()
-            >> AudioSampleRateConversion(sample_rate, channels,
-                                         AudioFormat.s16i)
-            >> AudioEncoder(out_format, frame_size))
+            >> flat(AudioSampleRateConversion(sample_rate, channels,
+                                              AudioFormat.s16i))
+            >> flat(AudioEncoder(out_format, frame_size)))
 
 
 class TranscodeContainer:
@@ -73,7 +97,7 @@ class TranscodeContainer:
             new_id = sample.asset_id() + self.suffix
             if sample.media_type == MediaType.video:
                 chain = make_video_transcoder(new_id, self.video_format) \
-                    >> self.publish
+                    >> flat(self.publish)
             elif sample.media_type == MediaType.audio:
                 chain = (make_audio_transcoder(new_id,
                                                out_format=self.audio_format)

@@ -1,0 +1,208 @@
+"""Container/framing codecs for the subprocess FFmpeg backend.
+
+Pure bytes-level tests (no ffmpeg binary needed): IVF, Ogg/Opus, Y4M,
+hvcC, VP8/VP9 frame-size parsing, ASC build, annex-b trailing zeros,
+and the list-lifting `flat` combinator.
+"""
+
+import numpy as np
+import pytest
+
+from swiftvideo_tpu.codec import bitstream, containers
+from swiftvideo_tpu.codec.ffmpeg_subprocess import (annexb_to_avcc,
+                                                    avcc_to_annexb,
+                                                    split_annexb)
+from swiftvideo_tpu.codec.transcode import flat
+from swiftvideo_tpu.core import EventBox, Tx
+
+
+# --- IVF ---------------------------------------------------------------------
+
+def test_ivf_roundtrip_incremental():
+    payloads = [bytes([i]) * (10 + i) for i in range(5)]
+    stream = containers.ivf_header("vp9", 640, 360, n_frames=5)
+    for i, p in enumerate(payloads):
+        stream += containers.ivf_frame(p, i)
+    # feed in awkward chunk sizes
+    got, rem, header = [], b"", None
+    for pos in range(0, len(stream), 7):
+        rem += stream[pos:pos + 7]
+        h, frames, rem = containers.parse_ivf(rem)
+        header = h or header
+        got.extend(frames)
+    assert header["width"] == 640 and header["height"] == 360
+    assert header["codec"] == b"VP90"
+    assert [p for _, p in got] == payloads
+    assert [t for t, _ in got] == list(range(5))
+    assert rem == b""
+
+
+# --- Ogg ----------------------------------------------------------------------
+
+def test_ogg_page_roundtrip_with_long_packets():
+    pkts = [b"a" * 10, b"b" * 600, b"c" * 510]  # 510 = 2*255: 0-lacing case
+    pages = b"".join(
+        containers.ogg_page([p], serial=7, seq=i, granule=i * 960)
+        for i, p in enumerate(pkts))
+    reader = containers.OggPacketReader()
+    for pos in range(0, len(pages), 13):
+        reader.feed(pages[pos:pos + 13])
+    got = reader.packets()
+    assert [p for p, _ in got] == pkts
+    assert [g for _, g in got] == [0, 960, 1920]
+
+
+def test_ogg_corrupt_page_resync():
+    good1 = containers.ogg_page([b"one"], serial=1, seq=0, granule=0)
+    bad = bytearray(containers.ogg_page([b"two"], serial=1, seq=1, granule=1))
+    bad[30] ^= 0xFF  # corrupt body -> CRC mismatch
+    good2 = containers.ogg_page([b"three"], serial=1, seq=2, granule=2)
+    reader = containers.OggPacketReader()
+    reader.feed(good1 + bytes(bad) + good2)
+    assert [p for p, _ in reader.packets()] == [b"one", b"three"]
+
+
+def test_opus_head_roundtrip():
+    head = containers.make_opus_head(2, pre_skip=312)
+    info = containers.parse_opus_head(head)
+    assert info["channels"] == 2
+    assert info["pre_skip"] == 312
+    assert info["input_rate"] == 48000
+
+
+def test_ogg_opus_writer_stream():
+    w = containers.OggOpusWriter(2)
+    stream = w.page(b"\xfc\xff\xfe") + w.page(b"\xfc\x01\x02")
+    reader = containers.OggPacketReader()
+    reader.feed(stream)
+    pkts = [p for p, _ in reader.packets()]
+    assert pkts[0][:8] == b"OpusHead"
+    assert pkts[1][:8] == b"OpusTags"
+    assert pkts[2:] == [b"\xfc\xff\xfe", b"\xfc\x01\x02"]
+
+
+# --- Y4M ----------------------------------------------------------------------
+
+def test_y4m_reader_incremental():
+    w, h = 32, 16
+    frames = [bytes([i]) * (w * h * 3 // 2) for i in range(3)]
+    stream = containers.make_y4m_header(w, h)
+    for f in frames:
+        stream += b"FRAME\n" + f
+    reader = containers.Y4MReader()
+    got = []
+    for pos in range(0, len(stream), 11):
+        got.extend(reader.feed(stream[pos:pos + 11]))
+    assert reader.width == w and reader.height == h
+    assert reader.pix_fmt == "y420p"
+    assert got == frames
+
+
+def test_y4m_frame_params_tolerated():
+    w, h = 8, 4
+    frame = bytes(w * h * 3 // 2)
+    stream = (b"YUV4MPEG2 W8 H4 F30:1 Ip A1:1 C420mpeg2\n"
+              + b"FRAME Xsome=param\n" + frame)
+    reader = containers.Y4MReader()
+    assert reader.feed(stream) == [frame]
+
+
+# --- hvcC ----------------------------------------------------------------------
+
+def test_hvcc_roundtrip():
+    vps = b"\x40\x01" + bytes(range(10))
+    sps = b"\x42\x01" + bytes(range(20))
+    pps = b"\x44\x01" + bytes(range(4))
+    rec = containers.make_hvcc(vps, sps, pps)
+    params = containers.params_from_hvcc(rec)
+    assert params[32] == [vps]
+    assert params[33] == [sps]
+    assert params[34] == [pps]
+    # lengthSizeMinusOne must say 4-byte lengths
+    assert (rec[21] & 0x3) == 3
+
+
+# --- VP8/VP9 frame sizes --------------------------------------------------------
+
+def test_vp8_frame_size():
+    frame = bytes([0x10, 0x00, 0x00, 0x9D, 0x01, 0x2A,
+                   640 & 0xFF, 640 >> 8, 360 & 0xFF, 360 >> 8]) + b"\x00" * 8
+    assert bitstream.vp8_frame_size(frame) == (640, 360)
+    with pytest.raises(ValueError):
+        bitstream.vp8_frame_size(bytes([0x11]) + frame[1:])  # interframe
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in reversed(range(n)):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        for i in range(0, len(bits), 8):
+            v = 0
+            for b in bits[i:i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+
+def test_vp9_frame_size():
+    bw = _BitWriter()
+    bw.put(2, 2)        # frame marker
+    bw.put(0, 1)        # profile low
+    bw.put(0, 1)        # profile high
+    bw.put(0, 1)        # show_existing_frame
+    bw.put(0, 1)        # frame_type = KEY
+    bw.put(1, 1)        # show_frame
+    bw.put(0, 1)        # error_resilient
+    bw.put(0x498342, 24)  # sync code
+    bw.put(3, 3)        # color_space
+    bw.put(0, 1)        # color_range
+    bw.put(1279, 16)    # width - 1
+    bw.put(719, 16)     # height - 1
+    assert bitstream.vp9_frame_size(bw.bytes()) == (1280, 720)
+
+
+# --- ASC -------------------------------------------------------------------------
+
+def test_make_asc_roundtrip():
+    asc = bitstream.make_asc(48000, 2)
+    channels, rate, spf = bitstream.aac_parse_asc(asc)
+    assert (channels, rate, spf) == (2, 48000, 1024)
+    asc = bitstream.make_asc(44100, 1)
+    channels, rate, _ = bitstream.aac_parse_asc(asc)
+    assert (channels, rate) == (1, 44100)
+
+
+# --- annex-b trailing zeros -------------------------------------------------------
+
+def test_split_annexb_preserves_payload_zeros():
+    # NAL payload legitimately ends in zeros (cabac_zero_words)
+    nal1 = b"\x65\x11\x22\x00\x00"
+    nal2 = b"\x41\x33"
+    # 4-byte start code before nal2: exactly ONE zero is the lead-in
+    stream = b"\x00\x00\x01" + nal1 + b"\x00" + b"\x00\x00\x01" + nal2
+    assert split_annexb(stream) == [nal1, nal2]
+    # avcc -> annexb -> avcc keeps payload bytes intact
+    avcc = (len(nal1).to_bytes(4, "big") + nal1
+            + len(nal2).to_bytes(4, "big") + nal2)
+    assert annexb_to_avcc(avcc_to_annexb(avcc)) == avcc
+
+
+# --- flat combinator ---------------------------------------------------------------
+
+def test_flat_combinator():
+    double = Tx(lambda v: EventBox.just(v * 2))
+    assert flat(double)(3).value() == 6
+    assert flat(double)([1, 2, 3]).value() == [2, 4, 6]
+    expand = Tx(lambda v: EventBox.just([v, v + 10]))
+    assert flat(expand)([1, 2]).value() == [1, 11, 2, 12]
+    err = Tx(lambda v: EventBox.error(None))
+    assert flat(err)([1]).is_error()
+    skip = Tx(lambda v: EventBox.nothing(None))
+    assert flat(skip)([1, 2]).is_nothing()
