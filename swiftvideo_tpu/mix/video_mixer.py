@@ -132,13 +132,18 @@ class VideoMixer(Source):
                 btype = BufferType.cpu
             else:
                 planes = None
-                if (self.output_format == PixelFormat.y420p
+                if (self.output_format in (PixelFormat.y420p,
+                                           PixelFormat.nv12,
+                                           PixelFormat.nv21)
                         and _on_tpu()):
                     # fused whole-frame kernel: one HBM read per source
-                    # (ops/pallas_frame.py); None when ineligible
+                    # (ops/pallas_frame.py); None when ineligible.
+                    # Biplanar targets interleave chroma in the runner's
+                    # epilogue (kernels.cl.swift:47-109).
                     from ..ops.pallas_frame import composite_frame_pallas
-                    planes = composite_frame_pallas(self.output_size,
-                                                    sources)
+                    planes = composite_frame_pallas(
+                        self.output_size, sources,
+                        out_fmt=self.output_format)
                 if planes is None:
                     planes = composite.composite_stack_batched_boxed(
                         self.output_size, sources) \

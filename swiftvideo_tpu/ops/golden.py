@@ -292,11 +292,14 @@ def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
         sample_uv = _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "uv", xp)
         curs = ([_to_f(cur0, xp), _to_f(cur1, xp)] if cur1 is not None
                 else [_to_f(cur0[..., 0], xp), _to_f(cur0[..., 1], xp)])
+        # biplanar target channel order: nv12 = cbcr, nv21 = crcb
+        chan = (1, 0) if out_fmt == PixelFormat.nv21 else (0, 1)
         outs = []
         for ch in range(2):
             cur = curs[ch]
-            blended = cur * (1 - op) + sample_uv[..., ch] * op
-            filled = xp.clip(cur * (1 - a_fill) + fill_yuv[1 + ch] * a_fill,
+            blended = cur * (1 - op) + sample_uv[..., chan[ch]] * op
+            filled = xp.clip(cur * (1 - a_fill)
+                             + fill_yuv[1 + chan[ch]] * a_fill,
                              -1.0, 1.0)
             outs.append(xp.where(m_border & m_tx & m_uv, blended,
                                  xp.where(m_border, filled, cur)))
@@ -324,9 +327,10 @@ def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
     if cur1 is not None:
         return [_to_u8(blend_channel(_to_f(cur0, xp), 1, -1.0), xp),
                 _to_u8(blend_channel(_to_f(cur1, xp), 2, -1.0), xp)]
+    c0, c1 = (2, 1) if out_fmt == PixelFormat.nv21 else (1, 2)
     return _to_u8(xp.stack(
-        [blend_channel(_to_f(cur0[..., 0], xp), 1, -1.0),
-         blend_channel(_to_f(cur0[..., 1], xp), 2, -1.0)], axis=-1), xp)
+        [blend_channel(_to_f(cur0[..., 0], xp), c0, -1.0),
+         blend_channel(_to_f(cur0[..., 1], xp), c1, -1.0)], axis=-1), xp)
 
 
 def _composite_rgba_out(cur, out_fmt, source_planes, in_fmt, packed, xp=np,

@@ -591,9 +591,22 @@ def frame_params(packed, offs, jranges, size, in_shape, pys, padt,
     return jnp.stack(ip), jnp.stack(fp)
 
 
+def _interleave_chroma(planes, out_fmt: str):
+    """Planar (y, cb, cr) -> biplanar (y, uv) epilogue inside the jitted
+    runner.  A Mosaic interleaved store would be a strided store (rejected
+    by the compiler), so the interleave is a plain XLA stack+reshape fused
+    into the same dispatch (kernels.cl.swift:47-109 img_*_nv12 parity)."""
+    if out_fmt == "y420p":
+        return planes
+    y, cb, cr = planes
+    a, b = (cb, cr) if out_fmt == "nv12" else (cr, cb)
+    return y, jnp.stack([a, b], axis=-1)  # [H/2, W/2, 2] plane convention
+
+
 @lru_cache(maxsize=64)
 def _runner_A(size, in_shape, n, bh, bw, hp, wp, hpc, wpc,
-              pys, padt, pgrp, has1, ww, chained, interpret):
+              pys, padt, pgrp, has1, ww, chained, interpret,
+              out_fmt="y420p"):
     """One jitted function per geometry: params + pad + kernel (a frame
     is ONE host dispatch; eager per-op dispatch through the device tunnel
     costs ~10 ms/op)."""
@@ -608,17 +621,24 @@ def _runner_A(size, in_shape, n, bh, bw, hp, wp, hpc, wpc,
         ipar, fpar = frame_params(packed, offs, jranges, size, in_shape,
                                   pys, padt)
         arrs = pad_sources(ys, us, vs, geom)
-        return prog(ipar, fpar, *(tuple(arrs) + tuple(cur)))
+        return _interleave_chroma(
+            prog(ipar, fpar, *(tuple(arrs) + tuple(cur))), out_fmt)
 
     return jax.jit(run)
 
 
 def composite_frame_pallas(size: Tuple[int, int], sources,
-                           interpret: bool = False):
+                           interpret: bool = False, out_fmt=None):
     """Full-frame fused composite.  ``sources``: [(planes, fmt, uniforms)]
-    like golden.composite_stack; y420p only.  Returns (y, cb, cr) u8 or
-    None if ineligible (caller falls back to the XLA path)."""
+    like golden.composite_stack.  ``out_fmt``: y420p (default), nv12 or
+    nv21 — biplanar targets interleave chroma in the final runner's
+    epilogue (kernels.cl.swift:47-109 img_*_nv12).  Returns (y, cb, cr)
+    or (y, uv) u8, or None if ineligible (caller falls back to XLA)."""
     from ..media.pixel import PixelFormat as PF
+    out_name = "y420p" if out_fmt is None else \
+        (out_fmt if isinstance(out_fmt, str) else out_fmt.value)
+    if out_name not in ("y420p", "nv12", "nv21"):
+        return None
     families = {PF.y420p: "A", PF.RGBA: "B", PF.BGRA: "B"}
     if not sources or any(fmt not in families for _, fmt, _ in sources):
         return None
@@ -684,8 +704,9 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         return jnp.stack([jnp.asarray(a) for a in arrs])
 
     cur = None
-    for family, fmt, shape, group, packed, geom in plan:
+    for i, (family, fmt, shape, group, packed, geom) in enumerate(plan):
         chained = cur is not None
+        last_fmt = out_name if i == len(plan) - 1 else "y420p"
         packed_a = np.stack([np.asarray(q, np.float32) for q in packed])
         offs_a = np.asarray(geom["offs"], np.int32)
         jr_a = np.asarray(geom["jranges"], np.int32)
@@ -698,14 +719,14 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
                             geom["bw"], geom["hp"], geom["wp"],
                             geom["hpc"], geom["wpc"], geom["pys"],
                             geom["padt"], geom["pgrp"], geom["has1"],
-                            geom["ww"], chained, interpret)
+                            geom["ww"], chained, interpret, last_fmt)
             cur = run(packed_a, offs_a, jr_a, ys, us, vs, *extra)
         else:
             rgba = hstack([s[0] for s, _, _ in group])
             run = _runner_B(size, shape[:2], fmt == PF2.BGRA, len(group),
                             geom["bh"], geom["bw"], geom["hp"],
                             geom["wp"], geom["padt"], geom["ww"],
-                            geom["wwc"], chained, interpret)
+                            geom["wwc"], chained, interpret, last_fmt)
             cur = run(packed_a, offs_a, jr_a, rgba, *extra)
     return cur
 
@@ -1063,7 +1084,7 @@ def frame_params_rgba(packed, offs, jranges, size, in_shape, padt):
 
 @lru_cache(maxsize=32)
 def _runner_B(size, in_shape, fmt_is_bgra, n, bh, bw, hp, wp, padt,
-              ww, wwc, chained, interpret):
+              ww, wwc, chained, interpret, out_fmt="y420p"):
     w, h = size
     geom = {"hp": hp, "wp": wp, "padt": padt}
     prog = _frame_program_rgba(h, w, in_shape[0], in_shape[1], n, bh, bw,
@@ -1075,7 +1096,8 @@ def _runner_B(size, in_shape, fmt_is_bgra, n, bh, bw, hp, wp, padt,
         ipar, fpar = frame_params_rgba(packed, offs, jranges, size,
                                        in_shape, padt)
         arrs = pad_sources_rgba(rgba, fmt, geom)
-        return prog(ipar, fpar, *(tuple(arrs) + tuple(cur)))
+        return _interleave_chroma(
+            prog(ipar, fpar, *(tuple(arrs) + tuple(cur))), out_fmt)
 
     return jax.jit(run)
 

@@ -328,3 +328,44 @@ def test_frame_overlapping_interleave_keeps_order():
                        h=256).pack()),          # overlaps the label
     ]
     _check((W, H), srcs)
+
+
+def test_frame_nv12_nv21_target():
+    """Biplanar targets: planar kernel + interleave epilogue matches the
+    oracle's native nv12/nv21 composite (kernels.cl.swift:47-109)."""
+    W, H = 768, 512
+    srcs = []
+    for s in range(3):
+        u = rect_uniforms((W, H), (W, H), x=(s % 2) * 380 + 3.3,
+                          y=(s // 2) * 250 + 2.7, w=W / 2, h=H / 2,
+                          opacity=0.85, fill_color=(0.1, 0.2, 0.3, 0.5)).pack()
+        srcs.append((_planes(H, W, 40 + s), PixelFormat.y420p, u))
+    for fmt in (PixelFormat.nv12, PixelFormat.nv21):
+        ref = golden.composite_stack(fmt, (W, H), srcs)
+        out = composite_frame_pallas((W, H), srcs, interpret=True,
+                                     out_fmt=fmt)
+        assert out is not None and len(out) == 2
+        for o, r in zip(out, ref):
+            assert np.asarray(o).shape == np.asarray(r).shape
+            err = np.abs(np.asarray(o).astype(int)
+                         - np.asarray(r).astype(int)).max()
+            assert err <= 1, (fmt, err)
+
+
+def test_frame_nv12_target_with_rgba_overlay():
+    """Chained family-A + family-B runs ending in a biplanar emit."""
+    W, H = 512, 256
+    cam = (_planes(H, W, 50), PixelFormat.y420p,
+           rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack())
+    label = (_rgba_plane(64, 128, 51), PixelFormat.RGBA,
+             rect_uniforms((128, 64), (W, H), x=40.5, y=30.25,
+                           w=128, h=64, opacity=0.9).pack())
+    srcs = [cam, label]
+    ref = golden.composite_stack(PixelFormat.nv12, (W, H), srcs)
+    out = composite_frame_pallas((W, H), srcs, interpret=True,
+                                 out_fmt=PixelFormat.nv12)
+    assert out is not None and len(out) == 2
+    for o, rr in zip(out, ref):
+        err = np.abs(np.asarray(o).astype(int)
+                     - np.asarray(rr).astype(int)).max()
+        assert err <= 1, err
