@@ -3,19 +3,33 @@
 Reference semantics: the Metal ``me_fullsearch`` kernel
 (kernels.metal:130-267): for each BxB block of the current frame, scan every
 candidate position in a clamped search window of the reference frame
-(x-major, then y), score = ``deltaCost2(mv) + SAD * 256`` with SAD over
-UNORM floats, keep the first strict minimum, clamp the winning MV to
-+-searchWindow/2, and emit an RGBA image of normalized vectors
-``(mv.x*0.5+0.5, 0.5, mv.y*0.5+0.5, 1.0)`` at block resolution.
+(x-major, then y), score = ``deltaCost2(mv) + SAD * 256``, keep the first
+strict minimum, clamp the winning MV to +-searchWindow/2, and emit an RGBA
+image of normalized vectors ``(mv.x*0.5+0.5, 0.5, mv.y*0.5+0.5, 1.0)`` at
+block resolution.
 
-TPU-native formulation: one ``lax.scan`` over the global displacement set;
-each step computes |cur - shift(ref, d)| over the whole frame and reduces
-per block (VPU-friendly dense math, no per-block gather), masking
-candidates that fall outside a block's clamped window.  Only full blocks
-are processed (grid = floor(H/B) x floor(W/B)).
+Scoring contract: SAD is the exact integer sum of |cur - ref| over the u8
+block, scaled by 256/255 into the reference's UNORM*256 range (the Metal
+kernel sums UNORM floats; exact integers make ties deterministic, which a
+float-summation oracle cannot).  Ties break to the earliest candidate in
+(tx, ty) scan order, matching the reference's x-major strict-minimum loop.
 
-A numpy oracle (`me_fullsearch_golden`) implements the scalar loop for
-parity testing.
+Three implementations:
+
+* ``me_fullsearch_golden`` — scalar-loop numpy oracle.
+* ``me_fullsearch_device`` — XLA ``lax.scan`` over the global displacement
+  set (any geometry; the small-frame / CPU path).
+* ``me_fullsearch_pallas`` — the production TPU kernel: one grid step per
+  16-row block strip; the padded reference frame is VMEM-resident and a
+  ``pltpu.roll`` carry walks the dx axis one lane per step (lane-dynamic
+  slices at arbitrary offsets are not Mosaic-friendly; circular rolls
+  are).  SAD is an i16 sublane reduction; the per-strip dy window rides in
+  via scalar prefetch, so interior strips never scan clamped-out rows.
+  Per-block horizontal windows are an i32 validity mask; the extra left-
+  edge dx range (blocks whose clamped window extends past the shared
+  ``d_lo`` base) runs as a narrow 128-lane tail loop on the same rolled
+  carry.  First-minimum semantics use a lexicographic (score, key) update
+  with key = dx_index * n_dy + dy_index.
 """
 
 from __future__ import annotations
@@ -28,6 +42,7 @@ import numpy as np
 
 _LAMBDA = 4.0
 _QPEX = 4.0
+_SCALE = np.float32(256.0 / 255.0)   # integer SAD -> UNORM*256 score units
 
 
 def delta_cost2(mvx, mvy, xp=np):
@@ -47,13 +62,17 @@ def _search_bounds(o: int, block: int, search: int, size: int) -> Tuple[int, int
     return left, right - block  # t in [left, right - block)
 
 
+def _cost_f32(mvx: float, mvy: float) -> np.float32:
+    return np.float32(delta_cost2(np.float64(mvx), np.float64(mvy)))
+
+
 def me_fullsearch_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
                          search: int = 64) -> np.ndarray:
     """Scalar-loop oracle.  cur/ref: [H, W] u8 luma.  Returns [Hb, Wb, 4] u8."""
     h, w = cur.shape
     hb, wb = h // block, w // block
-    curf = cur.astype(np.float32) / 255.0
-    reff = ref.astype(np.float32) / 255.0
+    curi = cur.astype(np.int32)
+    refi = ref.astype(np.int32)
     out = np.zeros((hb, wb, 4), np.uint8)
     max_mv = search // 2
     for by in range(hb):
@@ -62,14 +81,14 @@ def me_fullsearch_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
             xlo, xhi = _search_bounds(ox, block, search, w)
             ylo, yhi = _search_bounds(oy, block, search, h)
             best = (math.inf, 0.0, 0.0)
-            cb = curf[oy:oy + block, ox:ox + block]
+            cb = curi[oy:oy + block, ox:ox + block]
             for tx in range(xlo, xhi):
                 for ty in range(ylo, yhi):
-                    sad = float(np.abs(cb - reff[ty:ty + block,
-                                                 tx:tx + block]).sum())
+                    sad = int(np.abs(cb - refi[ty:ty + block,
+                                               tx:tx + block]).sum())
                     mvx, mvy = float(ox - tx), float(oy - ty)
-                    score = float(delta_cost2(np.float32(mvx),
-                                              np.float32(mvy))) + sad * 256.0
+                    score = np.float32(_cost_f32(mvx, mvy)
+                                       + np.float32(np.float32(sad) * _SCALE))
                     if score < best[0]:
                         best = (score, mvx, mvy)
             mvx = min(max(best[1], -max_mv), max_mv) / max_mv * 0.5 + 0.5
@@ -77,6 +96,17 @@ def me_fullsearch_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
             out[by, bx] = np.clip(np.rint(np.array(
                 [mvx, 0.5, mvy, 1.0]) * 255.0), 0, 255).astype(np.uint8)
     return out
+
+
+def _mv_rgba(mvx, mvy, search: int, xp):
+    """Normalized-vector RGBA emit shared by the device paths."""
+    import jax.numpy as jnp
+    max_mv = search // 2
+    nx = xp.clip(mvx, -max_mv, max_mv) / max_mv * 0.5 + 0.5
+    ny = xp.clip(mvy, -max_mv, max_mv) / max_mv * 0.5 + 0.5
+    rgba = xp.stack([nx, xp.full_like(nx, 0.5), ny,
+                     xp.ones_like(nx)], axis=-1)
+    return xp.clip(jnp.rint(rgba * 255.0), 0, 255).astype(jnp.uint8)
 
 
 @lru_cache(maxsize=16)
@@ -106,8 +136,8 @@ def _me_program(h: int, w: int, block: int, search: int):
     ylo, yhi = bounds(oy, h)   # [hb]
 
     def run(cur_u8, ref_u8):
-        cur = cur_u8.astype(jnp.float32) / 255.0
-        ref = ref_u8.astype(jnp.float32) / 255.0
+        cur = cur_u8.astype(jnp.int32)
+        ref = ref_u8.astype(jnp.int32)
         pad = search
         refp = jnp.pad(ref, ((pad, pad), (pad, pad)))
 
@@ -122,7 +152,8 @@ def _me_program(h: int, w: int, block: int, search: int):
             vy = (oy + dy >= ylo) & (oy + dy < yhi)          # [hb]
             valid = vy[:, None] & vx[None, :]
             mvx, mvy = (-dx).astype(jnp.float32), (-dy).astype(jnp.float32)
-            score = delta_cost2(mvx, mvy, jnp) + sad * 256.0
+            score = (delta_cost2(mvx, mvy, jnp).astype(jnp.float32)
+                     + sad.astype(jnp.float32) * _SCALE)
             score = jnp.where(valid, score, jnp.inf)
             better = score < best_score
             return (jnp.where(better, score, best_score),
@@ -133,19 +164,233 @@ def _me_program(h: int, w: int, block: int, search: int):
                 jnp.zeros((hb, wb), jnp.float32),
                 jnp.zeros((hb, wb), jnp.float32))
         (score, mvx, mvy), _ = jax.lax.scan(step, init, jnp.asarray(cand))
-        max_mv = search // 2
-        nx = jnp.clip(mvx, -max_mv, max_mv) / max_mv * 0.5 + 0.5
-        ny = jnp.clip(mvy, -max_mv, max_mv) / max_mv * 0.5 + 0.5
-        rgba = jnp.stack([nx, jnp.full_like(nx, 0.5), ny,
-                          jnp.ones_like(nx)], axis=-1)
-        return jnp.clip(jnp.rint(rgba * 255.0), 0, 255).astype(jnp.uint8)
+        return _mv_rgba(mvx, mvy, search, jnp)
 
     return jax.jit(run)
 
 
-def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64):
-    """Device full-search: cur/ref [H, W] u8 -> [H//B, W//B, 4] u8 MVs."""
+# --- Pallas strip kernel ---------------------------------------------------
+
+def _pallas_geometry(h: int, w: int, block: int, search: int):
+    """Host-side geometry for the strip kernel (all numpy)."""
+    d_lo = block // 2 - search // 2           # shared dx base (negative)
+    n_win = search - block                    # candidates per axis window
+    p_l = -d_lo                               # extra left-edge dx count
+    strips = h // block
+    wb = w // block
+
+    # per-strip dy window: kernel reads ref rows [ylo + j, ylo + j + block)
+    # for j < nvy, which stays inside [0, h] by construction of yhi
+    oy = np.arange(strips, dtype=np.int32) * block
+    ylo = np.minimum(np.maximum(oy + d_lo, 0), h)
+    yhi = np.minimum(ylo + search, h) - block
+    nvy = np.maximum(yhi - ylo, 0)
+    jgbase = (ylo - oy) - d_lo                    # dy-global index base
+
+    # per-block-column dx windows -> lane masks
+    ox = np.arange(wb, dtype=np.int32) * block
+    xlo = np.minimum(np.maximum(ox + d_lo, 0), w)
+    xhi = np.minimum(xlo + search, w) - block
+    dx_lo = xlo - ox                              # first valid dx per col
+    dx_hi = xhi - ox                              # one-past-last valid dx
+    lane_lo = np.repeat(dx_lo, block)             # [w]
+    lane_hi = np.repeat(dx_hi, block)
+    dxs = d_lo + np.arange(n_win, dtype=np.int32)
+    main_mask = ((dxs[:, None] >= lane_lo[None, :])
+                 & (dxs[:, None] < lane_hi[None, :])).astype(np.int32)
+    edxs = d_lo + n_win + np.arange(p_l, dtype=np.int32)
+    edge_w = min(128, w)
+    edge_mask = ((edxs[:, None] >= lane_lo[None, :edge_w])
+                 & (edxs[:, None] < lane_hi[None, :edge_w])).astype(np.int32)
+
+    # f32 MV-cost table indexed [dx_global, dy_global]
+    n_d = n_win + p_l
+    dvals = (d_lo + np.arange(n_d)).astype(np.float64)
+    cost = delta_cost2(-dvals[:, None], -dvals[None, :]).astype(np.float32)
+
+    pad_l = p_l
+    wpad = ((pad_l + w + n_win + 127) // 128) * 128
+    wpad = max(wpad, 256)                         # edge loop needs 256 lanes
+    scalars = np.stack([ylo, nvy, jgbase], axis=1).astype(np.int32)
+    return dict(d_lo=d_lo, n_win=n_win, p_l=p_l, strips=strips, wb=wb,
+                main_mask=main_mask, edge_mask=edge_mask, cost=cost,
+                pad_l=pad_l, wpad=wpad, scalars=scalars, edge_w=edge_w,
+                jgbase=jgbase)
+
+
+@lru_cache(maxsize=8)
+def _me_pallas_program(h: int, w: int, block: int, search: int,
+                       interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = _pallas_geometry(h, w, block, search)
+    n_win, p_l, strips = g["n_win"], g["p_l"], g["strips"]
+    pad_l, wpad, edge_w = g["pad_l"], g["wpad"], g["edge_w"]
+    big_key = np.int32(2 ** 30)
+
+    if interpret:
+        def roll(x, n):
+            return jnp.roll(x, -n, axis=1)
+    else:
+        def roll(x, n):
+            # pltpu.roll rejects negative shifts; left-roll n == roll size-n
+            return pltpu.roll(x, shift=x.shape[1] - n, axis=1)
+
+    def roll1(x):
+        return roll(x, 1)
+
+    def block_sad(diff):
+        """[block, n] i16 abs-diffs -> [1, n] f32 where every lane c holds
+        the block sum over rows and lanes [c, c+block) — only lanes at
+        block-aligned positions are meaningful (block sums reach 65280,
+        exact in f32; log2(block) shift-adds replace a strided reduce,
+        which Mosaic has no efficient lowering for)."""
+        rs = jnp.sum(diff, axis=0, keepdims=True).astype(jnp.float32)
+        sh = 1
+        while sh < block:
+            rs = rs + roll(rs, sh)
+            sh *= 2
+        return rs
+
+    def kernel(scal_ref, cost_ref, cur_ref, ref_ref, mmask_ref, emask_ref,
+               bs_ref, bk_ref):
+        s = pl.program_id(0)
+        ylo = scal_ref[s, 0]
+        nvy = scal_ref[s, 1]
+        jgbase = scal_ref[s, 2]
+        cur = cur_ref[...].astype(jnp.int16)          # [block, w]
+        cur_e = cur[:, :edge_w]
+
+        def dy_body(j, best):
+            bs, bk, bs_e, bk_e = best
+            ref16 = ref_ref[pl.ds(ylo + j, block), :].astype(jnp.int16)
+            jg = jgbase + j
+
+            def dx_body(i, carry):
+                sh, bs, bk = carry
+                diff = jnp.abs(cur - sh[:, :w])
+                cost = cost_ref[i, jg]
+                score = block_sad(diff) * _SCALE + cost
+                valid = mmask_ref[pl.ds(i, 1), :] != 0
+                score = jnp.where(valid, score, jnp.inf)
+                key = jnp.full_like(bk, i * n_win + j)
+                better = (score < bs) | ((score == bs) & (key < bk))
+                bs = jnp.where(better, score, bs)
+                bk = jnp.where(better, key, bk)
+                return roll1(sh), bs, bk
+
+            def edge_body(i2, carry):
+                sh, bs_e, bk_e = carry
+                diff = jnp.abs(cur_e - sh[:, :edge_w])
+                cost = cost_ref[n_win + i2, jg]
+                score = block_sad(diff) * _SCALE + cost
+                valid = emask_ref[pl.ds(i2, 1), :] != 0
+                score = jnp.where(valid, score, jnp.inf)
+                key = jnp.full_like(bk_e, (n_win + i2) * n_win + j)
+                better = (score < bs_e) | ((score == bs_e) & (key < bk_e))
+                bs_e = jnp.where(better, score, bs_e)
+                bk_e = jnp.where(better, key, bk_e)
+                return roll1(sh), bs_e, bk_e
+
+            sh, bs, bk = jax.lax.fori_loop(0, n_win, dx_body,
+                                           (ref16, bs, bk))
+            _, bs_e, bk_e = jax.lax.fori_loop(0, p_l, edge_body,
+                                              (sh, bs_e, bk_e))
+            return bs, bk, bs_e, bk_e
+
+        init = (jnp.full((1, w), jnp.inf, jnp.float32),
+                jnp.full((1, w), big_key, jnp.int32),
+                jnp.full((1, edge_w), jnp.inf, jnp.float32),
+                jnp.full((1, edge_w), big_key, jnp.int32))
+        bs, bk, bs_e, bk_e = jax.lax.fori_loop(0, nvy, dy_body, init)
+        # fold the edge-lane best into the first edge_w lanes
+        b0 = bs[:, :edge_w]
+        k0 = bk[:, :edge_w]
+        better = (bs_e < b0) | ((bs_e == b0) & (bk_e < k0))
+        bs_ref[...] = jnp.concatenate(
+            [jnp.where(better, bs_e, b0), bs[:, edge_w:]], axis=1)
+        bk_ref[...] = jnp.concatenate(
+            [jnp.where(better, bk_e, k0), bk[:, edge_w:]], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(strips,),
+        in_specs=[
+            pl.BlockSpec((block, w), lambda s, sc, ct: (s, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, w), lambda s, sc, ct: (s, 0)),
+            pl.BlockSpec((1, w), lambda s, sc, ct: (s, 0)),
+        ],
+    )
+    prog = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((strips, w), jnp.float32),
+                   jax.ShapeDtypeStruct((strips, w), jnp.int32)],
+        interpret=interpret,
+    )
+
+    d_lo = g["d_lo"]
+    jgb = jnp.asarray(g["jgbase"], jnp.int32)
+
+    def raw(cur_u8, ref_u8):
+        refp = jnp.pad(ref_u8, ((0, 0), (pad_l, wpad - pad_l - w)))
+        return prog(jnp.asarray(g["scalars"]),
+                    jnp.asarray(g["cost"]),
+                    cur_u8[:strips * block],
+                    refp,
+                    jnp.asarray(g["main_mask"]),
+                    jnp.asarray(g["edge_mask"]))
+
+    def run(cur_u8, ref_u8):
+        _, bk = raw(cur_u8, ref_u8)
+        ks = bk[:, ::block]                       # [strips, wb]
+        i_dx = ks // n_win
+        j = ks % n_win
+        dx = i_dx + d_lo
+        dy = jgb[:, None] + j + d_lo
+        return _mv_rgba((-dx).astype(jnp.float32),
+                        (-dy).astype(jnp.float32), search, jnp)
+
+    jrun = jax.jit(run)
+    jrun._raw = jax.jit(raw)     # debug hook: per-lane (score, key)
+    return jrun
+
+
+def me_pallas_supported(h: int, w: int, block: int, search: int) -> bool:
+    return (block == 16 and search >= 2 * block and search % 2 == 0
+            and h >= search and w >= 2 * search and w % 128 == 0)
+
+
+def me_fullsearch_pallas(cur, ref, block: int = 16, search: int = 64,
+                         interpret: bool = False):
+    """Strip-kernel full search; ``None`` if the geometry is unsupported
+    (caller falls back to the XLA scan)."""
     import jax.numpy as jnp
     cur = jnp.asarray(cur)
     h, w = cur.shape
+    if not me_pallas_supported(h, w, block, search):
+        return None
+    prog = _me_pallas_program(h, w, block, search, interpret)
+    return prog(cur, jnp.asarray(ref))
+
+
+def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64):
+    """Device full-search: cur/ref [H, W] u8 -> [H//B, W//B, 4] u8 MVs.
+    Routes to the Pallas strip kernel on TPU-friendly geometry, else the
+    XLA scan."""
+    import jax
+    import jax.numpy as jnp
+    cur = jnp.asarray(cur)
+    h, w = cur.shape
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and me_pallas_supported(h, w, block, search):
+        return me_fullsearch_pallas(cur, ref, block, search)
     return _me_program(h, w, block, search)(cur, jnp.asarray(ref))

@@ -182,3 +182,39 @@ def test_motion_device_matches_golden(seed):
     gold = motion.me_fullsearch_golden(cur, ref, block=16, search=32)
     dev = np.asarray(motion.me_fullsearch_device(cur, ref, block=16, search=32))
     assert np.array_equal(gold, dev)
+
+
+@pytest.mark.parametrize("geom", [(96, 128, 64), (128, 256, 64),
+                                  (120, 128, 32)])
+def test_motion_pallas_matches_golden(geom):
+    """Strip-kernel full search (interpret mode) is candidate-exact vs the
+    scalar oracle, including truncated right/bottom windows and the
+    left-edge extra-dx tail (kernels.metal:206-267 scan-order ties)."""
+    h, w, search = geom
+    rng = np.random.default_rng(h + w + search)
+    ref = rng.integers(0, 255, (h, w), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    gold = motion.me_fullsearch_golden(cur, ref, 16, search)
+    pal = motion.me_fullsearch_pallas(cur, ref, 16, search, interpret=True)
+    assert pal is not None
+    assert np.array_equal(gold, np.asarray(pal))
+
+
+def test_motion_pallas_translation_recovered():
+    rng = np.random.default_rng(9)
+    ref = rng.integers(0, 255, (128, 128), np.uint8)
+    shift = 6
+    cur = np.roll(ref, (shift, shift), axis=(0, 1))
+    out = np.asarray(motion.me_fullsearch_pallas(cur, ref, 16, 64,
+                                                 interpret=True))
+    expect = int(round((shift / 32 * 0.5 + 0.5) * 255))
+    inner = out[2:6, 2:6]
+    assert np.all(inner[..., 0] == expect) and np.all(inner[..., 2] == expect)
+
+
+def test_motion_pallas_gate():
+    # unsupported geometry (width not lane-aligned) falls back cleanly
+    assert motion.me_fullsearch_pallas(
+        np.zeros((64, 96), np.uint8), np.zeros((64, 96), np.uint8),
+        16, 32, interpret=True) is None
