@@ -13,6 +13,7 @@ batch over a device mesh).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Sequence, Tuple
 
@@ -113,6 +114,129 @@ def clear_device(out_fmt: PixelFormat, size: Tuple[int, int]):
     return tuple(jnp.asarray(p) for p in golden.clear_planes(out_fmt, size))
 
 
+# --- rotated sources: gather-free warp sampling ---------------------------
+
+@lru_cache(maxsize=64)
+def _warp_blend_program(out_fmt: PixelFormat, in_fmt: PixelFormat,
+                        out_size: Tuple[int, int],
+                        in_size: Tuple[int, int],
+                        grids: Tuple[str, ...],
+                        transposed: Tuple[bool, ...]):
+    """Jitted fold step for one rotated source: warp-sample each needed
+    plane grid (ops/warp.py cascade, angle-stable bucketed shapes), then
+    run the exact mask/fill/blend algebra with the samples injected via
+    golden.apply_composite's ``sampler`` hook.  One compiled program per
+    (formats, sizes, pass-orientation) — every frame of an animated
+    rotation reuses it; the per-angle hat matrices / shift tables arrive
+    as traced arguments."""
+    from .warp import _warp_program
+
+    w_out, h_out = out_size
+    w_in, h_in = in_size
+    biplanar = in_fmt in (PixelFormat.nv12, PixelFormat.nv21)
+    rgba_in = in_fmt in golden.RGBA_FAMILY
+
+    def grid_out_shape(grid):
+        return ((h_out, w_out) if grid in ("y", "rgba", "uv_full")
+                else (h_out // 2, w_out // 2))
+
+    def grid_in_shape(grid):
+        if grid in ("y", "rgba", "rgba_half"):
+            return (h_in, w_in)
+        return (h_in // 2, w_in // 2)
+
+    runs = {}
+    for g, tr in zip(grids, transposed):
+        hs, ws = grid_in_shape(g)
+        if tr:
+            hs, ws = ws, hs
+        ho, wo = grid_out_shape(g)
+        runs[g] = (_warp_program(hs, ws, ho, wo)[0], tr)
+
+    def run(target_planes, source_planes, packed, warp_args):
+        def one(grid, plane):
+            prog, tr = runs[grid]
+            p = plane.T if tr else plane
+            return prog(p, *warp_args[grid]) * np.float32(1.0 / 255.0)
+
+        def sampler(grid):
+            if grid in ("rgba", "rgba_half"):
+                chans = [one(grid, source_planes[0][..., k])
+                         for k in range(4)]
+                if in_fmt == PixelFormat.BGRA:
+                    chans = [chans[2], chans[1], chans[0], chans[3]]
+                return jnp.stack(chans, axis=-1)
+            if grid == "y":
+                return one("y", source_planes[0])
+            # chroma ("uv" at half grid / "uv_full" at the luma grid)
+            if biplanar:
+                cb, cr = source_planes[1][..., 0], source_planes[1][..., 1]
+                if in_fmt == PixelFormat.nv21:
+                    cb, cr = cr, cb
+            else:
+                cb, cr = source_planes[1], source_planes[2]
+            return jnp.stack([one(grid, cb), one(grid, cr)], axis=-1)
+
+        return tuple(golden.apply_composite(
+            list(target_planes), out_fmt, list(source_planes), in_fmt,
+            packed, xp=jnp, separable=False, sampler=sampler))
+
+    return jax.jit(run)
+
+
+def apply_composite_warp(target_planes, out_fmt: PixelFormat,
+                         source_planes, in_fmt: PixelFormat, uni):
+    """Composite one ROTATED source via the three-pass warp sampler
+    (ops/warp.py): exact masks/blend, cascade-filtered samples
+    (documented tolerance).  Returns new target planes, or None when the
+    geometry is unsupported (caller uses the exact gather path)."""
+    from .warp import plan_warp, warp_device_args
+
+    packed = golden._packed(uni)
+    t = tuple(jnp.asarray(p) for p in target_planes)
+    s = tuple(jnp.asarray(p) for p in source_planes)
+    h_out, w_out = (int(t[0].shape[0]), int(t[0].shape[1]))
+    if in_fmt in golden.RGBA_FAMILY:
+        h_in, w_in = int(s[0].shape[0]), int(s[0].shape[1])
+        grids = (("rgba",) if out_fmt in golden.RGBA_FAMILY
+                 else ("rgba", "rgba_half"))
+    else:
+        h_in, w_in = int(s[0].shape[0]), int(s[0].shape[1])
+        grids = ("y", "uv_full") if out_fmt in golden.RGBA_FAMILY else \
+            ("y", "uv")
+    if h_in % 2 or w_in % 2 or h_out % 2 or w_out % 2:
+        return None
+
+    def grid_sizes(grid):
+        # rgba_half: full-res rgba source sampled onto the chroma grid
+        if grid in ("y", "rgba", "rgba_half"):
+            gin = (h_in, w_in)
+        else:
+            gin = (h_in // 2, w_in // 2)
+        gout = ((h_out, w_out) if grid in ("y", "rgba", "uv_full")
+                else (h_out // 2, w_out // 2))
+        return gin, gout
+
+    warp_args = {}
+    transposed = []
+    try:
+        for g in grids:
+            (gih, giw), (goh, gow) = grid_sizes(g)
+            plan = plan_warp(packed, goh, gow, gih, giw)
+            if plan is None:
+                return None
+            hs, ws = (giw, gih) if plan.transposed else (gih, giw)
+            _, args = warp_device_args(plan, hs, ws)
+            warp_args[g] = args
+            transposed.append(plan.transposed)
+    except ValueError:
+        return None
+
+    program = _warp_blend_program(out_fmt, in_fmt, (w_out, h_out),
+                                  (w_in, h_in), grids, tuple(transposed))
+    return program(t, s, jnp.asarray(packed), warp_args)
+
+
 # --- boxed composite: per-source output bounding boxes ---------------------
 
 def _host_box_size(packed_np: np.ndarray, size: Tuple[int, int],
@@ -193,12 +317,35 @@ def _stack_program_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
     return jax.jit(run)
 
 
+def composite_stack_warp(out_fmt: PixelFormat, size: Tuple[int, int],
+                         sources):
+    """Sequential device fold for stacks containing rotated sources:
+    axis-aligned sources take the separable path, rotated ones the
+    gather-free warp sampler (apply_composite_warp) — the ~85 ms/plane
+    full-grid gather runs only when a warp plan is impossible."""
+    target = clear_device(out_fmt, size)
+    for planes, in_fmt, uni in sources:
+        packed = golden._packed(uni)
+        out = None
+        if not golden.is_axis_aligned(packed):
+            out = apply_composite_warp(target, out_fmt, planes, in_fmt,
+                                       packed)
+        if out is None:
+            out = apply_composite_device(target, out_fmt, planes, in_fmt,
+                                         packed)
+        target = out
+    return list(target)
+
+
 def composite_stack_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
                           sources):
     """Boxed device fold (axis-aligned planar-yuv sources).  Falls back to
-    composite_stack_device when preconditions fail."""
+    the warp fold for rotated stacks / composite_stack_device otherwise."""
     from ..media.pixel import PixelFormat as PF
     packed = [golden._packed(u) for _, _, u in sources]
+    if (sources and any(not golden.is_axis_aligned(p) for p in packed)
+            and not os.environ.get("SWIFTVIDEO_EXACT_ROTATION")):
+        return composite_stack_warp(out_fmt, size, sources)
     ok = (out_fmt == PF.y420p
           and all(fmt == PF.y420p for _, fmt, _ in sources)
           and all(golden.is_axis_aligned(p) for p in packed))

@@ -239,12 +239,18 @@ def _csc_rgb(yuv, xp=np):
 def apply_composite(target_planes: Sequence, out_fmt: PixelFormat,
                     source_planes: Sequence, in_fmt: PixelFormat,
                     uni, xp=np, separable: bool = False,
-                    origin=None, full_size=None) -> List:
+                    origin=None, full_size=None, sampler=None) -> List:
     """One source composited over the current target (one reference kernel
     launch, compute.cl.swift:264-344).  Returns new target planes (u8).
 
     ``separable=True`` selects the axis-split sampling path — exact for
-    axis-aligned transforms (see is_axis_aligned), ~77x faster on TPU."""
+    axis-aligned transforms (see is_axis_aligned), ~77x faster on TPU.
+
+    ``sampler``: optional override for texture fetches — a callable
+    ``sampler(grid) -> array`` with grid in {"y", "uv", "rgba"} returning
+    normalized samples at the target grid's resolution (the gather-free
+    warp path for rotated sources, ops/warp.py).  Masks, fill, and blend
+    stay on the exact path regardless."""
     packed = _packed(uni)
     c_origin = None if origin is None else (origin[0] // 2, origin[1] // 2)
     c_full = None if full_size is None else (full_size[0] // 2,
@@ -252,25 +258,25 @@ def apply_composite(target_planes: Sequence, out_fmt: PixelFormat,
     if out_fmt in _RGBA:
         return [_composite_rgba_out(target_planes[0], out_fmt,
                                     source_planes, in_fmt, packed, xp,
-                                    separable, origin, full_size)]
+                                    separable, origin, full_size, sampler)]
     luma = _composite_yuv_grid(target_planes[0], None, out_fmt,
                                source_planes, in_fmt, packed, "luma", xp,
-                               separable, origin, full_size)
+                               separable, origin, full_size, sampler)
     if out_fmt in _YUV_PLANAR:
         cb, cr = _composite_yuv_grid(target_planes[1], target_planes[2],
                                      out_fmt, source_planes, in_fmt, packed,
                                      "chroma", xp, separable, c_origin,
-                                     c_full)
+                                     c_full, sampler)
         return [luma, cb, cr]
     chroma = _composite_yuv_grid(target_planes[1], None, out_fmt,
                                  source_planes, in_fmt, packed, "chroma", xp,
-                                 separable, c_origin, c_full)
+                                 separable, c_origin, c_full, sampler)
     return [luma, chroma]
 
 
 def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
                         grid: str, xp=np, separable: bool = False,
-                        origin=None, full_size=None):
+                        origin=None, full_size=None, sampler=None):
     h, w = cur0.shape[:2]
     m_border, m_tx, m_uv, uv_x, uv_y = _masks(packed, h, w, xp, separable,
                                               origin, full_size)
@@ -283,13 +289,15 @@ def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
         a_fill = op * fill[3]
         if grid == "luma":
             cur = _to_f(cur0, xp)
-            sample = _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "y", xp)
+            sample = (sampler("y") if sampler is not None else
+                      _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "y", xp))
             blended = cur * (1 - op) + sample * op
             filled = xp.clip(cur * (1 - a_fill) + fill_yuv[0] * a_fill, 0.0, 1.0)
             out = xp.where(m_border & m_tx & m_uv, blended,
                            xp.where(m_border, filled, cur))
             return _to_u8(out, xp)
-        sample_uv = _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "uv", xp)
+        sample_uv = (sampler("uv") if sampler is not None else
+                     _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "uv", xp))
         curs = ([_to_f(cur0, xp), _to_f(cur1, xp)] if cur1 is not None
                 else [_to_f(cur0[..., 0], xp), _to_f(cur0[..., 1], xp)])
         # biplanar target channel order: nv12 = cbcr, nv21 = crcb
@@ -310,7 +318,9 @@ def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
     # family B: rgba input (kernels.cl.swift:267-532)
     a_fill = op * fill[3]
     fill_yuv = _csc_yuv(fill[None, :3] * a_fill, xp)[0]
-    rgba = _sample_rgba(source_planes, in_fmt, uv_x, uv_y, xp)
+    rgba = (sampler("rgba" if grid == "luma" else "rgba_half")
+            if sampler is not None else
+            _sample_rgba(source_planes, in_fmt, uv_x, uv_y, xp))
     a_s = rgba[..., 3] * op
     yuv_s = _csc_yuv(rgba[..., :3] * a_s[..., None], xp)
     write_mask = m_border & m_tx
@@ -334,7 +344,8 @@ def _composite_yuv_grid(cur0, cur1, out_fmt, source_planes, in_fmt, packed,
 
 
 def _composite_rgba_out(cur, out_fmt, source_planes, in_fmt, packed, xp=np,
-                        separable: bool = False, origin=None, full_size=None):
+                        separable: bool = False, origin=None,
+                        full_size=None, sampler=None):
     """rgba-family output grid: blit blend (kernels.metal img_bgra_bgra),
     extended to yuv inputs via YUV2RGB (the y420p->RGBA conversion config)."""
     h, w = cur.shape[:2]
@@ -347,13 +358,16 @@ def _composite_rgba_out(cur, out_fmt, source_planes, in_fmt, packed, xp=np,
     cur_rgba = cur_f[..., swz]
 
     if in_fmt in RGBA_FAMILY:
-        rgba = _sample_rgba(source_planes, in_fmt, uv_x, uv_y, xp)
+        rgba = (sampler("rgba") if sampler is not None else
+                _sample_rgba(source_planes, in_fmt, uv_x, uv_y, xp))
         alpha = rgba[..., 3:4] * op
         ones = xp.ones_like(rgba[..., 3:4])
         new = xp.concatenate([rgba[..., :3], ones], axis=-1)
     else:
-        y = _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "y", xp)
-        uv2 = _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "uv", xp)
+        y = (sampler("y") if sampler is not None else
+             _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "y", xp))
+        uv2 = (sampler("uv_full") if sampler is not None else
+               _sample_yuv(source_planes, in_fmt, uv_x, uv_y, "uv", xp))
         rgb = _csc_rgb(xp.stack([y, uv2[..., 0], uv2[..., 1]], axis=-1), xp)
         alpha = xp.broadcast_to(op, y.shape)[..., None]
         new = xp.concatenate([rgb, xp.ones_like(y[..., None])], axis=-1)
