@@ -343,6 +343,30 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         log("config5 wall failed:", exc)
 
+    # config 6: 1080p motion estimation, block 16 / search 64 (the Metal
+    # me_fullsearch workload, kernels.metal:206-267)
+    try:
+        from swiftvideo_tpu.ops import motion
+
+        rng = np.random.default_rng(11)
+        ref_f = rng.integers(0, 255, (1080, 1920), np.uint8)
+        cur_f = np.clip(ref_f.astype(int)
+                        + rng.integers(-12, 12, ref_f.shape),
+                        0, 255).astype(np.uint8)
+        prog = motion._me_pallas_program(1080, 1920, 16, 64, False)
+        curd, refd = jnp.asarray(cur_f), jnp.asarray(ref_f)
+
+        def me_body(i, carry):
+            c, r = carry
+            out = prog(c, r)
+            return (c.at[0, 0].set(out[0, 0, 0]), r)
+
+        dt6 = time_device_loop(me_body, (curd, refd), iters=20)
+        log(f"config6 1080p ME 16/64: {dt6*1e3:.3f} ms/frame = "
+            f"{1/dt6:.1f} fps")
+    except Exception as exc:  # noqa: BLE001
+        log("config6 motion failed:", exc)
+
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",
         "value": round(fps, 1),

@@ -228,27 +228,29 @@ def _me_pallas_program(h: int, w: int, block: int, search: int,
 
     g = _pallas_geometry(h, w, block, search)
     n_win, p_l, strips = g["n_win"], g["p_l"], g["strips"]
+    n_d = n_win + p_l
     pad_l, wpad, edge_w = g["pad_l"], g["wpad"], g["edge_w"]
     big_key = np.int32(2 ** 30)
 
     if interpret:
-        def roll(x, n):
-            return jnp.roll(x, -n, axis=1)
+        def roll(x, n, axis=1):
+            return jnp.roll(x, -n, axis=axis)
     else:
-        def roll(x, n):
+        def roll(x, n, axis=1):
             # pltpu.roll rejects negative shifts; left-roll n == roll size-n
-            return pltpu.roll(x, shift=x.shape[1] - n, axis=1)
+            return pltpu.roll(x, shift=x.shape[axis] - n, axis=axis)
 
     def roll1(x):
         return roll(x, 1)
 
     def block_sad(diff):
-        """[block, n] i16 abs-diffs -> [1, n] f32 where every lane c holds
+        """[block, n] f32 abs-diffs -> [1, n] f32 where every lane c holds
         the block sum over rows and lanes [c, c+block) — only lanes at
-        block-aligned positions are meaningful (block sums reach 65280,
-        exact in f32; log2(block) shift-adds replace a strided reduce,
-        which Mosaic has no efficient lowering for)."""
-        rs = jnp.sum(diff, axis=0, keepdims=True).astype(jnp.float32)
+        block-aligned positions are meaningful.  All values are exact
+        integers (diffs <= 255, block sums <= 65280 < 2^24); f32 carries
+        them because Mosaic's lane rotate only exists for 32-bit data
+        (log2(block) shift-adds replace a strided reduce)."""
+        rs = jnp.sum(diff, axis=0, keepdims=True)
         sh = 1
         while sh < block:
             rs = rs + roll(rs, sh)
@@ -261,58 +263,79 @@ def _me_pallas_program(h: int, w: int, block: int, search: int,
         ylo = scal_ref[s, 0]
         nvy = scal_ref[s, 1]
         jgbase = scal_ref[s, 2]
-        cur = cur_ref[...].astype(jnp.int16)          # [block, w]
+        # f32 throughout: Mosaic's (dynamic_)rotate is 32-bit only; every
+        # value is an exact small integer so f32 arithmetic stays exact
+        cur = cur_ref[...].astype(jnp.int32).astype(jnp.float32)  # [block, w]
         cur_e = cur[:, :edge_w]
 
-        def dy_body(j, best):
-            bs, bk, bs_e, bk_e = best
-            ref16 = ref_ref[pl.ds(ylo + j, block), :].astype(jnp.int16)
-            jg = jgbase + j
+        def group_body(t8, best):
+            # Mosaic cannot prove an arbitrary dynamic sublane offset is
+            # tile-aligned, and select-of-rolled lowers to an unsupported
+            # i16 dynamic rotate (both TPU sweep findings) — so the dy
+            # walk loads 8-ALIGNED (block+8)-row windows and unrolls the
+            # eight in-window rows as STATIC slices, masking rows outside
+            # the strip's [ylo, ylo+nvy) candidate range via the score.
+            base = pl.multiple_of(t8 * 8, 8)
+            win = ref_ref[pl.ds(base, block + 8), :].astype(
+                jnp.int32).astype(jnp.float32)
 
-            def dx_body(i, carry):
-                sh, bs, bk = carry
-                diff = jnp.abs(cur - sh[:, :w])
-                cost = cost_ref[i, jg]
-                score = block_sad(diff) * _SCALE + cost
-                valid = mmask_ref[pl.ds(i, 1), :] != 0
-                score = jnp.where(valid, score, jnp.inf)
-                key = jnp.full_like(bk, i * n_win + j)
-                better = (score < bs) | ((score == bs) & (key < bk))
-                bs = jnp.where(better, score, bs)
-                bk = jnp.where(better, key, bk)
-                return roll1(sh), bs, bk
+            for jr in range(8):
+                bs, bk, bs_e, bk_e = best
+                ref16 = win[jr:jr + block]
+                j = t8 * 8 + jr - ylo
+                valid_j = (j >= 0) & (j < nvy)
+                jg = jnp.clip(jgbase + j, 0, n_d - 1)
 
-            def edge_body(i2, carry):
-                sh, bs_e, bk_e = carry
-                diff = jnp.abs(cur_e - sh[:, :edge_w])
-                cost = cost_ref[n_win + i2, jg]
-                score = block_sad(diff) * _SCALE + cost
-                valid = emask_ref[pl.ds(i2, 1), :] != 0
-                score = jnp.where(valid, score, jnp.inf)
-                key = jnp.full_like(bk_e, (n_win + i2) * n_win + j)
-                better = (score < bs_e) | ((score == bs_e) & (key < bk_e))
-                bs_e = jnp.where(better, score, bs_e)
-                bk_e = jnp.where(better, key, bk_e)
-                return roll1(sh), bs_e, bk_e
+                def dx_body(i, carry, ref16=ref16, j=j, jg=jg,
+                            valid_j=valid_j):
+                    sh, bs, bk = carry
+                    diff = jnp.abs(cur - sh[:, :w])
+                    cost = cost_ref[i, jg]
+                    score = block_sad(diff) * _SCALE + cost
+                    valid = (mmask_ref[pl.ds(i, 1), :] != 0) & valid_j
+                    score = jnp.where(valid, score, jnp.inf)
+                    key = jnp.full_like(bk, i * n_win + j)
+                    better = (score < bs) | ((score == bs) & (key < bk))
+                    bs = jnp.where(better, score, bs)
+                    bk = jnp.where(better, key, bk)
+                    return roll1(sh), bs, bk
 
-            sh, bs, bk = jax.lax.fori_loop(0, n_win, dx_body,
-                                           (ref16, bs, bk))
-            _, bs_e, bk_e = jax.lax.fori_loop(0, p_l, edge_body,
-                                              (sh, bs_e, bk_e))
-            return bs, bk, bs_e, bk_e
+                def edge_body(i2, carry, j=j, jg=jg, valid_j=valid_j):
+                    sh, bs_e, bk_e = carry
+                    diff = jnp.abs(cur_e - sh[:, :edge_w])
+                    cost = cost_ref[n_win + i2, jg]
+                    score = block_sad(diff) * _SCALE + cost
+                    valid = (emask_ref[pl.ds(i2, 1), :] != 0) & valid_j
+                    score = jnp.where(valid, score, jnp.inf)
+                    key = jnp.full_like(bk_e, (n_win + i2) * n_win + j)
+                    better = (score < bs_e) | ((score == bs_e)
+                                               & (key < bk_e))
+                    bs_e = jnp.where(better, score, bs_e)
+                    bk_e = jnp.where(better, key, bk_e)
+                    return roll1(sh), bs_e, bk_e
+
+                sh, bs, bk = jax.lax.fori_loop(0, n_win, dx_body,
+                                               (ref16, bs, bk))
+                _, bs_e, bk_e = jax.lax.fori_loop(0, p_l, edge_body,
+                                                  (sh, bs_e, bk_e))
+                best = (bs, bk, bs_e, bk_e)
+            return best
 
         init = (jnp.full((1, w), jnp.inf, jnp.float32),
                 jnp.full((1, w), big_key, jnp.int32),
                 jnp.full((1, edge_w), jnp.inf, jnp.float32),
                 jnp.full((1, edge_w), big_key, jnp.int32))
-        bs, bk, bs_e, bk_e = jax.lax.fori_loop(0, nvy, dy_body, init)
-        # fold the edge-lane best into the first edge_w lanes
+        bs, bk, bs_e, bk_e = jax.lax.fori_loop(
+            ylo // 8, (ylo + nvy + 7) // 8, group_body, init)
+        # fold the edge-lane best into the first edge_w lanes; outputs are
+        # whole arrays written one row per grid step (a (1, w) out block
+        # violates Mosaic's 8-sublane blocking rule — TPU sweep finding)
         b0 = bs[:, :edge_w]
         k0 = bk[:, :edge_w]
         better = (bs_e < b0) | ((bs_e == b0) & (bk_e < k0))
-        bs_ref[...] = jnp.concatenate(
+        bs_ref[pl.ds(s, 1), :] = jnp.concatenate(
             [jnp.where(better, bs_e, b0), bs[:, edge_w:]], axis=1)
-        bk_ref[...] = jnp.concatenate(
+        bk_ref[pl.ds(s, 1), :] = jnp.concatenate(
             [jnp.where(better, bk_e, k0), bk[:, edge_w:]], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -325,8 +348,8 @@ def _me_pallas_program(h: int, w: int, block: int, search: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, w), lambda s, sc, ct: (s, 0)),
-            pl.BlockSpec((1, w), lambda s, sc, ct: (s, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
     )
     prog = pl.pallas_call(
@@ -341,7 +364,8 @@ def _me_pallas_program(h: int, w: int, block: int, search: int,
     jgb = jnp.asarray(g["jgbase"], jnp.int32)
 
     def raw(cur_u8, ref_u8):
-        refp = jnp.pad(ref_u8, ((0, 0), (pad_l, wpad - pad_l - w)))
+        # +8 rows: the aligned slab window may overhang the bottom edge
+        refp = jnp.pad(ref_u8, ((0, 8), (pad_l, wpad - pad_l - w)))
         return prog(jnp.asarray(g["scalars"]),
                     jnp.asarray(g["cost"]),
                     cur_u8[:strips * block],

@@ -46,7 +46,6 @@ import numpy as np
 
 from . import golden
 from .color import RGB2YUV, YUV2RGB
-from .pallas_composite import _plane_params
 
 TILE_W = 128
 # Left edge-replicated cols (luma; chroma uses 32).  The top pad is
@@ -63,7 +62,7 @@ def _ceil_to(v: int, m: int) -> int:
 
 def _plane_params_np(packed: np.ndarray, h_out: int, w_out: int,
                      h_in: int, w_in: int) -> np.ndarray:
-    """Numpy twin of pallas_composite._plane_params (host geometry must
+    """Numpy twin of _plane_params below (host geometry must
     not issue eager device ops — each costs ~1-2 ms through the tunnel).
     Computed in f32 to match the traced version bit-for-bit."""
     p = np.asarray(packed, np.float32)
@@ -91,6 +90,39 @@ def _plane_params_np(packed: np.ndarray, h_out: int, w_out: int,
                      a_bd_y, b_bd_y, a_bd_x, b_bd_x], np.float32)
 
 
+
+
+def _plane_params(packed, h_out, w_out, h_in, w_in, fill_chan, clamp_lo,
+                  premultiplied_fill: bool = False):
+    """Derive the per-plane affine scalars from a packed uniform vector.
+    Works on traced jnp values (runs in-graph)."""
+    t0, t3, t4, t5 = packed[0], packed[3], packed[4], packed[5]
+    e0, e3, e4, e5 = packed[6], packed[9], packed[10], packed[11]
+    b0, b3, b4, b5 = packed[12], packed[15], packed[16], packed[17]
+    # out px -> ndc: p = 2*x/W - 1 ; tx = t0*p + t4 ; uv = e0*tx + e4
+    # x_src = uv * w_in - 0.5
+    a_tx_x = t0 * 2.0 / w_out
+    b_tx_x = t4 - t0
+    a_uv_x = e0 * a_tx_x
+    b_uv_x = e0 * b_tx_x + e4
+    ax = a_uv_x * w_in
+    bx = b_uv_x * w_in - 0.5
+    a_tx_y = t3 * 2.0 / h_out
+    b_tx_y = t5 - t3
+    a_uv_y = e3 * a_tx_y
+    b_uv_y = e3 * b_tx_y + e5
+    ay = a_uv_y * h_in
+    by = b_uv_y * h_in - 0.5
+    a_bd_x = b0 * 2.0 / w_out
+    b_bd_x = b4 - b0
+    a_bd_y = b3 * 2.0 / h_out
+    b_bd_y = b5 - b3
+    op = packed[22]
+    a_fill = op * packed[21]
+    return jnp.stack([ay, by, ax, bx,
+                      a_tx_y, b_tx_y, a_tx_x, b_tx_x,
+                      a_bd_y, b_bd_y, a_bd_x, b_bd_x,
+                      op, a_fill, fill_chan, clamp_lo]).astype(jnp.float32)
 
 def _frame_kernel(iparams_ref, fparams_ref, *rest,
                   n_sources: int, h: int, w: int, h_in: int, w_in: int,
@@ -249,13 +281,21 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
                   ).astype(jnp.float32)
         y_src = ay * rows_g + by
         x_src = xs.T
-        in01 = lambda v: (v >= 0.0) & (v <= 1.0)  # noqa: E731
+        in01 = lambda v: (v >= -1e-5) & (v <= 1.0 + 1e-5)  # noqa: E731
+        # epsilon-inclusive: compiled-FMA rounding at exact tile
+        # boundaries (wall grids) must not drop a boundary column;
+        # z-order makes a double-written edge resolve to the later
+        # source, matching the oracle (caught by the TPU sweep)
         ty = p_off[0] * rows_g + p_off[1]
         txx = p_off[2] * cols_g + p_off[3]
         bdy = p_off[4] * rows_g + p_off[5]
         bdx = p_off[6] * cols_g + p_off[7]
-        m_tex = ((y_src >= -0.5) & (y_src <= src_h - 0.5) & in01(ty)
-                 & (x_src >= -0.5) & (x_src <= src_w - 0.5) & in01(txx))
+        # texture-range tests carry the same epsilon as in01: f32
+        # rounding at exact cell seams must not drop a boundary row
+        # (sampling past the edge clamps to edge taps anyway)
+        m_tex = ((y_src >= -0.5 - 1e-3) & (y_src <= src_h - 0.5 + 1e-3)
+                 & in01(ty) & (x_src >= -0.5 - 1e-3)
+                 & (x_src <= src_w - 0.5 + 1e-3) & in01(txx))
         m_border = in01(bdy) & in01(bdx)
 
         op = fparams_ref[s, 26]
@@ -660,38 +700,68 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         return not (a[2] <= b[0] or b[2] <= a[0]
                     or a[3] <= b[1] or b[3] <= a[1])
 
-    runs = []  # [(key, [src...], [rect...])]
+    def vscale_class(src):
+        """Integer vertical scale class: 0 = unity (joins any A-run via
+        has1), p in {2,3,4} = that scaled group, -1 = kernel-unsupported
+        (rational/rotated — becomes an XLA/warp fold run)."""
+        if families[src[1]] != "A":
+            return 0
+        p64 = np.asarray(golden._packed(src[2]), np.float64)
+        if not golden.is_axis_aligned(p64):
+            return -1
+        shape = np.asarray(src[0][0]).shape
+        pl_ = _plane_params_np(p64, size[1], size[0], shape[0], shape[1])
+        ay, ax = float(pl_[0]), float(pl_[2])
+        if not (ay > 0 and ax > 0 and ax <= 4.9):
+            return -1
+        py = round(ay)
+        if py not in (1, 2, 3, 4) or abs(ay - py) > 1e-6 * max(1.0, ay):
+            return -1
+        return 0 if py == 1 else py
+
+    runs = []  # [(key, [src...], [rect...], run_p)]
     for src in sources:
-        key = (families[src[1]], src[1],
+        pcls = vscale_class(src)
+        key = (families[src[1]] if pcls >= 0 else "X", src[1],
                tuple(np.asarray(src[0][0]).shape))
         rect = border_rect(src[2])
         # the source must execute after everything it overlaps: find the
         # LAST run containing an overlap; any run after it (or that run
-        # itself, appending after the overlap) is a valid home
+        # itself, appending after the overlap) is a valid home.  A-runs
+        # hold one scaled class p>1 plus any unity sources (has1).
         last_overlap = -1
-        for ri, (_, _, rects) in enumerate(runs):
+        for ri, (_, _, rects, _) in enumerate(runs):
             if any(overlaps(rect, r) for r in rects):
                 last_overlap = ri
         target = None
         for ri in range(max(last_overlap, 0), len(runs)):
-            if ri >= last_overlap and runs[ri][0] == key:
+            rkey, _, _, run_p = runs[ri]
+            if ri >= last_overlap and rkey == key and (
+                    pcls <= 0 or run_p in (0, pcls)):
                 target = ri
                 break
         if target is None:
-            runs.append((key, [src], [rect]))
+            runs.append((key, [src], [rect], max(pcls, 0)))
         else:
-            runs[target][1].append(src)
-            runs[target][2].append(rect)
-    runs = [(k, grp) for k, grp, _ in runs]
+            _, grp, rects, run_p = runs[target]
+            grp.append(src)
+            rects.append(rect)
+            if pcls > 0:
+                runs[target] = (key, grp, rects, pcls)
+    runs = [(k, grp) for k, grp, _, _ in runs]
     plan = []
     for (family, fmt, shape), group in runs:
         packed = [golden._packed(u) for _, _, u in group]
+        geom = None
         if family == "A":
             geom = frame_geometry(packed, size, shape)
-        else:
+        elif family == "B":
             geom = frame_geometry_rgba(packed, size, shape[:2])
         if geom is None:
-            return None
+            # unsupported geometry: fold these sources onto the same
+            # accumulator through the XLA/warp paths, keeping the pallas
+            # fast path for every conforming run (z-order preserved)
+            family = "X"
         plan.append((family, fmt, shape, group, packed, geom))
     from ..media.pixel import PixelFormat as PF2
 
@@ -704,9 +774,29 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         return jnp.stack([jnp.asarray(a) for a in arrs])
 
     cur = None
+    emitted = "y420p"
     for i, (family, fmt, shape, group, packed, geom) in enumerate(plan):
         chained = cur is not None
         last_fmt = out_name if i == len(plan) - 1 else "y420p"
+        if family == "X":
+            # unsupported geometry: fold through the XLA/warp device
+            # paths onto the same z-ordered accumulator
+            from . import composite as comp
+            if cur is None:
+                cur = comp.clear_device(PF2.y420p, size)
+            import os
+            exact = bool(os.environ.get("SWIFTVIDEO_EXACT_ROTATION"))
+            for (planes_x, fmt_x, _), pk in zip(group, packed):
+                out = None
+                if not exact and not golden.is_axis_aligned(pk):
+                    out = comp.apply_composite_warp(list(cur), PF2.y420p,
+                                                    planes_x, fmt_x, pk)
+                if out is None:
+                    out = comp.apply_composite_device(list(cur), PF2.y420p,
+                                                      planes_x, fmt_x, pk)
+                cur = tuple(out)
+            emitted = "y420p"
+            continue
         packed_a = np.stack([np.asarray(q, np.float32) for q in packed])
         offs_a = np.asarray(geom["offs"], np.int32)
         jr_a = np.asarray(geom["jranges"], np.int32)
@@ -728,6 +818,10 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
                             geom["wp"], geom["padt"], geom["ww"],
                             geom["wwc"], chained, interpret, last_fmt)
             cur = run(packed_a, offs_a, jr_a, rgba, *extra)
+        emitted = last_fmt
+    if out_name != "y420p" and emitted == "y420p":
+        # last run was an XLA/warp fold: interleave chroma standalone
+        cur = _interleave_chroma(tuple(cur), out_name)
     return cur
 
 
@@ -840,13 +934,17 @@ def _frame_kernel_rgba(iparams_ref, fparams_ref, *rest,
                   + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
                   ).astype(jnp.float32)
         y_src = ay * rows_g + by
-        in01 = lambda v: (v >= 0.0) & (v <= 1.0)  # noqa: E731
+        in01 = lambda v: (v >= -1e-5) & (v <= 1.0 + 1e-5)  # noqa: E731
+        # epsilon-inclusive: compiled-FMA rounding at exact tile
+        # boundaries (wall grids) must not drop a boundary column;
+        # z-order makes a double-written edge resolve to the later
+        # source, matching the oracle (caught by the TPU sweep)
         ty = p_off[0] * rows_g + p_off[1]
         txx = p_off[2] * cols_g + p_off[3]
         bdy = p_off[4] * rows_g + p_off[5]
         bdx = p_off[6] * cols_g + p_off[7]
-        m_uv = ((y_src >= -0.5) & (y_src <= h_in - 0.5)
-                & (x_src >= -0.5) & (x_src <= w_in - 0.5))
+        m_uv = ((y_src >= -0.5 - 1e-3) & (y_src <= h_in - 0.5 + 1e-3)
+                & (x_src >= -0.5 - 1e-3) & (x_src <= w_in - 0.5 + 1e-3))
         m_write = in01(bdy) & in01(bdx) & in01(ty) & in01(txx)
         return m_uv, m_write
 
@@ -1230,14 +1328,19 @@ def _frame_kernel_rgbaout(iparams_ref, fparams_ref, *rest,
                   ).astype(jnp.float32)
         y_src = fparams_ref[s, 6] * rows_g + fparams_ref[s, 7]
         yc_src = fparams_ref[s, 8] * rows_g + fparams_ref[s, 9]
-        in01 = lambda v: (v >= 0.0) & (v <= 1.0)  # noqa: E731
+        in01 = lambda v: (v >= -1e-5) & (v <= 1.0 + 1e-5)  # noqa: E731
+        # epsilon-inclusive: compiled-FMA rounding at exact tile
+        # boundaries (wall grids) must not drop a boundary column;
+        # z-order makes a double-written edge resolve to the later
+        # source, matching the oracle (caught by the TPU sweep)
         p_off = tuple(fparams_ref[s, k] for k in range(10, 18))
         ty = p_off[0] * rows_g + p_off[1]
         txx = p_off[2] * cols_g + p_off[3]
         bdy = p_off[4] * rows_g + p_off[5]
         bdx = p_off[6] * cols_g + p_off[7]
-        m_tex = ((y_src >= -0.5) & (y_src <= h_in - 0.5) & in01(ty)
-                 & (x_src >= -0.5) & (x_src <= w_in - 0.5) & in01(txx))
+        m_tex = ((y_src >= -0.5 - 1e-3) & (y_src <= h_in - 0.5 + 1e-3)
+                 & in01(ty) & (x_src >= -0.5 - 1e-3)
+                 & (x_src <= w_in - 0.5 + 1e-3) & in01(txx))
         del yc_src
         m_border = in01(bdy) & in01(bdx)
         op = fparams_ref[s, 26]

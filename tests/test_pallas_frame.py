@@ -61,15 +61,26 @@ def test_frame_fractional_horizontal():
     _check((768, 512), srcs)
 
 
-def test_frame_rejects_rotation():
+def test_frame_rotation_folds_via_xla_run():
+    """Rotated sources no longer knock the whole scene off the fast
+    path: frame_geometry still rejects them per-run, but the planner
+    folds them through the exact device path (SWIFTVIDEO_EXACT_ROTATION
+    forces the gather; default is the warp sampler)."""
+    import os
+    from unittest import mock
+
     u = np.asarray(rect_uniforms((512, 256), (768, 512), x=10, y=10,
                                  w=256, h=128).pack()).copy()
     u[1] = 0.3  # cross term -> not axis-aligned
     assert frame_geometry([u], (768, 512), (256, 512)) is None
-    out = composite_frame_pallas(
-        (768, 512), [(_planes(256, 512, 30), PixelFormat.y420p, u)],
-        interpret=True)
-    assert out is None
+    srcs = [(_planes(256, 512, 30), PixelFormat.y420p, u)]
+    with mock.patch.dict(os.environ, {"SWIFTVIDEO_EXACT_ROTATION": "1"}):
+        out = composite_frame_pallas((768, 512), srcs, interpret=True)
+    assert out is not None
+    ref = golden.composite_stack(PixelFormat.y420p, (768, 512), srcs)
+    for o, r in zip(out, ref):
+        assert np.abs(np.asarray(o).astype(int)
+                      - r.astype(int)).max() <= 1
 
 
 def test_frame_rejects_fractional_vertical():

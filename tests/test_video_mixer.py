@@ -303,3 +303,39 @@ def test_mixer_skips_degenerate_source():
     y = np.asarray(frames[0].planes()[0])
     assert abs(int(y[16, 16]) - 150) <= 1  # good source rendered
     mixer.close()
+
+
+def test_mixer_rotated_source_takes_warp_path():
+    """A rotated element routes through the gather-free warp fold
+    (ops/composite.composite_stack_warp) and composites with the
+    documented smooth-content tolerance."""
+    from unittest import mock
+
+    from swiftvideo_tpu.ops import composite as comp
+
+    clock = StepClock(FRAME)
+    ctx = make_compute_context("jax")
+    mixer = VideoMixer(clock, workspace_id="w", frame_duration=FRAME,
+                       output_size=(64, 64), output_format=PixelFormat.y420p,
+                       compute_context=ctx, asset_id="mix")
+    frames = []
+    pipe = mixer >> Tx(lambda s: (frames.append(s), EventBox.just(s))[1])  # noqa: F841 (weak emit chain)
+
+    s = create_picture_sample((32, 32), PixelFormat.y420p, asset_id="cam",
+                              workspace_id="w")
+    yy, xx = np.mgrid[0:32, 0:32]
+    s.planes()[0][:] = (128 + 60 * np.sin(xx / 5.0)).astype(np.uint8)
+    proj = m4.ortho(64, 64)
+    model = (proj @ m4.translation(16, 16, 0) @ m4.rotation_z(0.4)
+             @ m4.scale(32, 32))
+    s = s.with_(matrix=model, revision="r1")
+
+    with mock.patch.object(comp, "composite_stack_warp",
+                           wraps=comp.composite_stack_warp) as spy:
+        mixer.apply(EventBox.just(s))
+        clock.step()
+    assert spy.call_count == 1
+    assert frames, "no frame emitted"
+    y = np.asarray(frames[0].planes()[0])
+    assert y.shape == (64, 64) and y.max() > 0   # something composited
+    mixer.close()
