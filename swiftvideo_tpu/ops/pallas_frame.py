@@ -290,12 +290,15 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
         txx = p_off[2] * cols_g + p_off[3]
         bdy = p_off[4] * rows_g + p_off[5]
         bdx = p_off[6] * cols_g + p_off[7]
-        # texture-range tests carry the same epsilon as in01: f32
-        # rounding at exact cell seams must not drop a boundary row
-        # (sampling past the edge clamps to edge taps anyway)
-        m_tex = ((y_src >= -0.5 - 1e-3) & (y_src <= src_h - 0.5 + 1e-3)
-                 & in01(ty) & (x_src >= -0.5 - 1e-3)
-                 & (x_src <= src_w - 0.5 + 1e-3) & in01(txx))
+        # texture-range tests carry an epsilon like in01: f32 FMA at
+        # exact cell seams must not drop a boundary row/col.  The error
+        # scales with the affine product magnitude (ax*j up to ~5*canvas),
+        # so the epsilon is geometry-scaled (a fixed 1e-3 sat exactly at
+        # the error floor for 1080p walls and flipped with codegen).
+        epspx = max(1e-3, 5.0 * max(w, h) * 8.0 / 2.0 ** 24)
+        m_tex = ((y_src >= -0.5 - epspx) & (y_src <= src_h - 0.5 + epspx)
+                 & in01(ty) & (x_src >= -0.5 - epspx)
+                 & (x_src <= src_w - 0.5 + epspx) & in01(txx))
         m_border = in01(bdy) & in01(bdx)
 
         op = fparams_ref[s, 26]
@@ -943,8 +946,9 @@ def _frame_kernel_rgba(iparams_ref, fparams_ref, *rest,
         txx = p_off[2] * cols_g + p_off[3]
         bdy = p_off[4] * rows_g + p_off[5]
         bdx = p_off[6] * cols_g + p_off[7]
-        m_uv = ((y_src >= -0.5 - 1e-3) & (y_src <= h_in - 0.5 + 1e-3)
-                & (x_src >= -0.5 - 1e-3) & (x_src <= w_in - 0.5 + 1e-3))
+        epspx = max(1e-3, 5.0 * max(w, h) * 8.0 / 2.0 ** 24)
+        m_uv = ((y_src >= -0.5 - epspx) & (y_src <= h_in - 0.5 + epspx)
+                & (x_src >= -0.5 - epspx) & (x_src <= w_in - 0.5 + epspx))
         m_write = in01(bdy) & in01(bdx) & in01(ty) & in01(txx)
         return m_uv, m_write
 
@@ -1338,9 +1342,10 @@ def _frame_kernel_rgbaout(iparams_ref, fparams_ref, *rest,
         txx = p_off[2] * cols_g + p_off[3]
         bdy = p_off[4] * rows_g + p_off[5]
         bdx = p_off[6] * cols_g + p_off[7]
-        m_tex = ((y_src >= -0.5 - 1e-3) & (y_src <= h_in - 0.5 + 1e-3)
-                 & in01(ty) & (x_src >= -0.5 - 1e-3)
-                 & (x_src <= w_in - 0.5 + 1e-3) & in01(txx))
+        epspx = max(1e-3, 5.0 * max(w, h) * 8.0 / 2.0 ** 24)
+        m_tex = ((y_src >= -0.5 - epspx) & (y_src <= h_in - 0.5 + epspx)
+                 & in01(ty) & (x_src >= -0.5 - epspx)
+                 & (x_src <= w_in - 0.5 + epspx) & in01(txx))
         del yc_src
         m_border = in01(bdy) & in01(bdx)
         op = fparams_ref[s, 26]

@@ -69,16 +69,52 @@ def test_frame_4source_1080p(out_fmt):
 
 @pytest.mark.parametrize("grid", [2, 3, 4])
 def test_frame_multiview_vertical_scales(grid):
-    """p-in-{2,3,4} row-group vertical scales (multiview walls)."""
+    """p-in-{2,3,4} row-group vertical scales (multiview walls).
+
+    Tiles sit at quarter-pixel offsets: exact-integer seams are genuine
+    knife edges (the uniforms' matrix inversion puts the border at
+    1440.0001, below f32 resolution of the mask affines), where oracle
+    and kernel may legitimately assign the seam column to either
+    adjacent source — covered by the seam test below instead."""
     W, H = 1920, 1080
+    tw, th = W // grid, (H // grid) // 2 * 2
+    srcs = []
+    for s in range(grid * grid):
+        u = rect_uniforms((W, H), (W, H), x=(s % grid) * tw + 0.25,
+                          y=(s // grid) * th + 0.25, w=tw, h=th)
+        srcs.append((_planes(PixelFormat.y420p, (W, H), 60 + s),
+                     PixelFormat.y420p, u.pack()))
+    _frame_case(PixelFormat.y420p, (W, H), srcs, f"frame-wall-{grid}x")
+
+
+def test_frame_wall_exact_seams_all_written():
+    """Exact-integer tile grid: seam columns/rows are sub-f32 knife edges
+    whose owner may differ from the oracle, but every pixel must be
+    WRITTEN by one of the adjacent tiles (round-1 compiled bug: FMA
+    rounding dropped seam columns on both sides), and off-seam pixels
+    must hold exact parity."""
+    from swiftvideo_tpu.ops.pallas_frame import composite_frame_pallas
+    W, H = 1920, 1080
+    grid = 4
     tw, th = W // grid, (H // grid) // 2 * 2
     srcs = []
     for s in range(grid * grid):
         u = rect_uniforms((W, H), (W, H), x=(s % grid) * tw,
                           y=(s // grid) * th, w=tw, h=th)
-        srcs.append((_planes(PixelFormat.y420p, (W, H), 60 + s),
-                     PixelFormat.y420p, u.pack()))
-    _frame_case(PixelFormat.y420p, (W, H), srcs, f"frame-wall-{grid}x")
+        planes = _planes(PixelFormat.y420p, (W, H), 90 + s)
+        planes[0][:] = np.maximum(planes[0], 16)   # luma 0 == unwritten
+        srcs.append((planes, PixelFormat.y420p, u.pack()))
+    ref = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
+    out = composite_frame_pallas((W, H), srcs)
+    assert out is not None
+    seam_c = {c * tw for c in range(1, grid)}
+    seam_r = {r * th for r in range(1, grid)}
+    y = np.asarray(out[0]).astype(int)
+    assert (y < 4).sum() == 0, "unwritten pixels"
+    err = np.abs(y - np.asarray(ref[0]).astype(int))
+    bad = np.argwhere(err > 1)
+    off_seam = [b for b in bad if b[1] not in seam_c and b[0] not in seam_r]
+    assert not off_seam, (len(off_seam), off_seam[:5])
 
 
 def test_frame_mixed_sizes_and_rgba_overlay():
