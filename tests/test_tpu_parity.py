@@ -190,3 +190,44 @@ def test_audio_mix_device_matches_host():
         aud.apply_mix_s16(s, list(g), expect)   # in-place saturating fold
     out = np.asarray(aud.mix_s16_device(srcs, gains))
     assert np.abs(out.astype(int) - expect.astype(int)).max() <= 1
+
+
+# --- rotation warp (ops/warp.py) ------------------------------------------
+
+def test_warp_device_matches_numpy_on_hardware():
+    """Compiled warp cascade vs the numpy plan on the same geometry —
+    catches compiled-only divergence (rolls, hat matmuls, on-device
+    table construction)."""
+    from swiftvideo_tpu.ops.warp import plan_warp, warp_sample_device
+    yy, xx = np.mgrid[0:540, 0:960]
+    src = np.clip(127 + 80 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+                  + 0.05 * xx, 0, 255).astype(np.uint8)
+    for deg in (0.3, 1.1):
+        u = rect_uniforms((960, 540), (1920, 1080), x=300.4, y=200.7,
+                          w=900, h=500, rotation=deg).pack()
+        plan = plan_warp(u, 1080, 1920, 540, 960)
+        assert plan is not None
+        cpu = plan.sample(src, np)
+        dev = np.asarray(warp_sample_device(plan, src))
+        assert np.abs(cpu - dev).max() < 0.05
+
+
+def test_warp_composite_stack_on_hardware():
+    """Rotated y420p element through the full warp-blend program on the
+    chip: background (masked) pixels match the oracle exactly; interior
+    carries the documented smooth-content tolerance."""
+    from swiftvideo_tpu.ops import composite
+    yy, xx = np.mgrid[0:360, 0:640]
+    sm = np.clip(127 + 80 * np.sin(xx / 13.0) * np.cos(yy / 19.0),
+                 0, 255).astype(np.uint8)
+    planes = [sm, sm[::2, ::2].copy(), sm[1::2, ::2].copy()]
+    rot = (planes, PixelFormat.y420p,
+           rect_uniforms((640, 360), (1280, 720), x=200.4, y=100.7,
+                         w=600, h=340, rotation=0.35, opacity=0.9))
+    ref = golden.composite_stack(PixelFormat.y420p, (1280, 720), [rot])
+    out = composite.composite_stack_warp(PixelFormat.y420p, (1280, 720),
+                                         [rot])
+    for o, r in zip(out, ref):
+        e = np.abs(np.asarray(o).astype(int) - np.asarray(r).astype(int))
+        assert np.percentile(e, 90) <= 1
+        assert (e > 4).mean() < 0.01
