@@ -178,7 +178,7 @@ def main() -> None:
 
                 initp = (jnp.asarray(packed_a),
                          run_a(packed_a, offs_a, jr_a, ys4, us4, vs4))
-                dtp = time_device_loop(pl_body, initp, iters=100)
+                dtp = time_device_loop(pl_body, initp, iters=100, reps=6)
                 log(f"config3 pallas frame kernel: {dtp*1e3:.3f} ms/frame"
                     f" = {1/dtp:.1f} fps/chip (device loop)")
                 if dtp < dt:

@@ -243,10 +243,6 @@ def plan_warp(packed, h_out: int, w_out: int, h_in: int,
 
 # --- device path (bucketed jit: animated rotations must not recompile) ----
 
-def _ceil_pow2(n: int) -> int:
-    return 1 << max(int(n - 1).bit_length(), 0)
-
-
 def _shift_bits(span: int) -> int:
     return max(int(span).bit_length(), 1)
 
