@@ -254,6 +254,7 @@ class Y4MReader:
         self.width: Optional[int] = None
         self.height: Optional[int] = None
         self.pix_fmt: str = "y420p"
+        self.fps: Optional[Tuple[int, int]] = None   # (num, den)
         self._frame_bytes: Optional[int] = None
 
     def _frame_size(self) -> int:
@@ -284,6 +285,10 @@ class Y4MReader:
                         self.height = int(tok[1:])
                     elif tok[:1] == b"C":
                         self.pix_fmt = _Y4M_FORMATS.get(tok[1:], "y420p")
+                    elif tok[:1] == b"F" and b":" in tok:
+                        num, den = tok[1:].split(b":")
+                        if int(num) > 0 and int(den) > 0:
+                            self.fps = (int(num), int(den))
                 if self.width is None or self.height is None:
                     raise ValueError("y4m header missing dimensions")
                 self._frame_bytes = self._frame_size()
@@ -360,3 +365,15 @@ def make_hvcc(vps: bytes, sps: bytes, pps: bytes) -> bytes:
         rec += struct.pack(">H", 1)
         rec += struct.pack(">H", len(nal)) + nal
     return bytes(rec)
+
+
+def y4m_frame_to_planes(data: bytes, w: int, h: int):
+    """Raw 4:2:0 y4m frame payload -> (y, u, v) u8 numpy planes (the one
+    shared unpack for the decoder drain and the file demux pullers)."""
+    import numpy as np
+    y = np.frombuffer(data, np.uint8, w * h).reshape(h, w).copy()
+    u = np.frombuffer(data, np.uint8, w * h // 4, w * h
+                      ).reshape(h // 2, w // 2).copy()
+    v = np.frombuffer(data, np.uint8, w * h // 4, w * h * 5 // 4
+                      ).reshape(h // 2, w // 2).copy()
+    return y, u, v

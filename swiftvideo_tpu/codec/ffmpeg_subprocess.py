@@ -293,11 +293,7 @@ class FFmpegVideoDecoder(Tx):
         out = []
         w, h = self._y4m.width, self._y4m.height
         for data in frames:
-            y = np.frombuffer(data, np.uint8, w * h).reshape(h, w).copy()
-            u = np.frombuffer(data, np.uint8, w * h // 4, w * h
-                              ).reshape(h // 2, w // 2).copy()
-            v = np.frombuffer(data, np.uint8, w * h // 4, w * h * 5 // 4
-                              ).reshape(h // 2, w // 2).copy()
+            y, u, v = containers.y4m_frame_to_planes(data, w, h)
             img = ImageBuffer(PixelFormat.y420p, BufferType.cpu, (w, h),
                               tuple(planes_for_format(PixelFormat.y420p,
                                                       (w, h))), (y, u, v))
@@ -483,12 +479,16 @@ class FFmpegVideoEncoder(Tx):
             return EventBox.error(EventError("ffmpeg.enc", -1, str(exc)))
         self._pts_queue.append(sample.pts())
         self._last_sample = sample
-        for plane in sample.planes():
-            self._proc.write(np.ascontiguousarray(np.asarray(plane)).tobytes())
-        if self.fmt in (MediaFormat.vp8, MediaFormat.vp9):
-            out = self._emit_ivf(sample)
-        else:
-            out = self._emit_annexb(sample)
+        try:
+            for plane in sample.planes():
+                self._proc.write(
+                    np.ascontiguousarray(np.asarray(plane)).tobytes())
+            if self.fmt in (MediaFormat.vp8, MediaFormat.vp9):
+                out = self._emit_ivf(sample)
+            else:
+                out = self._emit_annexb(sample)
+        except Exception as exc:  # noqa: BLE001 (dead ffmpeg process)
+            return EventBox.error(EventError("ffmpeg.enc", -1, str(exc)))
         if not out:
             return EventBox.nothing(sample.info())
         return EventBox.just(out)
@@ -500,29 +500,46 @@ class FFmpegVideoEncoder(Tx):
         self._proc.flush_input()
         if self.fmt in (MediaFormat.vp8, MediaFormat.vp9):
             return self._emit_ivf(self._meta_sample)
-        # annexb: no trailing AUD after the final unit — treat remaining
-        # carry as one unit
+        # annexb: the drained carry may hold SEVERAL complete access
+        # units (lookahead/threaded encoders buffer frames) — split on
+        # AUDs like the steady-state path; the tail after the last AUD
+        # is itself a complete unit at end of stream
         self._carry += self._proc.take()
         nals = split_annexb(self._carry)
         self._carry = b""
         if not nals:
             return []
         aud = self._AUD[self.fmt]
-        unit = [n for n in nals if self._nal_type(n) != aud]
-        self._update_config(unit)
-        payload = annexb_to_avcc(b"".join(
-            b"\x00\x00\x00\x01" + n for n in unit
-            if self._nal_type(n) not in self._param_types()))
-        if not payload or self._config is None:
-            return []
+        units: List[List[bytes]] = []
+        for nal in nals:
+            if nal and self._nal_type(nal) == aud:
+                units.append([])
+            elif units:
+                units[-1].append(nal)
+            else:
+                units.append([nal])
         sample = self._meta_sample
-        pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
-        return [CodedMediaSample(
-            buffer=payload, pts_value=pts, dts_value=pts,
-            media_type=MediaType.video, media_format=self.fmt,
-            id_asset=sample.asset_id(), id_workspace=sample.workspace_id(),
-            time_point=sample.time(), side={"config": self._config},
-            event_info=sample.info())]
+        params = self._param_types()
+        out = []
+        for unit in units:
+            if not unit:
+                continue
+            self._update_config(unit)
+            payload = annexb_to_avcc(b"".join(
+                b"\x00\x00\x00\x01" + n for n in unit
+                if self._nal_type(n) not in params))
+            if not payload or self._config is None:
+                continue
+            pts = (self._pts_queue.pop(0) if self._pts_queue
+                   else sample.pts())
+            out.append(CodedMediaSample(
+                buffer=payload, pts_value=pts, dts_value=pts,
+                media_type=MediaType.video, media_format=self.fmt,
+                id_asset=sample.asset_id(),
+                id_workspace=sample.workspace_id(),
+                time_point=sample.time(), side={"config": self._config},
+                event_info=sample.info()))
+        return out
 
     @property
     def _meta_sample(self):
@@ -553,6 +570,7 @@ class FFmpegAudioDecoder(Tx):
         self._ogg: Optional[containers.OggOpusWriter] = None
         self._carry = b""
         self._next_pts: Optional[TimePoint] = None
+        self._first_pts: Optional[TimePoint] = None
         self._meta: Optional[CodedMediaSample] = None
         self.chunk_samples = chunk_samples
         super().__init__(self._impl)
@@ -609,7 +627,11 @@ class FFmpegAudioDecoder(Tx):
             self._carry = self._carry[n * frame_bytes:]
             pcm = np.frombuffer(raw, np.int16).reshape(n, self._channels)
             if self._next_pts is None:
-                self._next_pts = meta.pts()
+                # anchor at the FIRST input's pts: ffmpeg buffers 1-2
+                # frames before the first output, and anchoring to the
+                # current input would shift the timeline by that delay
+                self._next_pts = (self._first_pts if self._first_pts
+                                  is not None else meta.pts())
             pts = self._next_pts
             self._next_pts = pts + TimePoint(n, self._rate)
             out.append(AudioSample(
@@ -625,6 +647,8 @@ class FFmpegAudioDecoder(Tx):
         try:
             self._ensure(sample)
             self._meta = sample
+            if self._first_pts is None:
+                self._first_pts = sample.pts()
             self._write_packet(sample)
             out = self._drain()
         except Exception as exc:  # noqa: BLE001
@@ -672,6 +696,7 @@ class FFmpegAudioEncoder(Tx):
         self._config: Optional[bytes] = None
         self._carry = b""
         self._next_pts: Optional[TimePoint] = None
+        self._first_pts: Optional[TimePoint] = None
         self._meta: Optional[AudioSample] = None
         super().__init__(self._impl)
 
@@ -699,7 +724,8 @@ class FFmpegAudioEncoder(Tx):
               rate: int) -> CodedMediaSample:
         meta = self._meta
         if self._next_pts is None:
-            self._next_pts = meta.pts()
+            self._next_pts = (self._first_pts if self._first_pts
+                              is not None else meta.pts())
         pts = self._next_pts
         self._next_pts = pts + TimePoint(duration_samples, rate)
         side = {"config": self._config} if self._config else {}
@@ -735,6 +761,8 @@ class FFmpegAudioEncoder(Tx):
         try:
             self._ensure(sample)
             self._meta = sample
+            if self._first_pts is None:
+                self._first_pts = sample.pts()
             self._proc.write(b"".join(
                 np.ascontiguousarray(np.asarray(b)).tobytes()
                 for b in sample.data()))

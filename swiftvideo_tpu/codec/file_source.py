@@ -137,32 +137,37 @@ def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.DEVNULL)
 
+    if loop:
+        # the subprocess pipes are one-shot: there is no seek-to-start on
+        # a drained decoder (the cv2 backend supports looping)
+        raise ValueError("loop=True is not supported by the subprocess "
+                         "demux backend; use open_media_file")
+
     # --- video track ------------------------------------------------------
     vproc = spawn(["-an", "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p",
                    "pipe:1"])
     y4m = Y4MReader()
-    vstate = {"fps": 30.0, "frames": [], "eof": False}
+    vstate = {"frames": [], "eof": False}
 
-    def vpull(index: int) -> Optional[CodedMediaSample]:
+    def vfill():
         while not vstate["frames"] and not vstate["eof"]:
             chunk = vproc.stdout.read(65536)
             if not chunk:
                 vstate["eof"] = True
                 break
             vstate["frames"].extend(y4m.feed(chunk))
+
+    def vpull(index: int) -> Optional[CodedMediaSample]:
+        vfill()
         if not vstate["frames"]:
             return None
         data = vstate["frames"].pop(0)
         w, h = y4m.width, y4m.height
-        import numpy as _np
-        y = _np.frombuffer(data, _np.uint8, w * h).reshape(h, w).copy()
-        u = _np.frombuffer(data, _np.uint8, w * h // 4, w * h
-                           ).reshape(h // 2, w // 2).copy()
-        v = _np.frombuffer(data, _np.uint8, w * h // 4, w * h * 5 // 4
-                           ).reshape(h // 2, w // 2).copy()
+        from .containers import y4m_frame_to_planes
         img = ImageBuffer(PixelFormat.y420p, BufferType.cpu, (w, h),
                           tuple(planes_for_format(PixelFormat.y420p,
-                                                  (w, h))), (y, u, v))
+                                                  (w, h))),
+                          y4m_frame_to_planes(data, w, h))
         pict = PictureSample(img, asset_id, workspace_id)
         return CodedMediaSample(
             buffer=pack_uncompressed_picture(pict),
@@ -171,10 +176,15 @@ def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
             media_format=MediaFormat.uncompressed,
             id_asset=asset_id, id_workspace=workspace_id)
 
+    # prime the reader so the stream header's real frame rate (the y4m
+    # 'F' token) paces emission — the cv2 path reads CAP_PROP_FPS the
+    # same way; 30 fps only as a last resort
+    vfill()
+    num, den = y4m.fps if y4m.fps else (30, 1)
     video = SyntheticSource(clock, vpull,
-                            frame_duration=TimePoint(1000, 30000),
+                            frame_duration=TimePoint(den * 1000, num * 1000),
                             asset_id=asset_id, workspace_id=workspace_id,
-                            loop=loop)
+                            loop=False)
 
     # --- audio track (None when the container has no audio) ----------------
     aproc = spawn(["-vn", "-f", "s16le", "-ar", str(sample_rate),

@@ -29,16 +29,27 @@ def flat(tx: Tx) -> Tx:
             return tx(value)
         outs = []
         info = None
+        err = None
         for item in value:
             box = tx(item)
-            if box.is_error() or box.is_gone():
+            if box.is_gone():
                 return box
+            if box.is_error():
+                # keep processing: one bad frame must not drop the
+                # already-produced outputs of this batch (live-media
+                # continuity); the error surfaces when nothing succeeds
+                err = box
+                continue
             if box.is_just():
                 v = box.value()
                 outs.extend(v if isinstance(v, list) else [v])
             else:
                 info = box.info()
-        return EventBox.just(outs) if outs else EventBox.nothing(info)
+        if outs:
+            return EventBox.just(outs)
+        if err is not None:
+            return err
+        return EventBox.nothing(info)
     return Tx(impl)
 
 

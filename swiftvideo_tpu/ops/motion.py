@@ -397,8 +397,11 @@ def _me_pallas_program(h: int, w: int, block: int, search: int,
 
 
 def me_pallas_supported(h: int, w: int, block: int, search: int) -> bool:
+    p_l = search // 2 - block // 2
+    edge_blocks = -(-p_l // block) * block      # left-edge lanes needed
     return (block == 16 and search >= 2 * block and search % 16 == 0
-            and h >= search and w >= 2 * search and w % 128 == 0)
+            and h >= search and w >= 2 * search and w % 128 == 0
+            and edge_blocks <= 128)             # edge tail is 128 lanes
 
 
 def me_fullsearch_pallas(cur, ref, block: int = 16, search: int = 64,
@@ -422,7 +425,7 @@ def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64):
     import jax.numpy as jnp
     cur = jnp.asarray(cur)
     h, w = cur.shape
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"   # pltpu kernels are TPU-only
     if on_tpu and me_pallas_supported(h, w, block, search):
         return me_fullsearch_pallas(cur, ref, block, search)
     return _me_program(h, w, block, search)(cur, jnp.asarray(ref))

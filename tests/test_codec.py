@@ -226,3 +226,22 @@ def test_ffmpeg_gating():
         box = dec(s)
         assert box.is_error()
         assert "ffmpeg" in box.err().desc.lower() or "binary" in box.err().desc
+
+
+def test_flat_keeps_partial_successes():
+    """A failing item inside a list must not discard the outputs already
+    produced by earlier items (live-media continuity); the error only
+    surfaces when the whole batch fails."""
+    from swiftvideo_tpu.codec.transcode import flat
+    from swiftvideo_tpu.core import EventBox, EventError, Tx
+
+    def impl(v):
+        if v < 0:
+            return EventBox.error(EventError("t", -1, "bad"))
+        return EventBox.just(v * 10)
+
+    lifted = flat(Tx(impl))
+    box = lifted.apply(EventBox.just([1, -1, 2]))
+    assert box.is_just() and box.value() == [10, 20]
+    allbad = lifted.apply(EventBox.just([-1, -2]))
+    assert allbad.is_error()

@@ -105,6 +105,27 @@ def test_y4m_frame_params_tolerated():
               + b"FRAME Xsome=param\n" + frame)
     reader = containers.Y4MReader()
     assert reader.feed(stream) == [frame]
+    assert reader.fps == (30, 1)
+
+
+def test_y4m_reader_fps_token():
+    """The 'F' rate token paces file emission (a 24/60 fps file must not
+    play on a 30 fps timeline)."""
+    stream = (b"YUV4MPEG2 W8 H4 F24000:1001 Ip A1:1 C420jpeg\n"
+              + b"FRAME\n" + bytes(8 * 4 * 3 // 2))
+    reader = containers.Y4MReader()
+    reader.feed(stream)
+    assert reader.fps == (24000, 1001)
+
+
+def test_y4m_frame_to_planes_helper():
+    w, h = 8, 4
+    data = bytes(range(w * h)) + bytes([7]) * (w * h // 4) \
+        + bytes([9]) * (w * h // 4)
+    y, u, v = containers.y4m_frame_to_planes(data, w, h)
+    assert y.shape == (h, w) and y[0, 3] == 3
+    assert u.shape == (h // 2, w // 2) and int(u[0, 0]) == 7
+    assert v.shape == (h // 2, w // 2) and int(v[1, 1]) == 9
 
 
 # --- hvcC ----------------------------------------------------------------------
