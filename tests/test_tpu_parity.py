@@ -231,3 +231,23 @@ def test_warp_composite_stack_on_hardware():
         e = np.abs(np.asarray(o).astype(int) - np.asarray(r).astype(int))
         assert np.percentile(e, 90) <= 1
         assert (e > 4).mean() < 0.01
+
+
+def test_frame_mixed_scale_classes_chained():
+    """Mixed 2x and 3x cells: the planner splits per scale class into two
+    chained pallas runs (round-2 planner change) — compiled chaining with
+    different pgrp values proven on hardware."""
+    from swiftvideo_tpu.ops.pallas_frame import composite_frame_pallas
+    W, H = 1920, 1080
+    srcs = []
+    for i in range(2):
+        srcs.append((_planes(PixelFormat.y420p, (W, H), 200 + i),
+                     PixelFormat.y420p,
+                     rect_uniforms((W, H), (W, H), x=i * 960 + 0.25,
+                                   y=0.25, w=960, h=540).pack()))
+    for i in range(3):
+        srcs.append((_planes(PixelFormat.y420p, (W, H), 210 + i),
+                     PixelFormat.y420p,
+                     rect_uniforms((W, H), (W, H), x=i * 640 + 0.25,
+                                   y=540.25, w=640, h=360).pack()))
+    _frame_case(PixelFormat.y420p, (W, H), srcs, "frame-mixed-2x3x")
