@@ -142,3 +142,20 @@ def test_composite_stack_warp_falls_back_cleanly():
     dev = composite.composite_stack_boxed(PixelFormat.y420p, (W, H), srcs)
     for r, d in zip(ref, dev):
         assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_composite_stack_warp_rotated_nv12_input():
+    """Biplanar (nv12/nv21) INPUT through the warp sampler: the chroma
+    channels come from the interleaved plane (nv21 swapped)."""
+    W, H = 512, 384
+    for fmt in (PixelFormat.nv12, PixelFormat.nv21):
+        cb = _smooth(120, 160, 10)
+        cr = _smooth(120, 160, 11)
+        a, b = (cb, cr) if fmt == PixelFormat.nv12 else (cr, cb)
+        uv = np.stack([a, b], axis=-1)
+        planes = [_smooth(240, 320, 9), uv]
+        rot = (planes, fmt, _uni(25, 320, 240, W, H, opacity=0.9))
+        errs = _stack_err(PixelFormat.y420p, [rot], (W, H))
+        for e in errs:
+            assert np.percentile(e, 90) <= 1, fmt
+            assert (e > 4).mean() < 0.01, fmt
