@@ -380,3 +380,29 @@ def test_frame_nv12_target_with_rgba_overlay():
         err = np.abs(np.asarray(o).astype(int)
                      - np.asarray(rr).astype(int)).max()
         assert err <= 1, err
+
+
+def test_frame_xrun_last_with_biplanar_target():
+    """When the final planner run is an XLA/warp fold (rotated source on
+    top) and the target is biplanar, the chroma interleave runs as the
+    standalone epilogue instead of inside a pallas runner."""
+    import os
+    from unittest import mock
+
+    W, H = 512, 256
+    cam = (_planes(H, W, 80), PixelFormat.y420p,
+           rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack())
+    rot = np.asarray(rect_uniforms((256, 128), (W, H), x=100.3, y=60.7,
+                                   w=256, h=128, opacity=0.9).pack()).copy()
+    rot[1] = 0.25   # cross term: not axis-aligned -> X-run
+    overlay = (_planes(128, 256, 81), PixelFormat.y420p, rot)
+    srcs = [cam, overlay]
+    with mock.patch.dict(os.environ, {"SWIFTVIDEO_EXACT_ROTATION": "1"}):
+        out = composite_frame_pallas((W, H), srcs, interpret=True,
+                                     out_fmt=PixelFormat.nv12)
+    assert out is not None and len(out) == 2
+    ref = golden.composite_stack(PixelFormat.nv12, (W, H), srcs)
+    for o, r in zip(out, ref):
+        assert np.asarray(o).shape == np.asarray(r).shape
+        assert np.abs(np.asarray(o).astype(int)
+                      - np.asarray(r).astype(int)).max() <= 1
