@@ -38,7 +38,8 @@ _CODE_FMT = {v: k for k, v in _FMT_CODE.items()}
 
 
 def ffmpeg_available() -> bool:
-    return shutil.which("ffmpeg") is not None
+    from .ffmpeg_subprocess import ffmpeg_path
+    return ffmpeg_path() is not None
 
 
 # --- uncompressed picture packing -----------------------------------------

@@ -22,6 +22,7 @@ reader thread (pipes would deadlock otherwise).  Bitstream framing:
 
 from __future__ import annotations
 
+import os
 import shutil
 import struct
 import subprocess
@@ -39,6 +40,11 @@ from . import bitstream, containers
 
 
 def ffmpeg_path() -> Optional[str]:
+    """Path of the ffmpeg binary; ``SWIFTVIDEO_FFMPEG`` overrides PATH
+    lookup (points tests at a mock, or deployments at a custom build)."""
+    override = os.environ.get("SWIFTVIDEO_FFMPEG")
+    if override:
+        return override if os.path.exists(override) else None
     return shutil.which("ffmpeg")
 
 
@@ -189,7 +195,10 @@ class _PipeProcess:
 
     def _reader(self) -> None:
         while True:
-            chunk = self.proc.stdout.read(65536)
+            # read1, not read: BufferedReader.read(n) BLOCKS until n bytes
+            # or EOF, which stalls small frames until stream end (caught
+            # live by the mock-ffmpeg pipe tests, round 3)
+            chunk = self.proc.stdout.read1(65536)
             if not chunk:
                 return
             with self._lock:

@@ -417,15 +417,198 @@ def me_fullsearch_pallas(cur, ref, block: int = 16, search: int = 64,
     return prog(cur, jnp.asarray(ref))
 
 
-def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64):
+def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64,
+                         metric: str = "sad"):
     """Device full-search: cur/ref [H, W] u8 -> [H//B, W//B, 4] u8 MVs.
-    Routes to the Pallas strip kernel on TPU-friendly geometry, else the
-    XLA scan."""
+
+    ``metric="sad"`` is the reference-parity path (kernels.metal:206-267
+    semantics): routes to the Pallas strip kernel on TPU-friendly
+    geometry, else the XLA scan.  ``metric="ssd"`` is the documented
+    MXU variant (`me_fullsearch_mxu`): same search geometry and MV-cost,
+    SSD distortion instead of SAD — roughly 30x faster because the cross
+    term runs on the systolic array.
+    """
     import jax
     import jax.numpy as jnp
     cur = jnp.asarray(cur)
     h, w = cur.shape
+    if metric == "ssd":
+        return _me_mxu_program(h, w, block, search)(cur, jnp.asarray(ref))
     on_tpu = jax.default_backend() == "tpu"   # pltpu kernels are TPU-only
     if on_tpu and me_pallas_supported(h, w, block, search):
         return me_fullsearch_pallas(cur, ref, block, search)
     return _me_program(h, w, block, search)(cur, jnp.asarray(ref))
+
+
+# --- MXU SSD variant -------------------------------------------------------
+#
+# The exact-SAD formulations above are VPU-bound: Mosaic exposes no
+# sub-32-bit arithmetic, so 4.7e9 abs-diff lane-ops/frame floor out around
+# 20 ms at 1080p/16/64.  The MXU variant changes the distortion metric to
+# SSD, which decomposes as ||c||^2 - 2*c.r + ||r||^2:
+#
+#   * the cross term c.r over a 16x16 block is a 256-deep contraction —
+#     expressed as `lax.conv` of each strip's reference window with the
+#     strip's current blocks as filters, it runs on the systolic array
+#     (u8 pixels are exact in bf16; 256 products <= 65280 accumulate
+#     exactly in f32);
+#   * ||r||^2 patch sums come from two separable integer reduce_windows;
+#   * ||c||^2 is constant per block, so it cannot change the argmin and
+#     is dropped from the computed score.
+#
+# Variant score (documented deviation from the reference's SAD*256):
+#   score = deltaCost2(mv) + SSD * 2^-4
+# computed as deltaCost2 + (SSD - ||c||^2) * 2^-4 (same argmin).  The
+# 2^-4 scale is a power of two on purpose: the product is exact in f32,
+# so fused multiply-add and two-step rounding agree bit-for-bit and the
+# numpy oracle (`me_ssd_golden`) is candidate-exact against the device.
+# Ties break to the earliest candidate in (tx, ty) x-major scan order,
+# like the SAD paths.
+
+_SCALE2 = np.float32(2.0 ** -4)   # integer (SSD - ||c||^2) -> score units
+
+
+def me_ssd_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
+                  search: int = 64) -> np.ndarray:
+    """Scalar-loop oracle for the SSD variant; mirrors the device score
+    ops bit-exactly (f32(partial) * 2^-4 + f32 cost, c^2 dropped)."""
+    h, w = cur.shape
+    hb, wb = h // block, w // block
+    curi = cur.astype(np.int64)
+    refi = ref.astype(np.int64)
+    out = np.zeros((hb, wb, 4), np.uint8)
+    max_mv = search // 2
+    for by in range(hb):
+        for bx in range(wb):
+            oy, ox = by * block, bx * block
+            xlo, xhi = _search_bounds(ox, block, search, w)
+            ylo, yhi = _search_bounds(oy, block, search, h)
+            best = (math.inf, 0.0, 0.0)
+            cb = curi[oy:oy + block, ox:ox + block]
+            for tx in range(xlo, xhi):
+                for ty in range(ylo, yhi):
+                    rb = refi[ty:ty + block, tx:tx + block]
+                    partial = int((rb * rb).sum()) - 2 * int((cb * rb).sum())
+                    mvx, mvy = float(ox - tx), float(oy - ty)
+                    score = np.float32(_cost_f32(mvx, mvy)
+                                       + np.float32(partial) * _SCALE2)
+                    if score < best[0]:
+                        best = (score, mvx, mvy)
+            mvx = min(max(best[1], -max_mv), max_mv) / max_mv * 0.5 + 0.5
+            mvy = min(max(best[2], -max_mv), max_mv) / max_mv * 0.5 + 0.5
+            out[by, bx] = np.clip(np.rint(np.array(
+                [mvx, 0.5, mvy, 1.0]) * 255.0), 0, 255).astype(np.uint8)
+    return out
+
+
+@lru_cache(maxsize=16)
+def _me_mxu_program(h: int, w: int, block: int, search: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    # exactness contract: 2*block^2 products of u8 pairs must accumulate
+    # exactly in f32 (and partial = r2 - 2*cross in i32)
+    if block * block * 255 * 255 >= 2 ** 24:
+        raise ValueError("ssd variant requires block <= 16 for exact f32 "
+                         "accumulation")
+    strips, wb = h // block, w // block
+    d_lo = block // 2 - search // 2
+    d_hi = search - block - 1
+    n_d = d_hi - d_lo + 1
+    dxs = np.arange(d_lo, d_hi + 1, dtype=np.int32)
+    n_j = search - block                       # per-strip ty candidates
+
+    # per-strip ty windows (see _search_bounds)
+    oy = np.arange(strips, dtype=np.int32) * block
+    ylo = np.clip(oy + d_lo, 0, h)
+    yhi = np.minimum(ylo + search, h) - block
+    nvy = np.maximum(yhi - ylo, 0)
+    jgbase = (ylo - oy) - d_lo                 # dy-cost index base
+
+    # per-block-column dx validity + gather columns
+    ox = np.arange(wb, dtype=np.int32) * block
+    xlo = np.clip(ox + d_lo, 0, w)
+    xhi = np.minimum(xlo + search, w) - block
+    txg = ox[:, None] + dxs[None, :]           # [wb, n_d] candidate tx
+    xmask = (txg >= xlo[:, None]) & (txg < xhi[:, None])
+    txg = np.clip(txg, 0, w - block)
+
+    # f32 MV-cost table [dx_idx, dy_idx], dy value = d_lo + idx
+    dvals = (d_lo + np.arange(n_d)).astype(np.float64)
+    cost = delta_cost2(-dvals[:, None], -dvals[None, :]).astype(np.float32)
+
+    big_key = np.int32(2 ** 30)
+    keys = (np.arange(n_d, dtype=np.int32)[None, :] * search
+            + np.arange(n_j, dtype=np.int32)[:, None])   # [n_j, n_d]
+
+    def run(cur_u8, ref_u8):
+        cur_u8 = cur_u8[:strips * block]
+        refp = jnp.pad(ref_u8, ((0, search), (0, 0)))
+        # ||r||^2 patch sums via separable integer window sums (exact:
+        # block^2 * 255^2 < 2^24 for block <= 16; i32 regardless)
+        r2c = lax.reduce_window(
+            (refp.astype(jnp.int32)) ** 2, 0, lax.add,
+            (block, 1), (1, 1), "valid")
+        s2 = lax.reduce_window(r2c, 0, lax.add, (1, block), (1, 1), "valid")
+
+        # filters: strip s blocks as [block(jj), block(i), wb] bf16 for the
+        # channels-folded 1D conv below
+        filt = (cur_u8.reshape(strips, block, wb, block)
+                .transpose(0, 3, 1, 2)
+                .astype(jnp.bfloat16))
+        wins = jnp.take(refp, ylo[:, None] + np.arange(search)[None, :],
+                        axis=0)                # [strips, search, w] u8
+        iwb = jnp.arange(wb)[:, None]
+
+        def body(_, xs):
+            win, f, nvy_s, jgb_s, ylo_s, oy_s = xs
+            # channels-folded correlation: a direct 2D conv with C_in=1
+            # lowers to ~VPU speed on TPU (measured 82 ms/frame at 1080p);
+            # folding the 16 vertical taps into input CHANNELS makes it a
+            # [kw=16, C_in=16, C_out=wb] 1D conv with a 256-deep MXU
+            # contraction and j as the batch axis (measured ~30x faster)
+            v = jnp.stack([win[i:i + n_j] for i in range(block)],
+                          axis=-1).astype(jnp.bfloat16)   # [n_j, w, block]
+            cross = lax.conv_general_dilated(
+                v, f, window_strides=(1,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32,
+            )                                  # [n_j, w-block+1, wb]
+            cross_g = cross[:, txg, iwb].astype(jnp.int32)   # [n_j, wb, n_d]
+            rows = jnp.clip(ylo_s + jnp.arange(n_j), 0, h - block)
+            r2_g = s2[rows][:, txg]            # [n_j, wb, n_d]
+            partial = (r2_g - 2 * cross_g).astype(jnp.float32)
+            jg = jnp.clip(jgb_s + jnp.arange(n_j), 0, n_d - 1)
+            cost_g = cost[:, jg].T             # [n_j, n_d]
+            score = cost_g[:, None, :] + partial * _SCALE2
+            valid = ((jnp.arange(n_j) < nvy_s)[:, None, None]
+                     & xmask[None, :, :])
+            score = jnp.where(valid, score, jnp.inf)
+            m = jnp.min(score, axis=(0, 2))    # [wb]
+            km = jnp.min(jnp.where(score == m[None, :, None],
+                                   keys[:, None, :], big_key), axis=(0, 2))
+            k, j = km // search, km % search
+            mvx = (-jnp.asarray(dxs))[k].astype(jnp.float32)
+            mvy = (oy_s - (ylo_s + j)).astype(jnp.float32)
+            return None, (mvx, mvy)
+
+        _, (mvx, mvy) = lax.scan(
+            body, None,
+            (wins, filt, jnp.asarray(nvy), jnp.asarray(jgbase),
+             jnp.asarray(ylo), jnp.asarray(oy)))
+        return _mv_rgba(mvx, mvy, search, jnp)
+
+    cost = jnp.asarray(cost)
+    txg = jnp.asarray(txg)
+    xmask = jnp.asarray(xmask)
+    keys = jnp.asarray(keys)
+    return jax.jit(run)
+
+
+def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64):
+    """SSD-variant full search on the MXU (see module notes above)."""
+    import jax.numpy as jnp
+    cur = jnp.asarray(cur)
+    h, w = cur.shape
+    return _me_mxu_program(h, w, block, search)(cur, jnp.asarray(ref))

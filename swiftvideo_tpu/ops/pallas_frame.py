@@ -712,7 +712,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         p64 = np.asarray(golden._packed(src[2]), np.float64)
         if not golden.is_axis_aligned(p64):
             return -1
-        shape = np.asarray(src[0][0]).shape
+        shape = np.shape(src[0][0])     # trace-safe (entry() jits this)
         pl_ = _plane_params_np(p64, size[1], size[0], shape[0], shape[1])
         ay, ax = float(pl_[0]), float(pl_[2])
         if not (ay > 0 and ax > 0 and ax <= 4.9):
@@ -726,7 +726,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
     for src in sources:
         pcls = vscale_class(src)
         key = (families[src[1]] if pcls >= 0 else "X", src[1],
-               tuple(np.asarray(src[0][0]).shape))
+               tuple(np.shape(src[0][0])))
         rect = border_rect(src[2])
         # the source must execute after everything it overlaps: find the
         # LAST run containing an overlap; any run after it (or that run

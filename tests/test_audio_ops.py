@@ -218,3 +218,37 @@ def test_motion_pallas_gate():
     assert motion.me_fullsearch_pallas(
         np.zeros((64, 96), np.uint8), np.zeros((64, 96), np.uint8),
         16, 32, interpret=True) is None
+
+
+@pytest.mark.parametrize("geom", [(64, 128, 64), (96, 96, 32),
+                                  (48, 80, 64)])
+def test_motion_mxu_ssd_matches_golden(geom):
+    """The MXU SSD variant is candidate-exact vs its own scalar oracle
+    (power-of-two score scale makes FMA and two-step rounding agree),
+    including clamped edge windows."""
+    h, w, search = geom
+    rng = np.random.default_rng(h * w + search)
+    ref = rng.integers(0, 255, (h, w), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    gold = motion.me_ssd_golden(cur, ref, 16, search)
+    mxu = np.asarray(motion.me_fullsearch_mxu(cur, ref, 16, search))
+    assert np.array_equal(gold, mxu)
+
+
+def test_motion_mxu_ssd_translation_recovered():
+    rng = np.random.default_rng(21)
+    ref = rng.integers(0, 255, (128, 128), np.uint8)
+    shift = 6
+    cur = np.roll(ref, (shift, shift), axis=(0, 1))
+    out = np.asarray(motion.me_fullsearch_device(cur, ref, 16, 64,
+                                                 metric="ssd"))
+    expect = int(round((shift / 32 * 0.5 + 0.5) * 255))
+    inner = out[2:6, 2:6]
+    assert np.all(inner[..., 0] == expect) and np.all(inner[..., 2] == expect)
+
+
+def test_motion_mxu_ssd_block_guard():
+    with pytest.raises(ValueError):
+        motion.me_fullsearch_mxu(np.zeros((64, 64), np.uint8),
+                                 np.zeros((64, 64), np.uint8), 32, 64)
