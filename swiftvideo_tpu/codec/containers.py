@@ -209,12 +209,18 @@ class OggOpusWriter:
     """Mux raw Opus packets into an Ogg byte stream for piping to ffmpeg."""
 
     def __init__(self, channels: int, *, serial: int = 0x53565456,
-                 samples_per_packet: int = 960):
+                 samples_per_packet: int = 960, pre_skip: int = 312,
+                 head: Optional[bytes] = None):
+        """``head``: reuse a source OpusHead packet verbatim (propagates
+        the real pre_skip/gain/mapping instead of synthesizing defaults —
+        advisor, round 2); else one is built with ``pre_skip``."""
         self._serial = serial
         self._seq = 0
         self._granule = 0
         self._spp = samples_per_packet
-        self._head = (ogg_page([make_opus_head(channels)], serial=serial,
+        head_pkt = (head if head is not None and head[:8] == b"OpusHead"
+                    else make_opus_head(channels, pre_skip=pre_skip))
+        self._head = (ogg_page([head_pkt], serial=serial,
                                seq=0, granule=0, bos=True)
                       + ogg_page([make_opus_tags()], serial=serial, seq=1,
                                  granule=0))

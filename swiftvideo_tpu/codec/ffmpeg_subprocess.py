@@ -297,6 +297,7 @@ class FFmpegVideoDecoder(Tx):
             self._ivf_pts += 1
 
     def _drain(self) -> List[PictureSample]:
+        import heapq
         meta = self._meta
         frames = self._y4m.feed(self._proc.take())
         out = []
@@ -306,7 +307,15 @@ class FFmpegVideoDecoder(Tx):
             img = ImageBuffer(PixelFormat.y420p, BufferType.cpu, (w, h),
                               tuple(planes_for_format(PixelFormat.y420p,
                                                       (w, h))), (y, u, v))
-            pts = self._pts_queue.pop(0) if self._pts_queue else meta.pts()
+            # presentation-order pts: decoders emit frames in presentation
+            # order, and every frame preceding this one in presentation
+            # has already been fed, so the SMALLEST pending input pts is
+            # this frame's pts.  A FIFO here mispairs B-frame streams,
+            # where decode order != presentation order (advisor, round 2;
+            # rawvideo pipes carry no timestamps, unlike the reference's
+            # libavcodec frames, dec.video.ffmpeg.swift:144-160).
+            pts = (heapq.heappop(self._pts_queue) if self._pts_queue
+                   else meta.pts())
             out.append(PictureSample(
                 img, meta.asset_id(), meta.workspace_id(),
                 time_point=meta.time(), pts_value=pts,
@@ -320,8 +329,9 @@ class FFmpegVideoDecoder(Tx):
             self._ensure(sample)
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("ffmpeg.dec", -1, str(exc)))
+        import heapq
         self._meta = sample
-        self._pts_queue.append(sample.pts())
+        heapq.heappush(self._pts_queue, sample.pts())
         try:
             self._write_packet(sample)
             out = self._drain()
@@ -572,7 +582,13 @@ class FFmpegAudioDecoder(Tx):
 
     _FORMATS = (MediaFormat.aac, MediaFormat.opus)
 
-    def __init__(self, *, chunk_samples: int = 1024):
+    def __init__(self, *, chunk_samples: int = 1024,
+                 priming_samples: int = 0):
+        """``priming_samples``: known codec priming (AAC encoder delay
+        >= 1024, Opus pre-skip) present at the head of the decoded PCM;
+        the first output pts anchors at ``first_input_pts - priming`` so
+        real content lands on the input timeline (advisor, round 2; the
+        reference gets this from libavcodec's frame timestamps)."""
         self._proc: Optional[_PipeProcess] = None
         self._rate: Optional[int] = None
         self._channels: Optional[int] = None
@@ -582,6 +598,7 @@ class FFmpegAudioDecoder(Tx):
         self._first_pts: Optional[TimePoint] = None
         self._meta: Optional[CodedMediaSample] = None
         self.chunk_samples = chunk_samples
+        self.priming_samples = priming_samples
         super().__init__(self._impl)
 
     def _ensure(self, sample: CodedMediaSample) -> None:
@@ -599,10 +616,12 @@ class FFmpegAudioDecoder(Tx):
                 "pipe:1"])
         else:
             channels = 2
+            head = None
             if config[:8] == b"OpusHead":
                 channels = containers.parse_opus_head(config)["channels"]
+                head = config        # propagate real pre_skip/gain/mapping
             self._rate, self._channels = 48000, channels
-            self._ogg = containers.OggOpusWriter(channels)
+            self._ogg = containers.OggOpusWriter(channels, head=head)
             self._proc = _PipeProcess([
                 "-f", "ogg", "-i", "pipe:0",
                 "-f", "s16le", "-ar", "48000", "-ac", str(channels),
@@ -638,9 +657,15 @@ class FFmpegAudioDecoder(Tx):
             if self._next_pts is None:
                 # anchor at the FIRST input's pts: ffmpeg buffers 1-2
                 # frames before the first output, and anchoring to the
-                # current input would shift the timeline by that delay
-                self._next_pts = (self._first_pts if self._first_pts
-                                  is not None else meta.pts())
+                # current input would shift the timeline by that delay.
+                # Known codec priming at the stream head backs the anchor
+                # up so real content lands on the input timeline.
+                anchor = (self._first_pts if self._first_pts
+                          is not None else meta.pts())
+                if self.priming_samples:
+                    anchor = anchor - TimePoint(self.priming_samples,
+                                                self._rate)
+                self._next_pts = anchor
             pts = self._next_pts
             self._next_pts = pts + TimePoint(n, self._rate)
             out.append(AudioSample(
@@ -703,6 +728,8 @@ class FFmpegAudioEncoder(Tx):
         self._channels: Optional[int] = None
         self._ogg_reader: Optional[containers.OggPacketReader] = None
         self._config: Optional[bytes] = None
+        self._opus_pend: List[bytes] = []
+        self._opus_granule = 0
         self._carry = b""
         self._next_pts: Optional[TimePoint] = None
         self._first_pts: Optional[TimePoint] = None
@@ -753,14 +780,29 @@ class FFmpegAudioEncoder(Tx):
                 out.append(self._emit(adts_payload(frame), 1024, self._rate))
         else:
             self._ogg_reader.feed(self._proc.take())
-            for packet, _granule in self._ogg_reader.packets():
+            for packet, granule in self._ogg_reader.packets():
                 if packet[:8] == b"OpusHead":
                     self._config = packet
                     continue
                 if packet[:8] == b"OpusTags":
                     continue
-                # libopus default frame duration: 20 ms = 960 samples @48k
-                out.append(self._emit(packet, 960, 48000))
+                # per-packet duration from page granule DELTAS (RFC 7845
+                # granules count PCM samples from zero, pre-skip
+                # included, so deltas are exact packet durations).  Falls
+                # back to the libopus default 20 ms = 960 samples when
+                # granules are absent or don't divide the page's packet
+                # count (advisor, round 2).
+                self._opus_pend.append(packet)
+                if granule < 0:
+                    continue
+                total = granule - self._opus_granule
+                n_p = len(self._opus_pend)
+                dur = (total // n_p if total > 0 and total % n_p == 0
+                       else 960)
+                for pk in self._opus_pend:
+                    out.append(self._emit(pk, dur, 48000))
+                self._opus_pend.clear()
+                self._opus_granule = granule
         return out
 
     def _impl(self, sample: AudioSample) -> EventBox:

@@ -64,7 +64,7 @@ class Composer:
             channel_count=composition.channel_count,
             delay=composition.audio_frame_duration * 4,  # 40 ms at 10 ms frames
             output_format=AudioFormat.s16i, asset_id=self.id_asset,
-            epoch=epoch)
+            epoch=epoch, compute_context=self.ctx)
         self.video_mixer = VideoMixer(
             clock, workspace_id=workspace_id,
             frame_duration=composition.frame_duration,

@@ -47,9 +47,16 @@ class AudioMixer(Source):
                  output_format: str = AudioFormat.s16i,
                  asset_id: Optional[str] = None,
                  stats_report: Optional[StatsReport] = None,
-                 epoch: Optional[int] = None):
+                 epoch: Optional[int] = None,
+                 compute_context=None):
         super().__init__()
         self.clock = clock
+        # device mixing (resurrected snd_s16i_s16i, kernels.cl.swift:534-562)
+        # engages when a device compute context is wired AND the tick's
+        # contributions are all full-window aligned (the Composer
+        # steady-state with an SRC in front); any offset/partial sample
+        # falls back to the host loop, which is the exact same algebra
+        self.compute_context = compute_context
         self.frame_duration = frame_duration
         self.delay = delay if delay is not None else TimePoint(0, frame_duration.scale)
         self.sample_rate = sample_rate
@@ -109,6 +116,36 @@ class AudioMixer(Source):
     def close(self) -> None:
         self._closed = True
 
+    # --- mix execution ----------------------------------------------------
+    def _run_mix(self, contribs, backing: np.ndarray) -> None:
+        """Fold ``contribs`` into ``backing`` in order.  Device path: one
+        ``mix_s16_device`` call (exact snd_s16i_s16i fold algebra — integer
+        equality with apply_mix_s16) when every contribution is
+        full-window aligned; otherwise the host loop."""
+        # drop no-op contributions (bad offsets; apply_mix_s16 returns -1
+        # without mixing) so edge ticks don't knock out the device gate
+        contribs = [c for c in contribs
+                    if c[3] < c[0].size and c[2] < backing.size]
+        if not contribs:
+            return
+        ctx = self.compute_context
+        device_ok = (ctx is not None
+                     and getattr(ctx, "backend", None) in ("jax", "pallas")
+                     and all(b_off == 0 and i_off == 0
+                             and data.size == backing.size
+                             for data, _g, b_off, i_off in contribs))
+        if device_ok:
+            from ..ops.audio import mix_s16_device
+            inputs = np.stack([data for data, _g, _b, _i in contribs])
+            gains = np.stack([np.asarray(g, np.float32)
+                              for _d, g, _b, _i in contribs])
+            backing[:] = np.asarray(
+                mix_s16_device(inputs, gains, base=backing))
+            return
+        for data, gains, b_off, i_off in contribs:
+            apply_mix_s16(data, gains, backing,
+                          backing_start=b_off, input_start=i_off)
+
     # --- tick (mix.audio.swift:112-225) -----------------------------------
     def _mix(self, at: ClockTickEvent) -> None:
         if self._closed:
@@ -133,6 +170,8 @@ class AudioMixer(Source):
             assets = {k: list(v) for k, v in self._samples.items() if v}
             offsets = dict(self._source_offset)
         result: Dict[str, List[AudioSample]] = {}
+        # ordered (input_view, gains, back_off, in_off) per target buffer
+        contributions: List[List] = [[] for _ in range(num_buffers)]
         for asset_id, queued in assets.items():
             offset = offsets.get(asset_id)
             if offset is None or not queued:
@@ -165,10 +204,9 @@ class AudioMixer(Source):
                     for idx, data in enumerate(work.data()):
                         if idx >= len(buffers):
                             break
-                        apply_mix_s16(np.asarray(data).view(np.int16), gains,
-                                      buffers[idx],
-                                      backing_start=int(back_off_units),
-                                      input_start=int(in_off_units))
+                        contributions[idx].append(
+                            (np.asarray(data).view(np.int16), gains,
+                             int(back_off_units), int(in_off_units)))
                     covered = (clamp_time(normalized_pts, mix_ts, covered[0]),
                                clamp_time(covered[1], normalized_end, mix_end))
                     unused.append(work)
@@ -188,6 +226,8 @@ class AudioMixer(Source):
                 self.stats.add_sample("mix.audio.underrun", underrun)
                 self.discontinuity(asset_id)
             result[asset_id] = unused
+        for idx, contribs in enumerate(contributions):
+            self._run_mix(contribs, buffers[idx])
         with self._lock:
             for asset_id, unused in result.items():
                 # keep samples that arrived during the mix

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -338,13 +338,20 @@ def composite_stack_warp(out_fmt: PixelFormat, size: Tuple[int, int],
 
 
 def composite_stack_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
-                          sources):
+                          sources, exact_rotation: Optional[bool] = None):
     """Boxed device fold (axis-aligned planar-yuv sources).  Falls back to
-    the warp fold for rotated stacks / composite_stack_device otherwise."""
+    the warp fold for rotated stacks / composite_stack_device otherwise.
+
+    ``exact_rotation``: rotated sources sample via the fast shear-cascade
+    warp (documented filter tolerance, ops/warp.py) when False, the exact
+    gather path when True; None defers to the ``SWIFTVIDEO_EXACT_ROTATION``
+    env var (library callers get a programmatic opt-out — advisor, r2)."""
     from ..media.pixel import PixelFormat as PF
+    if exact_rotation is None:
+        exact_rotation = bool(os.environ.get("SWIFTVIDEO_EXACT_ROTATION"))
     packed = [golden._packed(u) for _, _, u in sources]
     if (sources and any(not golden.is_axis_aligned(p) for p in packed)
-            and not os.environ.get("SWIFTVIDEO_EXACT_ROTATION")):
+            and not exact_rotation):
         return composite_stack_warp(out_fmt, size, sources)
     ok = (out_fmt == PF.y420p
           and all(fmt == PF.y420p for _, fmt, _ in sources)

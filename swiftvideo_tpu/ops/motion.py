@@ -457,21 +457,34 @@ def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64,
 #     is dropped from the computed score.
 #
 # Variant score (documented deviation from the reference's SAD*256):
-#   score = deltaCost2(mv) + SSD * 2^-4
-# computed as deltaCost2 + (SSD - ||c||^2) * 2^-4 (same argmin).  The
-# 2^-4 scale is a power of two on purpose: the product is exact in f32,
-# so fused multiply-add and two-step rounding agree bit-for-bit and the
-# numpy oracle (`me_ssd_golden`) is candidate-exact against the device.
-# Ties break to the earliest candidate in (tx, ty) x-major scan order,
-# like the SAD paths.
+#   score = Cy(mvy) + Cx(mvx) + SSD * 2^-4
+# where Cx/Cy are the per-axis halves of deltaCost2 (which is separable:
+# qpex*(comp(x) + comp(y))), computed as
+#   f32(f32(SSD_partial * 2^-4 + Cy) + Cx),  SSD_partial = SSD - ||c||^2
+# (same argmin as full SSD).  Exactness contract: the 2^-4 scale is a
+# power of two so the product is exact in f32 (FMA == two-step), each
+# cost add rounds once in a fixed order, and the numpy oracle
+# (`me_ssd_golden`) mirrors that order bit-for-bit — candidate-exact.
+# The SEPARABLE form lets the device reduce over dy on the full
+# correlation volume (fusable with the conv consumer) and defer the
+# per-block gather to the tiny [wb, n_d] dy-reduced plane.  Ties break
+# to the earliest candidate in (tx, ty) x-major scan order: the outer
+# min is over tx (strictly increasing in the inner), the inner over ty.
 
 _SCALE2 = np.float32(2.0 ** -4)   # integer (SSD - ||c||^2) -> score units
+
+
+def _axis_cost(v, xp=np):
+    """Per-axis half of deltaCost2 (kernels.metal:138-145), f64 in."""
+    log2v = xp.log2(xp.abs(v) + 1.0)
+    rounding = (v != 0).astype(np.float64)
+    return _QPEX * (_LAMBDA * (log2v * 2.0 + 0.718 + rounding) + 0.5)
 
 
 def me_ssd_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
                   search: int = 64) -> np.ndarray:
     """Scalar-loop oracle for the SSD variant; mirrors the device score
-    ops bit-exactly (f32(partial) * 2^-4 + f32 cost, c^2 dropped)."""
+    ops bit-exactly (see the variant-score note above)."""
     h, w = cur.shape
     hb, wb = h // block, w // block
     curi = cur.astype(np.int64)
@@ -486,14 +499,15 @@ def me_ssd_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
             best = (math.inf, 0.0, 0.0)
             cb = curi[oy:oy + block, ox:ox + block]
             for tx in range(xlo, xhi):
+                cx = np.float32(_axis_cost(np.float64(ox - tx)))
                 for ty in range(ylo, yhi):
                     rb = refi[ty:ty + block, tx:tx + block]
                     partial = int((rb * rb).sum()) - 2 * int((cb * rb).sum())
-                    mvx, mvy = float(ox - tx), float(oy - ty)
-                    score = np.float32(_cost_f32(mvx, mvy)
-                                       + np.float32(partial) * _SCALE2)
+                    cy = np.float32(_axis_cost(np.float64(oy - ty)))
+                    inner = np.float32(np.float32(partial) * _SCALE2 + cy)
+                    score = np.float32(inner + cx)
                     if score < best[0]:
-                        best = (score, mvx, mvy)
+                        best = (score, float(ox - tx), float(oy - ty))
             mvx = min(max(best[1], -max_mv), max_mv) / max_mv * 0.5 + 0.5
             mvy = min(max(best[2], -max_mv), max_mv) / max_mv * 0.5 + 0.5
             out[by, bx] = np.clip(np.rint(np.array(
@@ -534,13 +548,12 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
     xmask = (txg >= xlo[:, None]) & (txg < xhi[:, None])
     txg = np.clip(txg, 0, w - block)
 
-    # f32 MV-cost table [dx_idx, dy_idx], dy value = d_lo + idx
+    # separable per-axis f32 MV-cost tables (see variant-score note)
     dvals = (d_lo + np.arange(n_d)).astype(np.float64)
-    cost = delta_cost2(-dvals[:, None], -dvals[None, :]).astype(np.float32)
+    cx_tab = _axis_cost(-dvals).astype(np.float32)   # [n_d] by dx index
+    cy_tab = _axis_cost(-dvals).astype(np.float32)   # [n_d] by dy index
 
     big_key = np.int32(2 ** 30)
-    keys = (np.arange(n_d, dtype=np.int32)[None, :] * search
-            + np.arange(n_j, dtype=np.int32)[:, None])   # [n_j, n_d]
 
     def run(cur_u8, ref_u8):
         cur_u8 = cur_u8[:strips * block]
@@ -560,6 +573,7 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
         wins = jnp.take(refp, ylo[:, None] + np.arange(search)[None, :],
                         axis=0)                # [strips, search, w] u8
         iwb = jnp.arange(wb)[:, None]
+        j_iota = jnp.arange(n_j, dtype=jnp.int32)
 
         def body(_, xs):
             win, f, nvy_s, jgb_s, ylo_s, oy_s = xs
@@ -574,23 +588,33 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
                 v, f, window_strides=(1,), padding="VALID",
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 preferred_element_type=jnp.float32,
-            )                                  # [n_j, w-block+1, wb]
-            cross_g = cross[:, txg, iwb].astype(jnp.int32)   # [n_j, wb, n_d]
-            rows = jnp.clip(ylo_s + jnp.arange(n_j), 0, h - block)
-            r2_g = s2[rows][:, txg]            # [n_j, wb, n_d]
-            partial = (r2_g - 2 * cross_g).astype(jnp.float32)
-            jg = jnp.clip(jgb_s + jnp.arange(n_j), 0, n_d - 1)
-            cost_g = cost[:, jg].T             # [n_j, n_d]
-            score = cost_g[:, None, :] + partial * _SCALE2
-            valid = ((jnp.arange(n_j) < nvy_s)[:, None, None]
-                     & xmask[None, :, :])
-            score = jnp.where(valid, score, jnp.inf)
-            m = jnp.min(score, axis=(0, 2))    # [wb]
-            km = jnp.min(jnp.where(score == m[None, :, None],
-                                   keys[:, None, :], big_key), axis=(0, 2))
-            k, j = km // search, km % search
-            mvx = (-jnp.asarray(dxs))[k].astype(jnp.float32)
-            mvy = (oy_s - (ylo_s + j)).astype(jnp.float32)
+            )                                  # [n_j, wx, wb]
+            # inner stage: reduce over dy on the FULL volume (elementwise
+            # + two min-reductions fuse with the conv consumer — no
+            # [n_j, wb, n_d] gather of the volume, which measured ~4 ms)
+            rows = jnp.clip(ylo_s + j_iota, 0, h - block)
+            r2row = s2[rows]                   # [n_j, wx] i32
+            partial = r2row[:, :, None] - 2 * cross.astype(jnp.int32)
+            cy_s = cy_tab[jnp.clip(jgb_s + j_iota, 0, n_d - 1)]
+            inner = partial.astype(jnp.float32) * _SCALE2 \
+                + cy_s[:, None, None]
+            inner = jnp.where((j_iota < nvy_s)[:, None, None], inner,
+                              jnp.inf)
+            m1 = jnp.min(inner, axis=0)        # [wx, wb]
+            k1 = jnp.min(jnp.where(inner == m1[None], j_iota[:, None, None],
+                                   big_key), axis=0)
+            # outer stage: gather the dy-reduced plane per block (tiny)
+            tg = m1[txg, iwb]                  # [wb, n_d]
+            jg = k1[txg, iwb]
+            score = tg + cx_tab[None, :]
+            score = jnp.where(xmask, score, jnp.inf)
+            m = jnp.min(score, axis=1)         # [wb]
+            km = jnp.min(jnp.where(score == m[:, None],
+                                   jnp.arange(n_d, dtype=jnp.int32)[None],
+                                   big_key), axis=1)
+            j_best = jg[jnp.arange(wb), km]
+            mvx = (-jnp.asarray(dxs))[km].astype(jnp.float32)
+            mvy = (oy_s - (ylo_s + j_best)).astype(jnp.float32)
             return None, (mvx, mvy)
 
         _, (mvx, mvy) = lax.scan(
@@ -599,10 +623,10 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
              jnp.asarray(ylo), jnp.asarray(oy)))
         return _mv_rgba(mvx, mvy, search, jnp)
 
-    cost = jnp.asarray(cost)
+    cx_tab = jnp.asarray(cx_tab)
+    cy_tab = jnp.asarray(cy_tab)
     txg = jnp.asarray(txg)
     xmask = jnp.asarray(xmask)
-    keys = jnp.asarray(keys)
     return jax.jit(run)
 
 

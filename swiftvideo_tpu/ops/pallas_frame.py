@@ -127,10 +127,12 @@ def _plane_params(packed, h_out, w_out, h_in, w_in, fill_chan, clamp_lo,
 def _frame_kernel(iparams_ref, fparams_ref, *rest,
                   n_sources: int, h: int, w: int, h_in: int, w_in: int,
                   bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
-                  pgrp: int, has1: bool, ww: int, chained: bool):
+                  pgrps: Tuple[int, ...], has1: bool, ww: int,
+                  chained: bool):
     from jax.experimental import pallas as pl
 
-    n_in = 3 * (int(pgrp > 0) + int(has1))
+    n_groups = len(pgrps)
+    n_in = 3 * (n_groups + int(has1))
     in_refs = rest[:n_in]
     cur_refs = rest[n_in:n_in + 3] if chained else None
     n_in += 3 if chained else 0
@@ -138,12 +140,17 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
     scr = rest[n_in + 3:]
     accy, acccb, acccr, rowsy, rowscb, rowscr = scr[0:6]
     rowsy1, rowscb1, rowscr1 = scr[6:9]
-    grp_y = scr[9:13]
-    grp_c = scr[13:17]
-    if pgrp:
-        ysp_ref, usp_ref, vsp_ref = in_refs[0:3]
+    # per-scale-class lane-split scratch: class p owns p luma + p chroma
+    # buffers (a mixed 2x+3x scene runs as ONE call with a runtime pys
+    # switch per source, replacing the round-2 chained-call pair)
+    _pos = 9
+    grp_bufs = []
+    for _p in pgrps:
+        grp_bufs.append((scr[_pos:_pos + _p], scr[_pos + _p:_pos + 2 * _p]))
+        _pos += 2 * _p
+    grp_refs = [in_refs[3 * gi:3 * gi + 3] for gi in range(n_groups)]
     if has1:
-        ysn_ref, usn_ref, vsn_ref = in_refs[3:6] if pgrp else in_refs[0:3]
+        ysn_ref, usn_ref, vsn_ref = in_refs[3 * n_groups:3 * n_groups + 3]
 
     s = pl.program_id(0)
     bhc = bh // 2
@@ -168,13 +175,13 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 
     pys = iparams_ref[s, 4]
 
-    def row_group(view_ref, dst0, dst1, gscr, by0p, n_rows, wfull):
-        """Integer vertical step p = pgrp taps via the statically
-        lane-split row-group view [Hp/p, p*Wp]: tap row by0p + p*t lives
-        at sub-row by0p//p + t of lane group by0p%p — contiguous
-        8-aligned sublane slices, residual + group resolved by an
-        (8*p)-way pl.when switch with static slices (see module
-        docstring for the Mosaic quirks this dodges).
+    def row_group(view_ref, dst0, dst1, gscr, by0p, n_rows, wfull, P):
+        """Integer vertical step P taps via the statically lane-split
+        row-group view [Hp/P, P*Wp]: tap row by0p + P*t lives at sub-row
+        by0p//P + t of lane group by0p%P — contiguous 8-aligned sublane
+        slices, residual + group resolved by an (8*P)-way pl.when switch
+        with static slices (see module docstring for the Mosaic quirks
+        this dodges).
 
         The two vertical taps are stored UNLERPED into dst0/dst1 and the
         vertical lerp folds into the column matmul weights (col_blend):
@@ -182,7 +189,6 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
         rotate-copy, while a two-operand lerp over misaligned u8 slices
         costs ~5x the whole kernel (measured; benchmarks/kern_ablate.py
         rows_live=0.22ms vs rows_2tap_live=0.044ms per 4-source frame)."""
-        P = pgrp
         for k in range(P):
             gscr[k][...] = view_ref[0, :, k * wfull:(k + 1) * wfull]
         base = pl.multiple_of(((by0p // P) // 8) * 8, 8)
@@ -222,26 +228,30 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
     def _rows():
         by0l = iparams_ref[s, 2]
         by0c = iparams_ref[s, 3]
-        if pgrp and has1:
-            @pl.when(pys == pgrp)
-            def _pg():
-                row_group(ysp_ref, rowsy, rowsy1, grp_y, by0l, bh, wp)
-                row_group(usp_ref, rowscb, rowscb1, grp_c, by0c, bhc, wpc)
-                row_group(vsp_ref, rowscr, rowscr1, grp_c, by0c, bhc, wpc)
 
-            @pl.when(pys == 1)
-            def _p1():
-                row_plain(ysn_ref, rowsy, rowsy1, by0l, bh)
-                row_plain(usn_ref, rowscb, rowscb1, by0c, bhc)
-                row_plain(vsn_ref, rowscr, rowscr1, by0c, bhc)
-        elif pgrp:
-            row_group(ysp_ref, rowsy, rowsy1, grp_y, by0l, bh, wp)
-            row_group(usp_ref, rowscb, rowscb1, grp_c, by0c, bhc, wpc)
-            row_group(vsp_ref, rowscr, rowscr1, grp_c, by0c, bhc, wpc)
-        else:
+        def scaled(gi, p):
+            yr, ur, vr = grp_refs[gi]
+            gy, gc = grp_bufs[gi]
+            row_group(yr, rowsy, rowsy1, gy, by0l, bh, wp, p)
+            row_group(ur, rowscb, rowscb1, gc, by0c, bhc, wpc, p)
+            row_group(vr, rowscr, rowscr1, gc, by0c, bhc, wpc, p)
+
+        def plain():
             row_plain(ysn_ref, rowsy, rowsy1, by0l, bh)
             row_plain(usn_ref, rowscb, rowscb1, by0c, bhc)
             row_plain(vsn_ref, rowscr, rowscr1, by0c, bhc)
+
+        if n_groups + int(has1) == 1:
+            scaled(0, pgrps[0]) if n_groups else plain()
+        else:
+            for gi, p in enumerate(pgrps):
+                @pl.when(pys == p)
+                def _pg(gi=gi, p=p):
+                    scaled(gi, p)
+            if has1:
+                @pl.when(pys == 1)
+                def _p1():
+                    plain()
 
     def col_blend(rows0, rows1, acc, tile_j, n_rows, oy, ox, padl, wfull,
                   cx0, ax, gv, ay, by, p_off, fill, clamp_lo, src_h,
@@ -365,25 +375,34 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 @lru_cache(maxsize=64)
 def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
                    bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
-                   pgrp: int, has1: bool, ww: int,
+                   pgrps, has1: bool, ww: int,
                    chained: bool = False, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if isinstance(pgrps, int):           # legacy single-class callers
+        pgrps = (pgrps,) if pgrps else ()
+    pgrps = tuple(pgrps)
     kern = partial(_frame_kernel, n_sources=n_sources, h=h, w=w,
                    h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
-                   hpc=hpc, wpc=wpc, pgrp=pgrp, has1=has1, ww=ww,
+                   hpc=hpc, wpc=wpc, pgrps=pgrps, has1=has1, ww=ww,
                    chained=chained)
     in_specs = []
-    if pgrp:
+    grp_scratch = []
+    for p in pgrps:
         in_specs += [
-            pl.BlockSpec((1, hp // pgrp, pgrp * wp),
+            pl.BlockSpec((1, hp // p, p * wp),
                          lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec((1, hpc // pgrp, pgrp * wpc),
+            pl.BlockSpec((1, hpc // p, p * wpc),
                          lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec((1, hpc // pgrp, pgrp * wpc),
+            pl.BlockSpec((1, hpc // p, p * wpc),
                          lambda s, *_: (s, 0, 0)),
         ]
+        # row-group lane splits for this class (see row_group)
+        grp_scratch += [pltpu.VMEM((hp // p, wp), jnp.uint8)
+                        for _ in range(p)]
+        grp_scratch += [pltpu.VMEM((hpc // p, wpc), jnp.uint8)
+                        for _ in range(p)]
     if has1:
         in_specs += [
             pl.BlockSpec((1, hp, wp), lambda s, *_: (s, 0, 0)),
@@ -418,12 +437,7 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
             pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh // 2, wpc), jnp.float32),
             pltpu.VMEM((bh // 2, wpc), jnp.float32),
-            # row-group i32 lane splits (see row_group); 4 slots, the
-            # first pgrp of each set are used
-        ] + [pltpu.VMEM((hp // pgrp, wp) if pgrp and k < pgrp
-                        else (8, 128), jnp.uint8) for k in range(4)]
-          + [pltpu.VMEM((hpc // pgrp, wpc) if pgrp and k < pgrp
-                        else (8, 128), jnp.uint8) for k in range(4)],
+        ] + grp_scratch,
     )
     fn = pl.pallas_call(
         kern,
@@ -461,11 +475,14 @@ def pad_sources(ys, us, vs, geom) -> Tuple:
     usp = pad(us, hpc, wpc, padt, PADL // 2)
     vsp = pad(vs, hpc, wpc, padt, PADL // 2)
     arrs = []
-    pgrp = geom.get("pgrp", 2 if geom.get("has2") else 0)
-    if pgrp:
-        arrs += [ysp.reshape(n, hp // pgrp, pgrp * wp),
-                 usp.reshape(n, hpc // pgrp, pgrp * wpc),
-                 vsp.reshape(n, hpc // pgrp, pgrp * wpc)]
+    pgrps = geom.get("pgrps")
+    if pgrps is None:                    # legacy single-class geoms
+        pgrp = geom.get("pgrp", 2 if geom.get("has2") else 0)
+        pgrps = (pgrp,) if pgrp else ()
+    for p in pgrps:
+        arrs += [ysp.reshape(n, hp // p, p * wp),
+                 usp.reshape(n, hpc // p, p * wpc),
+                 vsp.reshape(n, hpc // p, p * wpc)]
     if geom["has1"]:
         arrs += [ysp, usp, vsp]
     return tuple(arrs)
@@ -503,9 +520,9 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
         axs.append(ax)
         geoms.append((ay, by, ax, bx))
     scaled = sorted(set(q for q in pys if q > 1))
-    if len(scaled) > 1:
-        return None  # one scaled group per run (plus optional unity)
-    pgrp = scaled[0] if scaled else 0
+    if len(scaled) > 2:
+        return None  # at most two scaled classes per run (plus unity)
+    pgrps = tuple(scaled)
 
     # shared box bucket (16/256-aligned offsets for f32 VMEM stores) +
     # per-source runtime widths (gate column tiles for small overlays)
@@ -562,8 +579,8 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
     # top pad covers the most negative window base (see PADL comment)
     padt = _ceil_to(max(96, 8 - min(min(by0s), min(by0cs))), 128)
     # padded rows: every tap slice must fit; row-group views need
-    # hp divisible by the group p (lcm with the 16-row bucket)
-    rowmult = {0: 16, 1: 16, 2: 16, 3: 48, 4: 16}[pgrp]
+    # hp divisible by every present class p (lcm with the 16-row bucket)
+    rowmult = math.lcm(16, *pgrps) if pgrps else 16
     need = max(by0s[i] + 1 + padt + pys[i] * bh + 24
                for i in range(len(pys)))
     hp = _ceil_to(max(padt + h_in + 8, need), rowmult)
@@ -575,7 +592,8 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
     ww = 384 if max(axs) <= 1.9 else (512 if max(axs) <= 2.9 else 768)
     return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
             "wpc": wpc, "pys": tuple(pys), "jranges": tuple(jranges),
-            "ww": ww, "offs": offs, "pgrp": pgrp, "has1": 1 in pys,
+            "ww": ww, "offs": offs, "pgrps": pgrps,
+            "pgrp": pgrps[0] if pgrps else 0, "has1": 1 in pys,
             "padt": padt}
 
 
@@ -648,16 +666,18 @@ def _interleave_chroma(planes, out_fmt: str):
 
 @lru_cache(maxsize=64)
 def _runner_A(size, in_shape, n, bh, bw, hp, wp, hpc, wpc,
-              pys, padt, pgrp, has1, ww, chained, interpret,
+              pys, padt, pgrps, has1, ww, chained, interpret,
               out_fmt="y420p"):
     """One jitted function per geometry: params + pad + kernel (a frame
     is ONE host dispatch; eager per-op dispatch through the device tunnel
     costs ~10 ms/op)."""
     w, h = size
+    if isinstance(pgrps, int):           # legacy single-class callers
+        pgrps = (pgrps,) if pgrps else ()
     geom = {"hp": hp, "wp": wp, "hpc": hpc, "wpc": wpc, "padt": padt,
-            "pgrp": pgrp, "has1": has1}
+            "pgrps": tuple(pgrps), "has1": has1}
     prog = _frame_program(h, w, in_shape[0], in_shape[1], n, bh, bw, hp,
-                          wp, hpc, wpc, pgrp, has1, ww, chained,
+                          wp, hpc, wpc, tuple(pgrps), has1, ww, chained,
                           interpret)
 
     def run(packed, offs, jranges, ys, us, vs, *cur):
@@ -722,7 +742,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
             return -1
         return 0 if py == 1 else py
 
-    runs = []  # [(key, [src...], [rect...], run_p)]
+    runs = []  # [(key, [src...], [rect...], run_ps set)]
     for src in sources:
         pcls = vscale_class(src)
         key = (families[src[1]] if pcls >= 0 else "X", src[1],
@@ -731,26 +751,29 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         # the source must execute after everything it overlaps: find the
         # LAST run containing an overlap; any run after it (or that run
         # itself, appending after the overlap) is a valid home.  A-runs
-        # hold one scaled class p>1 plus any unity sources (has1).
+        # hold up to TWO scaled classes p>1 (runtime pys switch in the
+        # kernel) plus any unity sources (has1) — a 2x+3x scene is ONE
+        # pallas call (round-3; was two chained calls).
         last_overlap = -1
         for ri, (_, _, rects, _) in enumerate(runs):
             if any(overlaps(rect, r) for r in rects):
                 last_overlap = ri
         target = None
         for ri in range(max(last_overlap, 0), len(runs)):
-            rkey, _, _, run_p = runs[ri]
+            rkey, _, _, run_ps = runs[ri]
             if ri >= last_overlap and rkey == key and (
-                    pcls <= 0 or run_p in (0, pcls)):
+                    pcls <= 0 or pcls in run_ps or len(run_ps) < 2):
                 target = ri
                 break
         if target is None:
-            runs.append((key, [src], [rect], max(pcls, 0)))
+            runs.append((key, [src], [rect],
+                         {pcls} if pcls > 0 else set()))
         else:
-            _, grp, rects, run_p = runs[target]
+            _, grp, rects, run_ps = runs[target]
             grp.append(src)
             rects.append(rect)
             if pcls > 0:
-                runs[target] = (key, grp, rects, pcls)
+                run_ps.add(pcls)
     runs = [(k, grp) for k, grp, _, _ in runs]
     plan = []
     for (family, fmt, shape), group in runs:
@@ -811,7 +834,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
             run = _runner_A(size, shape, len(group), geom["bh"],
                             geom["bw"], geom["hp"], geom["wp"],
                             geom["hpc"], geom["wpc"], geom["pys"],
-                            geom["padt"], geom["pgrp"], geom["has1"],
+                            geom["padt"], geom["pgrps"], geom["has1"],
                             geom["ww"], chained, interpret, last_fmt)
             cur = run(packed_a, offs_a, jr_a, ys, us, vs, *extra)
         else:

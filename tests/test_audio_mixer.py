@@ -220,3 +220,70 @@ def test_constituents_provenance():
     runner = Runner(generator, receiver)
     runner.run(duration=TimePoint(2000, 1000))
     assert seen and all(ids == ["srcA"] for ids in seen)
+
+
+def test_device_mix_parity_exact():
+    """With a device compute context wired (VERDICT r2 #5), full-window
+    aligned ticks route through ops.audio.mix_s16_device and match the
+    host loop with exact integer equality; unaligned packets fall back."""
+    from swiftvideo_tpu.mix import audio_mixer as am_mod
+    from swiftvideo_tpu.ops import audio as audio_ops
+    from swiftvideo_tpu.ops.registry import make_compute_context
+
+    calls = []
+    real = audio_ops.mix_s16_device
+
+    def spy(inputs, gains, base=None):
+        calls.append(inputs.shape)
+        return real(inputs, gains, base)
+
+    def run(ctx, packet_samples, spy_it=False):
+        clock = StepClock(step_size=FRAME)
+        mixer = AudioMixer(clock, workspace_id="t", frame_duration=FRAME,
+                           sample_rate=SR, channel_count=2,
+                           compute_context=ctx)
+        outs = []
+        mixer >> Tx(lambda s: (outs.append(np.asarray(s.data()[0]).copy()),
+                               EventBox.just(s))[1])
+        idx = [0]
+
+        def feed(evt_time):
+            mono = make_sine(idx[0], packet_samples, 600, SR, 0.5)
+            idx[0] += packet_samples
+            mixer.apply(EventBox.just(AudioSample(
+                buffers=(interleave_stereo(mono),), frequency=SR,
+                channels=2, format=AudioFormat.s16i,
+                sample_count=packet_samples, id_asset="src",
+                id_workspace="t", pts_value=evt_time)))
+            clock.schedule(evt_time + TimePoint(packet_samples, SR),
+                           lambda e: feed(e.time()))
+
+        clock.schedule(TimePoint(0, SR), lambda e: feed(e.time()))
+        while clock.current() < TimePoint(2 * 1000, 1000):
+            clock.step()
+        mixer.close()
+        return outs
+
+    import unittest.mock as mock
+    ctx = make_compute_context("jax")
+    # aligned: 960-sample packets == window -> device path engages
+    with mock.patch.object(am_mod, "apply_mix_s16",
+                           side_effect=apply_host_fail):
+        with mock.patch.object(audio_ops, "mix_s16_device", spy):
+            # patch reference seen by the mixer (lazy import inside)
+            dev = run(ctx, 960)
+    host = run(None, 960)
+    assert calls, "device path never engaged"
+    assert len(dev) == len(host)
+    for d, h in zip(dev, host):
+        assert np.array_equal(d, h)
+    # unaligned 1024 packets: device gate declines, host loop used (no
+    # crash, identical output with and without a context)
+    dev2 = run(ctx, 1024)
+    host2 = run(None, 1024)
+    for d, h in zip(dev2, host2):
+        assert np.array_equal(d, h)
+
+
+def apply_host_fail(*a, **k):
+    raise AssertionError("host loop used on an aligned tick")

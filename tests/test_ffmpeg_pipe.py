@@ -221,6 +221,83 @@ def test_audio_encoder_opus_ogg(fake_pipe):
     assert b2.value()[0].pts() == TimePoint(960, 48000)
 
 
+def test_video_decoder_bframe_pts_reorder(fake_pipe):
+    """Packets arrive in DECODE order (I P B B: pts 0,3,1,2); frames come
+    out in presentation order, so pts must be re-sorted, not FIFO-popped
+    (advisor, round 2)."""
+    y4m = containers.make_y4m_header(W, H)
+    fake_pipe.script = [b"", b"", b"", b""]
+    fake_pipe.flush_script = [y4m + b"".join(b"FRAME\n" + _frame(i)
+                                             for i in range(4))]
+    dec = FFmpegVideoDecoder()
+    for pts in (0, 3, 1, 2):            # decode order with B-frames
+        assert dec(_avc_sample(pts)).is_nothing()
+    tail = dec.flush()
+    assert [p.pts() for p in tail] == [TimePoint(i, 30) for i in range(4)]
+
+
+def test_audio_encoder_opus_granule_durations(fake_pipe):
+    """Opus pts advances by page-granule DELTAS (40 ms frames here), not
+    the hardcoded 960-sample default (advisor, round 2)."""
+    from swiftvideo_tpu.media.audio import AudioSample
+    w = containers.OggOpusWriter(2, pre_skip=312)
+    # 40 ms packets: granules advance by 1920
+    fake_pipe.script = [w.header()
+                        + containers.ogg_page([b"\xfc\x01"], serial=1, seq=2,
+                                              granule=1920)
+                        + containers.ogg_page([b"\xfc\x02"], serial=1, seq=3,
+                                              granule=3840),
+                        b""]
+    enc = FFmpegAudioEncoder(MediaFormat.opus)
+    pcm = np.zeros(960 * 2, np.int16)
+    sample = AudioSample(buffers=(pcm,), frequency=48000, channels=2,
+                         format="s16i", sample_count=960, id_asset="mic",
+                         id_workspace="ws", pts_value=TimePoint(0, 48000))
+    b1 = enc(sample)
+    assert b1.is_just() and len(b1.value()) == 2
+    assert b1.value()[0].pts() == TimePoint(0, 48000)
+    assert b1.value()[1].pts() == TimePoint(1920, 48000)   # 40 ms, not 960
+    b2 = enc(sample)
+    assert b2.is_nothing()
+
+
+def test_audio_decoder_priming_anchor(fake_pipe):
+    """Known codec priming backs the first output pts up so real content
+    lands on the input timeline (advisor, round 2)."""
+    asc = bitstream.make_asc(48000, 2)
+    pcm = np.zeros(1024 * 2, np.int16).tobytes()
+    fake_pipe.script = [pcm]
+    dec = FFmpegAudioDecoder(chunk_samples=1024, priming_samples=1024)
+    sample = CodedMediaSample(
+        buffer=b"\x21\x00\x03", pts_value=TimePoint(2048, 48000),
+        dts_value=TimePoint(2048, 48000), media_type=MediaType.audio,
+        media_format=MediaFormat.aac, id_asset="mic", id_workspace="ws",
+        side={"config": asc})
+    box = dec(sample)
+    assert box.is_just()
+    assert box.value()[0].pts() == TimePoint(2048 - 1024, 48000)
+
+
+def test_opus_decoder_propagates_opus_head(fake_pipe):
+    """The source OpusHead (with its real pre_skip) is muxed into the Ogg
+    pipe verbatim, not a synthesized default (advisor, round 2)."""
+    head = containers.make_opus_head(2, pre_skip=777)
+    sample = CodedMediaSample(
+        buffer=b"\xfc\x00\x01", pts_value=TimePoint(0, 48000),
+        dts_value=TimePoint(0, 48000), media_type=MediaType.audio,
+        media_format=MediaFormat.opus, id_asset="mic", id_workspace="ws",
+        side={"config": head})
+    fake_pipe.script = [b""]
+    dec = FFmpegAudioDecoder()
+    dec(sample)
+    written = b"".join(fake_pipe.instances[0].writes)
+    reader = containers.OggPacketReader()
+    reader.feed(written)
+    packets = [p for p, _g in reader.packets()]
+    assert packets[0][:8] == b"OpusHead"
+    assert containers.parse_opus_head(packets[0])["pre_skip"] == 777
+
+
 # --- mock-binary integration: REAL Popen pipes + reader threads -------------
 #
 # tests/mock_ffmpeg.py speaks the exact pipe contract the backend generates

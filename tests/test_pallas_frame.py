@@ -244,15 +244,52 @@ def test_frame_4x4_multiview():
     _check((W, H), srcs)
 
 
-def test_frame_mixed_scaled_groups_fall_back():
-    """Two different scaled factors in one run are not supported: the
-    geometry declines and the caller falls back."""
+def test_frame_mixed_scaled_groups_geometry():
+    """Two scaled classes in one run are supported since round 3 (runtime
+    pys switch); three still decline and the caller falls back."""
     from swiftvideo_tpu.ops.pallas_frame import frame_geometry
     W, H = 768, 480
     u2 = rect_uniforms((W, H), (W, H), x=0, y=0, w=W / 2, h=H / 2).pack()
     u3 = rect_uniforms((W, H), (W, H), x=300, y=200, w=W / 3, h=H / 3).pack()
+    u4 = rect_uniforms((W, H), (W, H), x=500, y=300, w=W / 4, h=H / 4).pack()
     packed = [np.asarray(golden._packed(u)) for u in (u2, u3)]
-    assert frame_geometry(packed, (W, H), (H, W)) is None
+    geom = frame_geometry(packed, (W, H), (H, W))
+    assert geom is not None and geom["pgrps"] == (2, 3)
+    assert geom["hp"] % 2 == 0 and geom["hp"] % 3 == 0
+    packed3 = packed + [np.asarray(golden._packed(u4))]
+    assert frame_geometry(packed3, (W, H), (H, W)) is None
+
+
+def test_frame_mixed_scale_classes_one_call(monkeypatch):
+    """A 2x + 3x (+ unity) scene compiles to ONE pallas call with <=1 LSB
+    parity (VERDICT r2 #4; was two chained calls with an accumulator
+    reload)."""
+    from swiftvideo_tpu.ops import pallas_frame as pf
+    W, H = 768, 480
+    srcs = [
+        (_planes(H, W, 60), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (_planes(H, W, 61), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=20.4, y=10.7, w=W / 2,
+                       h=H / 2).pack()),
+        (_planes(H, W, 62), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=400.2, y=250.6, w=W / 3,
+                       h=H / 3).pack()),
+    ]
+    calls = []
+    real = pf._frame_program
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pf, "_frame_program", spy)
+    out = pf.composite_frame_pallas((W, H), srcs, interpret=True)
+    assert out is not None
+    assert len(calls) == 1                      # ONE kernel call
+    ref = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
+    for o, r in zip(out, ref):
+        assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1
 
 
 def test_frame_edge_cases():
