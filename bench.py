@@ -163,7 +163,7 @@ def main() -> None:
                 run_a = _runner_A((W, H), (H, W), n_sources, geom["bh"],
                                   geom["bw"], geom["hp"], geom["wp"],
                                   geom["hpc"], geom["wpc"], geom["pys"],
-                                  geom["padt"], geom["pgrp"],
+                                  geom["padt"], geom["pgrps"],
                                   geom["has1"], geom["ww"], False, False)
                 packed_a = np.stack([np.asarray(u, np.float32)
                                      for u in unis])
@@ -183,6 +183,35 @@ def main() -> None:
                     f" = {1/dtp:.1f} fps/chip (device loop)")
                 if dtp < dt:
                     dt, fps = dtp, 1.0 / dtp
+
+                # K-frame batched dispatch (vmap adds a leading pallas
+                # grid dim): amortizes per-program overheads and is the
+                # multi-stream production shape; per-frame = slope / K
+                K = 8
+                ysb = jnp.broadcast_to(ys4, (K,) + ys4.shape)
+                usb = jnp.broadcast_to(us4, (K,) + us4.shape)
+                vsb = jnp.broadcast_to(vs4, (K,) + vs4.shape)
+                vrun = jax.jit(jax.vmap(run_a,
+                                        in_axes=(None, None, None,
+                                                 0, 0, 0)))
+                outb = vrun(packed_a, offs_a, jr_a, ysb, usb, vsb)
+                errs_b = max(int(np.abs(np.asarray(o)[0].astype(int)
+                                        - np.asarray(o1).astype(int)).max())
+                             for o, o1 in zip(outb, out_pl))
+                assert errs_b == 0, f"batched mismatch: {errs_b}"
+
+                def plb_body(_k, carry):
+                    pk, _o = carry
+                    o2 = vrun(pk, offs_a, jr_a, ysb, usb, vsb)
+                    return (pk + o2[0][0, 0, 0].astype(jnp.float32) * 1e-12,
+                            o2)
+
+                initb = (jnp.asarray(packed_a), outb)
+                dtb = time_device_loop(plb_body, initb, iters=30, reps=6)
+                log(f"config3 pallas x{K} batched: {dtb/K*1e3:.3f} ms/frame"
+                    f" = {K/dtb:.1f} fps/chip (device loop)")
+                if dtb / K < dt:
+                    dt, fps = dtb / K, K / dtb
     except Exception as exc:  # noqa: BLE001
         log("pallas frame kernel unavailable:", exc)
 
@@ -362,10 +391,24 @@ def main() -> None:
             return (c.at[0, 0].set(out[0, 0, 0]), r)
 
         dt6 = time_device_loop(me_body, (curd, refd), iters=20)
-        log(f"config6 1080p ME 16/64: {dt6*1e3:.3f} ms/frame = "
+        log(f"config6 1080p ME 16/64 (exact SAD): {dt6*1e3:.3f} ms/frame = "
             f"{1/dt6:.1f} fps")
     except Exception as exc:  # noqa: BLE001
         log("config6 motion failed:", exc)
+    try:
+        from swiftvideo_tpu.ops import motion
+        prog_s = motion._me_mxu_program(1080, 1920, 16, 64)
+
+        def me_body_s(i, carry):
+            c, r = carry
+            out = prog_s(c, r)
+            return (c.at[0, 0].set(out[0, 0, 0]), r)
+
+        dt6s = time_device_loop(me_body_s, (curd, refd), iters=20)
+        log(f"config6 1080p ME 16/64 (MXU SSD): {dt6s*1e3:.3f} ms/frame = "
+            f"{1/dt6s:.1f} fps")
+    except Exception as exc:  # noqa: BLE001
+        log("config6 ssd motion failed:", exc)
 
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",

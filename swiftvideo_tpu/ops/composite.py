@@ -159,13 +159,22 @@ def _warp_blend_program(out_fmt: PixelFormat, in_fmt: PixelFormat,
             p = plane.T if tr else plane
             return prog(p, *warp_args[grid]) * np.float32(1.0 / 255.0)
 
+        def many(grid, planes):
+            # one vmapped warp pass for all of a grid's channels (the
+            # cascade is pure rolls + hat matmuls, so the channel axis
+            # batches straight onto the MXU) — [C, Ho, Wo] -> [Ho, Wo, C]
+            prog, tr = runs[grid]
+            stacked = jnp.stack([p.T if tr else p for p in planes])
+            out = jax.vmap(lambda q: prog(q, *warp_args[grid]))(stacked)
+            return jnp.moveaxis(out, 0, -1) * np.float32(1.0 / 255.0)
+
         def sampler(grid):
             if grid in ("rgba", "rgba_half"):
-                chans = [one(grid, source_planes[0][..., k])
-                         for k in range(4)]
+                chans = many(grid, [source_planes[0][..., k]
+                                    for k in range(4)])
                 if in_fmt == PixelFormat.BGRA:
-                    chans = [chans[2], chans[1], chans[0], chans[3]]
-                return jnp.stack(chans, axis=-1)
+                    chans = chans[..., jnp.array([2, 1, 0, 3])]
+                return chans
             if grid == "y":
                 return one("y", source_planes[0])
             # chroma ("uv" at half grid / "uv_full" at the luma grid)
@@ -175,7 +184,7 @@ def _warp_blend_program(out_fmt: PixelFormat, in_fmt: PixelFormat,
                     cb, cr = cr, cb
             else:
                 cb, cr = source_planes[1], source_planes[2]
-            return jnp.stack([one(grid, cb), one(grid, cr)], axis=-1)
+            return many(grid, [cb, cr])
 
         return tuple(golden.apply_composite(
             list(target_planes), out_fmt, list(source_planes), in_fmt,
@@ -317,19 +326,34 @@ def _stack_program_boxed(out_fmt: PixelFormat, size: Tuple[int, int],
     return jax.jit(run)
 
 
+WARP_EXACT_BUDGET_PX = 16384   # <= ~128x128 elements sample exactly
+
+
 def composite_stack_warp(out_fmt: PixelFormat, size: Tuple[int, int],
-                         sources):
+                         sources,
+                         exact_budget_px: Optional[int] = None):
     """Sequential device fold for stacks containing rotated sources:
     axis-aligned sources take the separable path, rotated ones the
-    gather-free warp sampler (apply_composite_warp) — the ~85 ms/plane
-    full-grid gather runs only when a warp plan is impossible."""
+    gather-free warp sampler (apply_composite_warp) with its documented
+    cascade-filter tolerance.
+
+    Per-element policy (round 3; replaces env-var-only selection): a
+    rotated element whose writable area is at most ``exact_budget_px``
+    uses the exact gather sampler instead — small overlays get oracle
+    bilinear at negligible cost, and only large surfaces pay the
+    tolerance for the ~40x speedup.  The gather also runs whenever a
+    warp plan is impossible."""
+    if exact_budget_px is None:
+        exact_budget_px = WARP_EXACT_BUDGET_PX
     target = clear_device(out_fmt, size)
     for planes, in_fmt, uni in sources:
         packed = golden._packed(uni)
         out = None
         if not golden.is_axis_aligned(packed):
-            out = apply_composite_warp(target, out_fmt, planes, in_fmt,
-                                       packed)
+            bh, bw = _host_box_size(packed, size, bucket_h=2, bucket_w=2)
+            if bh * bw > exact_budget_px:
+                out = apply_composite_warp(target, out_fmt, planes, in_fmt,
+                                           packed)
         if out is None:
             out = apply_composite_device(target, out_fmt, planes, in_fmt,
                                          packed)

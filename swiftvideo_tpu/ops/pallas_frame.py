@@ -815,8 +815,13 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
             for (planes_x, fmt_x, _), pk in zip(group, packed):
                 out = None
                 if not exact and not golden.is_axis_aligned(pk):
-                    out = comp.apply_composite_warp(list(cur), PF2.y420p,
-                                                    planes_x, fmt_x, pk)
+                    # size policy as composite_stack_warp: small rotated
+                    # elements sample exactly, large ones take the warp
+                    bhx, bwx = comp._host_box_size(pk, size, bucket_h=2,
+                                                   bucket_w=2)
+                    if bhx * bwx > comp.WARP_EXACT_BUDGET_PX:
+                        out = comp.apply_composite_warp(
+                            list(cur), PF2.y420p, planes_x, fmt_x, pk)
                 if out is None:
                     out = comp.apply_composite_device(list(cur), PF2.y420p,
                                                       planes_x, fmt_x, pk)

@@ -111,10 +111,12 @@ def epb_unescape(data: bytes) -> bytes:
 
 
 def parse_args(argv):
-    """Split ``[global] [in-opts] -i pipe:0 [out-opts] pipe:1`` into dicts."""
-    pre, post, cur = [], [], None
+    """Split ``[global] [in-opts] -i <input> [out-opts] pipe:1`` into
+    (in_opts, out_opts, input) — input is ``pipe:0`` or a file path."""
+    pre, post = [], []
     it = iter(argv)
     seen_i = False
+    src = "pipe:0"
     for tok in it:
         if tok in ("-hide_banner",):
             continue
@@ -122,7 +124,7 @@ def parse_args(argv):
             next(it)
             continue
         if tok == "-i":
-            next(it)  # pipe:0
+            src = next(it)
             seen_i = True
             continue
         (post if seen_i else pre).append(tok)
@@ -144,7 +146,7 @@ def parse_args(argv):
                 i += 1
         return opts
 
-    return to_opts(pre), to_opts(post)
+    return to_opts(pre), to_opts(post), src
 
 
 def emit(data: bytes) -> None:
@@ -400,10 +402,51 @@ class PcmEncoder:
             emit(self._frame(payload))
 
 
+def demux_file(path, post) -> int:
+    """Demux a .mockav container file (the FileSource open_media_file_av
+    pipe contract: ``-i <path> -an -f yuv4mpegpipe`` for video,
+    ``-i <path> -vn -f s16le`` for audio).
+
+    .mockav layout: ``MOCKAV w h fps_num fps_den n_frames rate channels
+    n_samples\\n`` + n_frames raw yuv420p frames + n_samples interleaved
+    s16 frames of audio.
+    """
+    with open(path, "rb") as fh:
+        header = bytearray()
+        while not header.endswith(b"\n"):
+            header += fh.read(1)
+        parts = header.split()
+        assert parts[0] == b"MOCKAV", parts
+        w, h, num, den, n_frames, rate, channels, n_samples = (
+            int(v) for v in parts[1:9])
+        fsize = w * h * 3 // 2
+        video_bytes = fh.read(n_frames * fsize)
+        audio_bytes = fh.read(n_samples * channels * 2)
+    if "-an" in post:
+        assert post.get("-f") == "yuv4mpegpipe", post
+        emit(containers.make_y4m_header(w, h, fps=(num, den)))
+        for i in range(n_frames):
+            emit(b"FRAME\n" + video_bytes[i * fsize:(i + 1) * fsize])
+        return 0
+    if "-vn" in post:
+        assert post.get("-f") == "s16le", post
+        # stored rate/channels must match the request (no resampling in
+        # the mock); emit in 64 KiB chunks like a real pipe
+        assert int(post["-ar"]) == rate and int(post["-ac"]) == channels, \
+            (post, rate, channels)
+        for i in range(0, len(audio_bytes), 65536):
+            emit(audio_bytes[i:i + 65536])
+        return 0
+    sys.stderr.write("mock_ffmpeg: file demux needs -an or -vn\n")
+    return 2
+
+
 def main() -> int:
-    pre, post = parse_args(sys.argv[1:])
+    pre, post, src = parse_args(sys.argv[1:])
     in_fmt = pre.get("-f")
     out_fmt = post.get("-f")
+    if src != "pipe:0":
+        return demux_file(src, post)
     if in_fmt in ("h264", "hevc"):
         assert out_fmt == "yuv4mpegpipe", post
         worker = AnnexbDecoder(hevc=in_fmt == "hevc")

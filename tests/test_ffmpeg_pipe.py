@@ -535,3 +535,48 @@ def test_real_aac_roundtrip():
     assert decoded > 40000  # most of one second survives codec delay
     enc.close()
     dec.close()
+
+
+def test_open_media_file_av_via_mock(tmp_path, mock_ffmpeg):
+    """FileSource A/V demux end-to-end through the mock binary's file
+    demuxer (VERDICT r2 #8): both tracks arrive, video paced at the
+    container's frame rate, audio chunked exactly."""
+    from swiftvideo_tpu.codec.file_source import open_media_file_av
+    from swiftvideo_tpu.codec.codecs import (unpack_uncompressed_audio,
+                                             unpack_uncompressed_picture)
+    from swiftvideo_tpu.core import EventBox, StepClock, Tx
+    w, h, n_frames, rate, ch = 32, 16, 6, 48000, 2
+    n_samples = 1024 * 3
+    fsize = w * h * 3 // 2
+    video = b"".join(bytes([10 * i + 5]) * fsize for i in range(n_frames))
+    pcm = np.arange(n_samples * ch, dtype=np.int16)
+    path = tmp_path / "clip.mockav"
+    path.write_bytes(
+        f"MOCKAV {w} {h} 25 1 {n_frames} {rate} {ch} {n_samples}\n"
+        .encode() + video + pcm.tobytes())
+
+    clock = StepClock(TimePoint(20, 1000))
+    vsrc, asrc = open_media_file_av(clock, str(path), asset_id="clip",
+                                    audio_chunk=1024)
+    assert asrc is not None
+    vids, auds = [], []
+    # keep the chains referenced: emit chains are weakly held
+    vchain = vsrc >> Tx(lambda s: (vids.append(s), EventBox.just(s))[1])
+    achain = asrc >> Tx(lambda s: (auds.append(s), EventBox.just(s))[1])
+    vsrc.play()
+    asrc.play()
+    for _ in range(400):
+        clock.step()
+    assert len(vids) == n_frames
+    # container fps (25) paces the pts
+    assert vids[1].pts() - vids[0].pts() == TimePoint(40, 1000)
+    pic = unpack_uncompressed_picture(vids[2].data(), asset_id="clip",
+                                      workspace_id="")
+    assert pic.size() == (w, h)
+    assert np.all(np.asarray(pic.planes()[0]) == 25)
+    assert len(auds) == 3
+    a = unpack_uncompressed_audio(auds[0].data(), asset_id="clip",
+                                  workspace_id="")
+    assert a.number_samples() == 1024 and a.sample_rate() == rate
+    assert np.array_equal(np.asarray(a.data()[0]),
+                          pcm[:1024 * ch])

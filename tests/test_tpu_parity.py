@@ -233,11 +233,11 @@ def test_warp_composite_stack_on_hardware():
         assert (e > 4).mean() < 0.01
 
 
-def test_frame_mixed_scale_classes_chained():
-    """Mixed 2x and 3x cells: the planner splits per scale class into two
-    chained pallas runs (round-2 planner change) — compiled chaining with
-    different pgrp values proven on hardware."""
-    from swiftvideo_tpu.ops.pallas_frame import composite_frame_pallas
+def test_frame_mixed_scale_classes_one_call(monkeypatch):
+    """Mixed 2x and 3x cells compile to ONE pallas call since round 3
+    (two-class kernel with a runtime pys switch) — compiled multi-class
+    row-group views proven on hardware."""
+    from swiftvideo_tpu.ops import pallas_frame as pf
     W, H = 1920, 1080
     srcs = []
     for i in range(2):
@@ -250,4 +250,55 @@ def test_frame_mixed_scale_classes_chained():
                      PixelFormat.y420p,
                      rect_uniforms((W, H), (W, H), x=i * 640 + 0.25,
                                    y=540.25, w=640, h=360).pack()))
+    calls = []
+    real = pf._frame_program
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pf, "_frame_program", spy)
     _frame_case(PixelFormat.y420p, (W, H), srcs, "frame-mixed-2x3x")
+    assert len(calls) == 1, f"expected one kernel call, got {len(calls)}"
+
+
+def test_frame_three_scale_classes_chained():
+    """2x+3x+4x cells: two classes share one call, the third chains —
+    compiled chaining over the multi-class kernel proven on hardware."""
+    W, H = 1920, 1080
+    srcs = []
+    for geom_i, (w_el, h_el, y0) in enumerate(
+            ((960, 540, 0.25), (640, 360, 540.25), (480, 270, 270.25))):
+        srcs.append((_planes(PixelFormat.y420p, (W, H), 230 + geom_i),
+                     PixelFormat.y420p,
+                     rect_uniforms((W, H), (W, H), x=geom_i * 480 + 0.25,
+                                   y=y0, w=w_el, h=h_el).pack()))
+    _frame_case(PixelFormat.y420p, (W, H), srcs, "frame-mixed-2x3x4x")
+
+
+def test_motion_mxu_ssd_hardware():
+    """MXU SSD variant candidate-exact vs its oracle on the chip (the
+    conv + fused dy-reduction lowering is hardware-specific)."""
+    from swiftvideo_tpu.ops import motion
+    rng = np.random.default_rng(77)
+    ref = rng.integers(0, 255, (128, 256), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    gold = motion.me_ssd_golden(cur, ref, 16, 64)
+    out = np.asarray(motion.me_fullsearch_mxu(cur, ref, 16, 64))
+    assert np.array_equal(gold, out)
+
+
+def test_audio_device_mix_exact_hardware():
+    """Device snd fold == host loop with exact integer equality on the
+    chip (AudioMixer routes aligned ticks through this)."""
+    from swiftvideo_tpu.ops.audio import apply_mix_s16, mix_s16_device
+    rng = np.random.default_rng(5)
+    n, s = 1920, 6
+    inputs = rng.integers(-20000, 20000, (s, n)).astype(np.int16)
+    gains = rng.uniform(0.1, 2.0, (s, 2)).astype(np.float32)
+    host = np.zeros(n, np.int16)
+    for i in range(s):
+        apply_mix_s16(inputs[i], gains[i], host)
+    dev = np.asarray(mix_s16_device(inputs, gains))
+    assert np.array_equal(host, dev)

@@ -159,3 +159,29 @@ def test_composite_stack_warp_rotated_nv12_input():
         for e in errs:
             assert np.percentile(e, 90) <= 1, fmt
             assert (e > 4).mean() < 0.01, fmt
+
+
+def test_warp_small_element_exact_policy(monkeypatch):
+    """Per-element policy (round 3): a small rotated overlay (area <=
+    WARP_EXACT_BUDGET_PX) samples via the EXACT gather path inside the
+    warp fold — bit-exact vs the oracle, no warp program invoked."""
+    W, H = 256, 192
+    warp_calls = []
+    real = composite.apply_composite_warp
+    monkeypatch.setattr(composite, "apply_composite_warp",
+                        lambda *a, **k: (warp_calls.append(1), real(*a, **k))[1])
+    small = ([_smooth(64, 64, 3), _smooth(32, 32, 4), _smooth(32, 32, 5)],
+             PixelFormat.y420p,
+             rect_uniforms((64, 64), (W, H), x=40.3, y=30.7, w=80, h=80,
+                           rotation=np.deg2rad(30), opacity=0.9))
+    ref = golden.composite_stack(PixelFormat.y420p, (W, H), [small])
+    dev = composite.composite_stack_warp(PixelFormat.y420p, (W, H), [small])
+    assert not warp_calls, "small rotated element should go exact"
+    for r, d in zip(ref, dev):
+        assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
+    # a large rotated surface still takes the warp
+    big = ([_smooth(240, 320, 6), _smooth(120, 160, 7),
+            _smooth(120, 160, 8)], PixelFormat.y420p,
+           _uni(30, 320, 240, W, H, opacity=0.9))
+    composite.composite_stack_warp(PixelFormat.y420p, (W, H), [big])
+    assert warp_calls
