@@ -409,6 +409,20 @@ def main() -> None:
             f"{1/dt6s:.1f} fps")
     except Exception as exc:  # noqa: BLE001
         log("config6 ssd motion failed:", exc)
+    try:
+        from swiftvideo_tpu.ops import motion
+        prog_g = motion._me_mxu_program(1080, 1920, 16, 64, True)
+
+        def me_body_g(i, carry):
+            c, r = carry
+            out = prog_g(c, r)
+            return (c.at[0, 0].set(out[0, 0, 0]), r)
+
+        dt6g = time_device_loop(me_body_g, (curd, refd), iters=20)
+        log(f"config6 1080p ME 16/64 (MXU SSD grouped): "
+            f"{dt6g*1e3:.3f} ms/frame = {1/dt6g:.1f} fps")
+    except Exception as exc:  # noqa: BLE001
+        log("config6 grouped ssd motion failed:", exc)
 
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",

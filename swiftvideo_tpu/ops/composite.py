@@ -51,11 +51,48 @@ def _stack_program(out_fmt: PixelFormat, size: Tuple[int, int],
     return jax.jit(run)
 
 
+_PACKED_422 = (PixelFormat.yuvs, PixelFormat.zvuy)
+
+
+def packed422_to_planar_device(arr, fmt: PixelFormat):
+    """Device twin of media.pixel.packed422_to_planar ([H,W,2] -> y422p)."""
+    arr = jnp.asarray(arr)
+    if fmt == PixelFormat.yuvs:
+        return [arr[..., 0], arr[:, 0::2, 1], arr[:, 1::2, 1]]
+    return [arr[..., 1], arr[:, 0::2, 0], arr[:, 1::2, 0]]
+
+
+def planar_to_packed422_device(planes, fmt: PixelFormat):
+    """Device twin of media.pixel.planar_to_packed422."""
+    y, cb, cr = (jnp.asarray(p) for p in planes)
+    h, w = y.shape
+    c = jnp.stack([cb, cr], axis=2).reshape(h, w)
+    pair = [y, c] if fmt == PixelFormat.yuvs else [c, y]
+    return jnp.stack(pair, axis=-1)
+
+
 def composite_stack_device(out_fmt: PixelFormat, size: Tuple[int, int],
                            sources: Sequence[Tuple[Sequence, PixelFormat,
                                                    ImageUniforms]]):
     """Device equivalent of golden.composite_stack: clear + fold N z-sorted
-    sources in one jitted program.  Returns a tuple of device arrays."""
+    sources in one jitted program.  Returns a tuple of device arrays.
+
+    Packed 4:2:2 (yuvs/zvuy) in/out normalizes through y422p around the
+    planar fold, matching golden.composite_stack's oracle definition."""
+    if out_fmt in _PACKED_422 or any(fmt in _PACKED_422
+                                     for _, fmt, _ in sources):
+        fold_fmt = (PixelFormat.y422p if out_fmt in _PACKED_422
+                    else out_fmt)
+        norm = []
+        for planes, fmt, uni in sources:
+            if fmt in _PACKED_422:
+                planes = packed422_to_planar_device(planes[0], fmt)
+                fmt = PixelFormat.y422p
+            norm.append((planes, fmt, uni))
+        out = composite_stack_device(fold_fmt, size, norm)
+        if out_fmt in _PACKED_422:
+            return (planar_to_packed422_device(out, out_fmt),)
+        return out
     in_fmts = tuple(fmt for _, fmt, _ in sources)
     planes = tuple(tuple(jnp.asarray(p) for p in s) for s, _, _ in sources)
     packed = [golden._packed(u) for _, _, u in sources]

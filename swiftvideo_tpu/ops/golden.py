@@ -384,10 +384,26 @@ def _composite_rgba_out(cur, out_fmt, source_planes, in_fmt, packed, xp=np,
 def composite_stack(out_fmt: PixelFormat, size: Tuple[int, int],
                     sources, xp=np) -> List:
     """Clear + fold N z-sorted sources (mix.video.swift:116-125 semantics):
-    ``sources`` is a sequence of (planes, in_fmt, uniforms)."""
-    target = clear_planes(out_fmt, size)
+    ``sources`` is a sequence of (planes, in_fmt, uniforms).
+
+    Packed 4:2:2 (yuvs/zvuy) in/out normalizes through y422p planes —
+    the reference had no packed-422 kernels at all (kernel matrix, SURVEY
+    §2.3); this defines the oracle for the beyond-parity coverage."""
+    from ..media.pixel import packed422_to_planar, planar_to_packed422
+    packed_out = out_fmt in (PixelFormat.yuvs, PixelFormat.zvuy)
+    fold_fmt = PixelFormat.y422p if packed_out else out_fmt
+    norm = []
+    for planes, in_fmt, uni in sources:
+        if in_fmt in (PixelFormat.yuvs, PixelFormat.zvuy):
+            planes = packed422_to_planar(np.asarray(planes[0]), in_fmt)
+            in_fmt = PixelFormat.y422p
+        norm.append((planes, in_fmt, uni))
+    target = clear_planes(fold_fmt, size)
     if xp is not np:
         target = [xp.asarray(p) for p in target]
-    for planes, in_fmt, uni in sources:
-        target = apply_composite(target, out_fmt, planes, in_fmt, uni, xp)
+    for planes, in_fmt, uni in norm:
+        target = apply_composite(target, fold_fmt, planes, in_fmt, uni, xp)
+    if packed_out:
+        return [planar_to_packed422([np.asarray(p) for p in target],
+                                    out_fmt)]
     return target

@@ -516,7 +516,13 @@ def me_ssd_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
 
 
 @lru_cache(maxsize=16)
-def _me_mxu_program(h: int, w: int, block: int, search: int):
+def _me_mxu_program(h: int, w: int, block: int, search: int,
+                    grouped: bool = False):
+    """``grouped``: block-column groups + ``feature_group_count`` conv —
+    each group of ``gs`` blocks convolves only its own x-segment
+    (16*(gs-1) + n_d positions instead of all of W), cutting the dense
+    formulation's ~40x x-waste to ~1x.  Same scores bit-for-bit; whether
+    it is faster depends on XLA's grouped-conv lowering (measure)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -548,6 +554,24 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
     xmask = (txg >= xlo[:, None]) & (txg < xhi[:, None])
     txg = np.clip(txg, 0, w - block)
 
+    gs = 0
+    if grouped:
+        gs = next((g for g in (8, 6, 5, 4, 3, 2) if wb % g == 0), 0)
+        if not gs:
+            grouped = False
+    if grouped:
+        n_groups = wb // gs
+        seg_p = block * (gs - 1) + n_d         # positions per group
+        seg_w = seg_p + block - 1              # conv input cols per group
+        seg_x0 = (block * gs * np.arange(n_groups, dtype=np.int32)
+                  + d_lo)                      # absolute first tx per group
+        # gather index into the dy-reduced [seg_p, wb] plane:
+        # p = 16*(f % gs) + dx - d_lo
+        pg = (block * (np.arange(wb, dtype=np.int32) % gs))[:, None] \
+            + (dxs - d_lo)[None, :]            # [wb, n_d]
+        pad_l = -d_lo
+        pad_r = max(int(seg_x0[-1]) + seg_w - w, 0) + 8
+
     # separable per-axis f32 MV-cost tables (see variant-score note)
     dvals = (d_lo + np.arange(n_d)).astype(np.float64)
     cx_tab = _axis_cost(-dvals).astype(np.float32)   # [n_d] by dx index
@@ -557,7 +581,10 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
 
     def run(cur_u8, ref_u8):
         cur_u8 = cur_u8[:strips * block]
-        refp = jnp.pad(ref_u8, ((0, search), (0, 0)))
+        if grouped:
+            refp = jnp.pad(ref_u8, ((0, search), (pad_l, pad_r)))
+        else:
+            refp = jnp.pad(ref_u8, ((0, search), (0, 0)))
         # ||r||^2 patch sums via separable integer window sums (exact:
         # block^2 * 255^2 < 2^24 for block <= 16; i32 regardless)
         r2c = lax.reduce_window(
@@ -571,7 +598,7 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
                 .transpose(0, 3, 1, 2)
                 .astype(jnp.bfloat16))
         wins = jnp.take(refp, ylo[:, None] + np.arange(search)[None, :],
-                        axis=0)                # [strips, search, w] u8
+                        axis=0)                # [strips, search, wpad] u8
         iwb = jnp.arange(wb)[:, None]
         j_iota = jnp.arange(n_j, dtype=jnp.int32)
 
@@ -583,18 +610,39 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
             # [kw=16, C_in=16, C_out=wb] 1D conv with a 256-deep MXU
             # contraction and j as the batch axis (measured ~30x faster)
             v = jnp.stack([win[i:i + n_j] for i in range(block)],
-                          axis=-1).astype(jnp.bfloat16)   # [n_j, w, block]
-            cross = lax.conv_general_dilated(
-                v, f, window_strides=(1,), padding="VALID",
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=jnp.float32,
-            )                                  # [n_j, wx, wb]
+                          axis=-1).astype(jnp.bfloat16)  # [n_j, wpad, 16]
+            rows = jnp.clip(ylo_s + j_iota, 0, h - block)
+            if grouped:
+                # per-group x-segments as channel blocks: group g's gs
+                # blocks see only their own seg_w columns via
+                # feature_group_count (see docstring)
+                vseg = jnp.concatenate(
+                    [v[:, int(s0) + pad_l:int(s0) + pad_l + seg_w, :]
+                     for s0 in seg_x0], axis=-1)  # [n_j, seg_w, G*16]
+                cross = lax.conv_general_dilated(
+                    vseg, f, window_strides=(1,), padding="VALID",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    feature_group_count=n_groups,
+                    preferred_element_type=jnp.float32,
+                )                              # [n_j, seg_p, wb]
+                r2g = jnp.stack(
+                    [s2[rows][:, int(s0) + pad_l:int(s0) + pad_l + seg_p]
+                     for s0 in seg_x0], axis=2)   # [n_j, seg_p, G]
+                r2row = jnp.repeat(r2g, gs, axis=2)  # [n_j, seg_p, wb]
+                partial = r2row - 2 * cross.astype(jnp.int32)
+                gidx = pg_j
+            else:
+                cross = lax.conv_general_dilated(
+                    v, f, window_strides=(1,), padding="VALID",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=jnp.float32,
+                )                              # [n_j, wx, wb]
+                r2row = s2[rows][:, :, None]   # [n_j, wx, 1]
+                partial = r2row - 2 * cross.astype(jnp.int32)
+                gidx = txg_j
             # inner stage: reduce over dy on the FULL volume (elementwise
             # + two min-reductions fuse with the conv consumer — no
             # [n_j, wb, n_d] gather of the volume, which measured ~4 ms)
-            rows = jnp.clip(ylo_s + j_iota, 0, h - block)
-            r2row = s2[rows]                   # [n_j, wx] i32
-            partial = r2row[:, :, None] - 2 * cross.astype(jnp.int32)
             cy_s = cy_tab[jnp.clip(jgb_s + j_iota, 0, n_d - 1)]
             inner = partial.astype(jnp.float32) * _SCALE2 \
                 + cy_s[:, None, None]
@@ -604,8 +652,8 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
             k1 = jnp.min(jnp.where(inner == m1[None], j_iota[:, None, None],
                                    big_key), axis=0)
             # outer stage: gather the dy-reduced plane per block (tiny)
-            tg = m1[txg, iwb]                  # [wb, n_d]
-            jg = k1[txg, iwb]
+            tg = m1[gidx, iwb]                 # [wb, n_d]
+            jg = k1[gidx, iwb]
             score = tg + cx_tab[None, :]
             score = jnp.where(xmask, score, jnp.inf)
             m = jnp.min(score, axis=1)         # [wb]
@@ -625,14 +673,17 @@ def _me_mxu_program(h: int, w: int, block: int, search: int):
 
     cx_tab = jnp.asarray(cx_tab)
     cy_tab = jnp.asarray(cy_tab)
-    txg = jnp.asarray(txg)
+    txg_j = jnp.asarray(txg)
+    pg_j = jnp.asarray(pg) if grouped else None
     xmask = jnp.asarray(xmask)
     return jax.jit(run)
 
 
-def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64):
+def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64,
+                      grouped: bool = False):
     """SSD-variant full search on the MXU (see module notes above)."""
     import jax.numpy as jnp
     cur = jnp.asarray(cur)
     h, w = cur.shape
-    return _me_mxu_program(h, w, block, search)(cur, jnp.asarray(ref))
+    return _me_mxu_program(h, w, block, search,
+                           grouped)(cur, jnp.asarray(ref))

@@ -252,3 +252,18 @@ def test_motion_mxu_ssd_block_guard():
     with pytest.raises(ValueError):
         motion.me_fullsearch_mxu(np.zeros((64, 64), np.uint8),
                                  np.zeros((64, 64), np.uint8), 32, 64)
+
+
+@pytest.mark.parametrize("geom", [(64, 96, 64), (96, 160, 32)])
+def test_motion_mxu_ssd_grouped_matches_golden(geom):
+    """Grouped-conv variant (feature_group_count x-segments) is
+    candidate-exact vs the oracle and the dense formulation."""
+    h, w, search = geom
+    rng = np.random.default_rng(h * w)
+    ref = rng.integers(0, 255, (h, w), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    gold = motion.me_ssd_golden(cur, ref, 16, search)
+    grp = np.asarray(motion.me_fullsearch_mxu(cur, ref, 16, search,
+                                              grouped=True))
+    assert np.array_equal(gold, grp)

@@ -374,3 +374,35 @@ def test_phased_irrational_falls_back():
     u = rect_uniforms((24, 16), (128, 128), x=13.3, y=7.7,
                       w=40.4, h=36.2).pack()
     assert _phase_info([np.asarray(u)], (128, 128), (16, 24)) is None
+
+
+@pytest.mark.parametrize("fmt", [PixelFormat.yuvs, PixelFormat.zvuy])
+def test_packed_422_composite_in_out(fmt):
+    """Packed 4:2:2 sources AND targets composite through the y422p fold
+    (beyond-parity coverage: the reference has no packed-422 kernels at
+    all).  Device matches the oracle <=1 LSB; layout roundtrips."""
+    from swiftvideo_tpu.media.pixel import (packed422_to_planar,
+                                            planar_to_packed422)
+    rng = np.random.default_rng(31)
+    W, H = 48, 32
+    src = rng.integers(0, 256, (16, 32, 2), np.int64).astype(np.uint8)
+    uni = rect_uniforms((32, 16), (W, H), x=6.3, y=4.7, w=36.4, h=24.2,
+                        opacity=0.9)
+    sources = [([src], fmt, uni)]
+    ref = golden.composite_stack(fmt, (W, H), sources)
+    assert len(ref) == 1 and ref[0].shape == (H, W, 2)
+    dev = composite.composite_stack_device(fmt, (W, H), sources)
+    assert np.abs(np.asarray(dev[0]).astype(int)
+                  - ref[0].astype(int)).max() <= 1
+    # cross-check vs explicit conversion: planar fold of the converted
+    # source equals the packed result unpacked
+    planar_src = packed422_to_planar(src, fmt)
+    ref2 = golden.composite_stack(
+        PixelFormat.y422p, (W, H), [(planar_src, PixelFormat.y422p, uni)])
+    assert np.array_equal(ref[0], planar_to_packed422(ref2, fmt))
+    # packed input onto a planar target also works
+    ref3 = golden.composite_stack(PixelFormat.y420p, (W, H), sources)
+    dev3 = composite.composite_stack_device(PixelFormat.y420p, (W, H),
+                                            sources)
+    for r, d in zip(ref3, dev3):
+        assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1

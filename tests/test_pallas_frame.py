@@ -443,3 +443,38 @@ def test_frame_xrun_last_with_biplanar_target():
         assert np.asarray(o).shape == np.asarray(r).shape
         assert np.abs(np.asarray(o).astype(int)
                       - np.asarray(r).astype(int)).max() <= 1
+
+
+def test_frame_runner_vmap_batched_matches_single():
+    """K-frame batched dispatch (jax.vmap over the runner, as bench.py's
+    batched headline uses) matches per-frame runs with DISTINCT content
+    per batch element (catches program_id remapping under batching)."""
+    import jax
+    import jax.numpy as jnp
+    from swiftvideo_tpu.ops.pallas_frame import _runner_A, frame_geometry
+    W, H = 256, 128
+    n, K = 2, 3
+    rng = np.random.default_rng(0)
+    unis = [np.asarray(golden._packed(
+        rect_uniforms((W, H), (W, H), x=(s % 2) * 128, y=0, w=128, h=64,
+                      opacity=0.9))) for s in range(n)]
+    geom = frame_geometry(unis, (W, H), (H, W))
+    run = _runner_A((W, H), (H, W), n, geom["bh"], geom["bw"], geom["hp"],
+                    geom["wp"], geom["hpc"], geom["wpc"], geom["pys"],
+                    geom["padt"], geom["pgrps"], geom["has1"], geom["ww"],
+                    False, True)
+    packed = np.stack([np.asarray(u, np.float32) for u in unis])
+    offs = np.asarray(geom["offs"], np.int32)
+    jr = np.asarray(geom["jranges"], np.int32)
+    ysb = rng.integers(0, 256, (K, n, H, W), np.int64).astype(np.uint8)
+    usb = rng.integers(0, 256, (K, n, H // 2, W // 2),
+                       np.int64).astype(np.uint8)
+    vsb = rng.integers(0, 256, (K, n, H // 2, W // 2),
+                       np.int64).astype(np.uint8)
+    vrun = jax.jit(jax.vmap(run, in_axes=(None, None, None, 0, 0, 0)))
+    outb = vrun(packed, offs, jr, jnp.asarray(ysb), jnp.asarray(usb),
+                jnp.asarray(vsb))
+    for k in range(K):
+        single = run(packed, offs, jr, ysb[k], usb[k], vsb[k])
+        for o, s1 in zip(outb, single):
+            assert np.array_equal(np.asarray(o[k]), np.asarray(s1))
