@@ -580,3 +580,75 @@ def test_open_media_file_av_via_mock(tmp_path, mock_ffmpeg):
     assert a.number_samples() == 1024 and a.sample_rate() == rate
     assert np.array_equal(np.asarray(a.data()[0]),
                           pcm[:1024 * ch])
+
+
+def test_mock_full_transcode_pipeline(tmp_path, mock_ffmpeg):
+    """The reference's Transcoding topology end-to-end with REAL codec
+    subprocesses: .mockav file -> A/V demux -> video transcode
+    (decode -> AVC encode) -> AVC decode -> frames; audio transcode
+    (decode -> SRC -> AAC encode) -> packets (Examples/Transcoding)."""
+    import time
+    from swiftvideo_tpu.codec.codecs import (AudioDecoder, AudioEncoder,
+                                             VideoEncoder)
+    from swiftvideo_tpu.codec.file_source import open_media_file_av
+    from swiftvideo_tpu.codec.transcode import asset_rename, flat
+    from swiftvideo_tpu.core import EventBox, StepClock, Tx
+    from swiftvideo_tpu.mix.src_audio import AudioSampleRateConversion
+    from swiftvideo_tpu.media.audio import AudioFormat
+    w, h, n_frames, rate, ch = 32, 16, 5, 48000, 2
+    n_samples = 1024 * 2
+    fsize = w * h * 3 // 2
+    video = b"".join(bytes([20 * i + 9]) * fsize for i in range(n_frames))
+    pcm = np.arange(n_samples * ch, dtype=np.int16)
+    path = tmp_path / "clip.mockav"
+    path.write_bytes(
+        f"MOCKAV {w} {h} 25 1 {n_frames} {rate} {ch} {n_samples}\n"
+        .encode() + video + pcm.tobytes())
+
+    clock = StepClock(TimePoint(20, 1000))
+    vsrc, asrc = open_media_file_av(clock, str(path), asset_id="clip",
+                                    audio_chunk=1024)
+    vdec, venc = VideoDecoder(), VideoEncoder(MediaFormat.avc, fps=25)
+    adec, aenc = AudioDecoder(), AudioEncoder(MediaFormat.aac, 1024)
+    src_stage = AudioSampleRateConversion(rate, ch, AudioFormat.s16i)
+    vtx = asset_rename("out") >> vdec >> flat(venc)
+    atx = asset_rename("out") >> adec >> flat(src_stage) >> flat(aenc)
+    vcoded, acoded = [], []
+    vchain = vsrc >> vtx >> Tx(
+        lambda s: (vcoded.extend(s), EventBox.just(s))[1])
+    achain = asrc >> atx >> Tx(
+        lambda s: (acoded.extend(s), EventBox.just(s))[1])
+    vsrc.play()
+    asrc.play()
+    for i in range(300):
+        clock.step()
+        if i % 10 == 9:
+            time.sleep(0.02)       # paced: let the codec subprocesses run
+    # flush codec tails (encoder latency + AU-split holdback)
+    for pic in vdec.flush():
+        box = venc(pic)
+        if box.is_just():
+            vcoded.extend(box.value())
+    vcoded.extend(venc.flush())
+    for a in adec.flush():
+        box = aenc(a)
+        if box.is_just():
+            acoded.extend(box.value())
+    acoded.extend(aenc.flush())
+    assert len(vcoded) == n_frames
+    assert all(c.media_format == MediaFormat.avc for c in vcoded)
+    assert all("config" in c.side_data() for c in vcoded)
+    assert len(acoded) == 2
+    assert all(c.media_format == MediaFormat.aac for c in acoded)
+    # decode the transcoded AVC back: stored-raw codec roundtrips content
+    dec = FFmpegVideoDecoder()
+    pics = []
+    for c in vcoded:
+        box = dec(c)
+        if box.is_just():
+            pics.extend(box.value())
+    pics.extend(dec.flush())
+    dec.close()
+    venc.close()
+    assert len(pics) == n_frames
+    assert np.all(np.asarray(pics[3].planes()[0]) == 20 * 3 + 9)
