@@ -590,6 +590,18 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
     hpc = _ceil_to(max(padt + h_in // 2 + 8, needc), rowmult)
     wpc = _ceil_to(PADL // 2 + w_in // 2 + 8, 128)
     ww = 384 if max(axs) <= 1.9 else (512 if max(axs) <= 2.9 else 768)
+    # VMEM budget gate for multi-class runs: per-class input layouts and
+    # lane-split scratch add up; decline rather than fail in Mosaic (the
+    # caller splits the run into chained single-class calls)
+    n_layouts = len(pgrps) + (1 if 1 in pys else 0)
+    plane_bytes = hp * wp + 2 * hpc * wpc
+    vmem_est = (
+        _ceil_to(h, 16) * _ceil_to(w, 256) * 6                # acc f32
+        + (bh * wp + 2 * (bh // 2) * wpc) * 8                 # rows f32 x2
+        + n_layouts * plane_bytes * 2                         # in, dbl-buf
+        + len(pgrps) * plane_bytes)                           # grp scratch
+    if len(pgrps) > 1 and vmem_est > 95 * 1024 * 1024:
+        return None
     return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "hpc": hpc,
             "wpc": wpc, "pys": tuple(pys), "jranges": tuple(jranges),
             "ww": ww, "offs": offs, "pgrps": pgrps,
@@ -781,6 +793,25 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         geom = None
         if family == "A":
             geom = frame_geometry(packed, size, shape)
+            if geom is None and len(group) > 1:
+                # multi-class run over the VMEM budget (or otherwise
+                # declined as a set): split into maximal consecutive
+                # same-class subsequences — z-order preserved, each
+                # chained single-class call keeps the pallas path
+                subruns = []
+                for src, pk in zip(group, packed):
+                    c = vscale_class(src)
+                    if subruns and subruns[-1][0] == c:
+                        subruns[-1][1].append(src)
+                        subruns[-1][2].append(pk)
+                    else:
+                        subruns.append((c, [src], [pk]))
+                if len(subruns) > 1:
+                    for _c, grp_s, pk_s in subruns:
+                        g_s = frame_geometry(pk_s, size, shape)
+                        plan.append(("A" if g_s is not None else "X",
+                                     fmt, shape, grp_s, pk_s, g_s))
+                    continue
         elif family == "B":
             geom = frame_geometry_rgba(packed, size, shape[:2])
         if geom is None:

@@ -478,3 +478,41 @@ def test_frame_runner_vmap_batched_matches_single():
         single = run(packed, offs, jr, ysb[k], usb[k], vsb[k])
         for o, s1 in zip(outb, single):
             assert np.array_equal(np.asarray(o[k]), np.asarray(s1))
+
+
+def test_frame_mixed_class_vmem_decline_splits(monkeypatch):
+    """When the multi-class geometry declines (VMEM gate), the planner
+    splits into chained single-class pallas runs instead of dropping to
+    the XLA fold — parity preserved."""
+    from swiftvideo_tpu.ops import pallas_frame as pf
+    real_geom = pf.frame_geometry
+    calls = []
+
+    def tight_geom(packed, size, in_shape):
+        g = real_geom(packed, size, in_shape)
+        if g is not None and len(g["pgrps"]) > 1:
+            return None                    # simulate over-budget
+        return g
+
+    monkeypatch.setattr(pf, "frame_geometry", tight_geom)
+    real_prog = pf._frame_program
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real_prog(*a, **k)
+
+    monkeypatch.setattr(pf, "_frame_program", spy)
+    W, H = 768, 480
+    srcs = [
+        (_planes(H, W, 80), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W / 2, h=H / 2).pack()),
+        (_planes(H, W, 81), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=400.2, y=250.6, w=W / 3,
+                       h=H / 3).pack()),
+    ]
+    out = pf.composite_frame_pallas((W, H), srcs, interpret=True)
+    assert out is not None
+    assert len(calls) == 2                 # chained single-class runs
+    ref = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
+    for o, r in zip(out, ref):
+        assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1
