@@ -640,17 +640,26 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
                 r2row = s2[rows][:, :, None]   # [n_j, wx, 1]
                 partial = r2row - 2 * cross.astype(jnp.int32)
                 gidx = txg_j
-            # inner stage: reduce over dy on the FULL volume (elementwise
-            # + two min-reductions fuse with the conv consumer — no
-            # [n_j, wb, n_d] gather of the volume, which measured ~4 ms)
+            # inner stage: reduce over dy on the FULL volume in ONE pass —
+            # a variadic lexicographic reduce carries (score, j) together,
+            # so the 44 MB/strip volume is read once (two separate min
+            # passes measured ~6 ms slower/frame at 1080p)
             cy_s = cy_tab[jnp.clip(jgb_s + j_iota, 0, n_d - 1)]
             inner = partial.astype(jnp.float32) * _SCALE2 \
                 + cy_s[:, None, None]
             inner = jnp.where((j_iota < nvy_s)[:, None, None], inner,
                               jnp.inf)
-            m1 = jnp.min(inner, axis=0)        # [wx, wb]
-            k1 = jnp.min(jnp.where(inner == m1[None], j_iota[:, None, None],
-                                   big_key), axis=0)
+            jvol = jnp.broadcast_to(j_iota[:, None, None], inner.shape)
+
+            def lex_min(a, b):
+                sa, ka = a
+                sb, kb = b
+                tb = (sb < sa) | ((sb == sa) & (kb < ka))
+                return jnp.where(tb, sb, sa), jnp.where(tb, kb, ka)
+
+            m1, k1 = lax.reduce((inner, jvol),
+                                (jnp.float32(jnp.inf), big_key),
+                                lex_min, (0,))   # [wx, wb] each
             # outer stage: gather the dy-reduced plane per block (tiny)
             tg = m1[gidx, iwb]                 # [wb, n_d]
             jg = k1[gidx, iwb]
