@@ -433,7 +433,11 @@ def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64,
     cur = jnp.asarray(cur)
     h, w = cur.shape
     if metric == "ssd":
-        return _me_mxu_program(h, w, block, search)(cur, jnp.asarray(ref))
+        # grouped x-segments are the fastest measured formulation
+        # (16.9 ms vs 24 ms dense at 1080p/16/64); falls back to dense
+        # internally when no group size divides the block columns
+        return _me_mxu_program(h, w, block, search,
+                               True)(cur, jnp.asarray(ref))
     on_tpu = jax.default_backend() == "tpu"   # pltpu kernels are TPU-only
     if on_tpu and me_pallas_supported(h, w, block, search):
         return me_fullsearch_pallas(cur, ref, block, search)
