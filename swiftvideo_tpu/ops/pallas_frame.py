@@ -520,8 +520,8 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
         axs.append(ax)
         geoms.append((ay, by, ax, bx))
     scaled = sorted(set(q for q in pys if q > 1))
-    if len(scaled) > 2:
-        return None  # at most two scaled classes per run (plus unity)
+    if len(scaled) > 3:
+        return None  # {2,3,4} classes + unity is the full integer set
     pgrps = tuple(scaled)
 
     # shared box bucket (16/256-aligned offsets for f32 VMEM stores) +
@@ -581,11 +581,16 @@ def frame_geometry(packed_list: Sequence[np.ndarray], size: Tuple[int, int],
     # padded rows: every tap slice must fit; row-group views need
     # hp divisible by every present class p (lcm with the 16-row bucket)
     rowmult = math.lcm(16, *pgrps) if pgrps else 16
-    need = max(by0s[i] + 1 + padt + pys[i] * bh + 24
+    # slack scales with the class: row_group reads a [base, base+rows+9)
+    # window of the [hp/p, p*wp] VIEW, so the padded plane needs 9*p
+    # spare source rows — a fixed +24 let pl.ds clamp the window start
+    # for p>=3 elements low in the canvas, shifting every tap (latent
+    # round-2 bug caught by the 3-class tests)
+    need = max(by0s[i] + 1 + padt + pys[i] * (bh + 9) + 8
                for i in range(len(pys)))
     hp = _ceil_to(max(padt + h_in + 8, need), rowmult)
     wp = _ceil_to(PADL + w_in + 8, 128)
-    needc = max(by0cs[i] + 1 + padt + pys[i] * (bh // 2) + 24
+    needc = max(by0cs[i] + 1 + padt + pys[i] * (bh // 2 + 9) + 8
                 for i in range(len(pys)))
     hpc = _ceil_to(max(padt + h_in // 2 + 8, needc), rowmult)
     wpc = _ceil_to(PADL // 2 + w_in // 2 + 8, 128)
@@ -763,9 +768,10 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         # the source must execute after everything it overlaps: find the
         # LAST run containing an overlap; any run after it (or that run
         # itself, appending after the overlap) is a valid home.  A-runs
-        # hold up to TWO scaled classes p>1 (runtime pys switch in the
-        # kernel) plus any unity sources (has1) — a 2x+3x scene is ONE
-        # pallas call (round-3; was two chained calls).
+        # hold up to THREE scaled classes p>1 (runtime pys switch in the
+        # kernel; the VMEM gate in frame_geometry bounds the set) plus
+        # any unity sources (has1) — a 2x+3x(+4x) scene is ONE pallas
+        # call (round-3; was chained calls per class).
         last_overlap = -1
         for ri, (_, _, rects, _) in enumerate(runs):
             if any(overlaps(rect, r) for r in rects):
@@ -774,7 +780,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         for ri in range(max(last_overlap, 0), len(runs)):
             rkey, _, _, run_ps = runs[ri]
             if ri >= last_overlap and rkey == key and (
-                    pcls <= 0 or pcls in run_ps or len(run_ps) < 2):
+                    pcls <= 0 or pcls in run_ps or len(run_ps) < 3):
                 target = ri
                 break
         if target is None:

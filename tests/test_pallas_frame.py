@@ -245,8 +245,9 @@ def test_frame_4x4_multiview():
 
 
 def test_frame_mixed_scaled_groups_geometry():
-    """Two scaled classes in one run are supported since round 3 (runtime
-    pys switch); three still decline and the caller falls back."""
+    """Up to three scaled classes in one run are supported since round 3
+    (runtime pys switch; {2,3,4} is the full integer class set).  The
+    VMEM estimate gates over-budget combinations."""
     from swiftvideo_tpu.ops.pallas_frame import frame_geometry
     W, H = 768, 480
     u2 = rect_uniforms((W, H), (W, H), x=0, y=0, w=W / 2, h=H / 2).pack()
@@ -257,7 +258,35 @@ def test_frame_mixed_scaled_groups_geometry():
     assert geom is not None and geom["pgrps"] == (2, 3)
     assert geom["hp"] % 2 == 0 and geom["hp"] % 3 == 0
     packed3 = packed + [np.asarray(golden._packed(u4))]
-    assert frame_geometry(packed3, (W, H), (H, W)) is None
+    geom3 = frame_geometry(packed3, (W, H), (H, W))
+    assert geom3 is not None and geom3["pgrps"] == (2, 3, 4)
+    assert geom3["hp"] % 12 == 0 and geom3["hp"] % 48 == 0
+
+
+def test_frame_three_scale_classes_one_call(monkeypatch):
+    """A 2x+3x+4x scene compiles to ONE pallas call, <=1 LSB parity."""
+    from swiftvideo_tpu.ops import pallas_frame as pf
+    W, H = 768, 480
+    srcs = []
+    for i, (we, he, x, y) in enumerate(
+            ((W / 2, H / 2, 0, 0), (W / 3, H / 3, 380.2, 250.6),
+             (W / 4, H / 4, 180.7, 300.3))):
+        srcs.append((_planes(H, W, 90 + i), PixelFormat.y420p,
+                     rect_uniforms((W, H), (W, H), x=x, y=y, w=we,
+                                   h=he).pack()))
+    calls = []
+    real = pf._frame_program
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pf, "_frame_program", spy)
+    out = pf.composite_frame_pallas((W, H), srcs, interpret=True)
+    assert out is not None and len(calls) == 1
+    ref = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
+    for o, r in zip(out, ref):
+        assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1
 
 
 def test_frame_mixed_scale_classes_one_call(monkeypatch):

@@ -262,9 +262,10 @@ def test_frame_mixed_scale_classes_one_call(monkeypatch):
     assert len(calls) == 1, f"expected one kernel call, got {len(calls)}"
 
 
-def test_frame_three_scale_classes_chained():
-    """2x+3x+4x cells: two classes share one call, the third chains —
-    compiled chaining over the multi-class kernel proven on hardware."""
+def test_frame_three_scale_classes_one_call(monkeypatch):
+    """2x+3x+4x cells share ONE call when the VMEM estimate fits (the
+    full integer class set in a single compiled multi-class kernel)."""
+    from swiftvideo_tpu.ops import pallas_frame as pf
     W, H = 1920, 1080
     srcs = []
     for geom_i, (w_el, h_el, y0) in enumerate(
@@ -273,7 +274,16 @@ def test_frame_three_scale_classes_chained():
                      PixelFormat.y420p,
                      rect_uniforms((W, H), (W, H), x=geom_i * 480 + 0.25,
                                    y=y0, w=w_el, h=h_el).pack()))
+    calls = []
+    real = pf._frame_program
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pf, "_frame_program", spy)
     _frame_case(PixelFormat.y420p, (W, H), srcs, "frame-mixed-2x3x4x")
+    assert len(calls) == 1, f"expected one kernel call, got {len(calls)}"
 
 
 def test_motion_mxu_ssd_hardware():
