@@ -406,3 +406,24 @@ def test_packed_422_composite_in_out(fmt):
                                             sources)
     for r, d in zip(ref3, dev3):
         assert np.abs(np.asarray(d).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_me_fullsearch_ssd_via_registry():
+    from swiftvideo_tpu.media import PixelFormat, create_picture_sample
+    from swiftvideo_tpu.ops import (ComputeKernel, make_compute_context,
+                                    run_compute_kernel,
+                                    default_compute_kernel_from_string)
+    assert default_compute_kernel_from_string("me_fullsearch_ssd").name == \
+        "me_fullsearch_ssd"
+    ctx = make_compute_context("jax")
+    rng = np.random.default_rng(6)
+    cur = create_picture_sample((64, 64), PixelFormat.y420p,
+                                asset_id="c", workspace_id="w")
+    cur.planes()[0][:] = rng.integers(0, 255, (64, 64), np.int64)
+    target = create_picture_sample((4, 4), PixelFormat.RGBA,
+                                   asset_id="mv", workspace_id="w")
+    out = run_compute_kernel(ctx, [cur, cur], target,
+                             ComputeKernel.custom("me_fullsearch_ssd"))
+    mv = np.asarray(out.planes()[0])
+    assert mv.shape == (4, 4, 4)
+    assert np.all(mv[:3, :3, 0] == 128)  # static scene, interior zero MV
