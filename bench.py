@@ -424,6 +424,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         log("config6 grouped ssd motion failed:", exc)
 
+    # ---- config 7 (host): RTMP loopback realtime multiple ----------------
+    # the reference's only printed perf figure (rtmpTests.swift:100-106):
+    # publish->serialize->TCP->deserialize->subscribe on localhost, media
+    # seconds per wall second
+    try:
+        rate = _rtmp_realtime_multiple()
+        log(f"config7 RTMP loopback: {rate:.1f}x realtime "
+            f"(120 frames @16ms, 20 KB avg)")
+    except Exception as exc:  # noqa: BLE001
+        log("config7 rtmp loopback failed:", exc)
+
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",
         "value": round(fps, 1),
@@ -435,3 +446,69 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _rtmp_realtime_multiple(count: int = 120, frame_ms: int = 16) -> float:
+    """Publish->TCP->subscribe loopback; returns media-time/wall-time."""
+    import asyncio
+
+    import numpy as np
+
+    from swiftvideo_tpu.core import EventBox, StepClock, TimePoint, Tx
+    from swiftvideo_tpu.media.coded import (CodedMediaSample, MediaFormat,
+                                            MediaType)
+    from swiftvideo_tpu.net.rtmp import Rtmp
+
+    async def run() -> float:
+        clock = StepClock(TimePoint(frame_ms, 1000))
+        received = []
+        keep = {}
+
+        async def on_connection(pub, sub):
+            if sub is not None:
+                keep["chain"] = sub >> Tx(
+                    lambda s: (received.append(s), EventBox.nothing(None))[1])
+            return True
+
+        server = Rtmp(clock, on_connection=on_connection)
+        await server.serve("127.0.0.1", 15907)
+        client = Rtmp(clock)
+        pub, _ = await client.connect("rtmp://127.0.0.1:15907/bench/stream",
+                                      publish_to_peer=True, max_attempts=2,
+                                      retry_delay=0.2)
+        rng = np.random.default_rng(1)
+        bufs = []
+        for _ in range(4):
+            data = bytearray(rng.integers(0, 256, 19997).astype(np.uint8)
+                             .tobytes())
+            data[4] = 0x65       # keyframe NAL in AVCC framing
+            bufs.append(bytes(data))
+        for _ in range(14):          # metadata grace timer
+            clock.step()
+            await asyncio.sleep(0)
+        config = bytes(48)
+        ts = TimePoint(0, 1000)
+        t0 = time.perf_counter()
+        for i in range(count):
+            sample = CodedMediaSample(
+                buffer=bufs[i % 4], pts_value=ts, dts_value=ts,
+                media_type=MediaType.video, media_format=MediaFormat.avc,
+                id_asset="bench", id_workspace="bench",
+                side={"config": config})
+            pub.apply(EventBox.just(sample))
+            ts = ts + TimePoint(frame_ms, 1000)
+            clock.step()
+            if i % 8 == 0:
+                await asyncio.sleep(0)
+        for _ in range(200):
+            await asyncio.sleep(0.005)
+            if len(received) >= count:
+                break
+        wall = time.perf_counter() - t0
+        await server.close()
+        pub.close()
+        if len(received) < count:
+            raise RuntimeError(f"only {len(received)}/{count} arrived")
+        return (count * frame_ms / 1000.0) / wall
+
+    return asyncio.run(run())
