@@ -521,15 +521,17 @@ def me_ssd_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
 
 @lru_cache(maxsize=16)
 def _me_mxu_program(h: int, w: int, block: int, search: int,
-                    grouped: bool = False, unroll: int = 8):
+                    grouped: bool = False, unroll: int = 0):
     """``grouped``: block-column groups + ``feature_group_count`` conv —
     each group of ``gs`` blocks convolves only its own x-segment
     (16*(gs-1) + n_d positions instead of all of W), cutting the dense
     formulation's ~40x x-waste to ~1x.  Same scores bit-for-bit; whether
     it is faster depends on XLA's grouped-conv lowering (measure).
-    ``unroll``: strips per fused scan step (per-op fixed costs over 68
-    small-tensor iterations are real: measured 17.1 / 14.8 / 13.9 ms at
-    unroll 1 / 4 / 8 for the grouped variant at 1080p)."""
+    ``unroll``: strips per fused scan step; 0 = FULL unroll (capped at
+    80).  Per-op fixed costs over 68 small-tensor scan iterations
+    dominate this program: measured 17.1 / 14.8 / 13.9 / 10.8 / 10.3 ms
+    at unroll 1 / 4 / 8 / 34 / 67 (full) for the grouped variant at
+    1080p/16/64."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -540,6 +542,8 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
         raise ValueError("ssd variant requires block <= 16 for exact f32 "
                          "accumulation")
     strips, wb = h // block, w // block
+    if not unroll:
+        unroll = min(strips, 80)
     d_lo = block // 2 - search // 2
     d_hi = search - block - 1
     n_d = d_hi - d_lo + 1
