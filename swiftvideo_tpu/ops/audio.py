@@ -101,7 +101,10 @@ def _mix_program(num_sources: int, length: int, channels: int, batched: bool):
             return acc, None
 
         acc0 = base.astype(jnp.int32)
-        acc, _ = jax.lax.scan(body, acc0, (inputs, gains))
+        # full unroll (capped): per-iteration fixed costs dominate scans
+        # over small tensors on this part (measured on the motion scan)
+        acc, _ = jax.lax.scan(body, acc0, (inputs, gains),
+                              unroll=min(num_sources, 64))
         return acc.astype(jnp.int16)
 
     if batched:
