@@ -444,9 +444,6 @@ def main() -> None:
     print(json.dumps(result))
 
 
-if __name__ == "__main__":
-    main()
-
 
 def _rtmp_realtime_multiple(count: int = 120, frame_ms: int = 16) -> float:
     """Publish->TCP->subscribe loopback; returns media-time/wall-time."""
@@ -512,3 +509,7 @@ def _rtmp_realtime_multiple(count: int = 120, frame_ms: int = 16) -> float:
         return (count * frame_ms / 1000.0) / wall
 
     return asyncio.run(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -312,3 +312,21 @@ def test_audio_device_mix_exact_hardware():
         apply_mix_s16(inputs[i], gains[i], host)
     dev = np.asarray(mix_s16_device(inputs, gains))
     assert np.array_equal(host, dev)
+
+
+def test_packed_422_composite_hardware():
+    """Packed 4:2:2 in/out through the y422p fold on the chip (round-3
+    coverage extension; XLA path)."""
+    from swiftvideo_tpu.ops import composite
+    rng = np.random.default_rng(41)
+    W, H = 256, 128
+    src = rng.integers(0, 256, (64, 128, 2), np.int64).astype(np.uint8)
+    uni = rect_uniforms((128, 64), (W, H), x=12.3, y=8.7, w=200.4, h=100.2,
+                        opacity=0.9)
+    for fmt in (PixelFormat.yuvs, PixelFormat.zvuy):
+        sources = [([src], fmt, uni)]
+        ref = golden.composite_stack(fmt, (W, H), sources)
+        dev = composite.composite_stack_device(fmt, (W, H), sources)
+        err = np.abs(np.asarray(dev[0]).astype(int)
+                     - ref[0].astype(int)).max()
+        assert err <= 1, (fmt, err)
