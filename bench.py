@@ -355,17 +355,22 @@ def main() -> None:
         gains = jnp.ones((64,), jnp.float32)
 
         def wall_body(_k, carry):
-            ys_c, _prev = carry
-            out = wall._step_plan(ys_c, us, vs, audio, gains)
-            # loop-carry one wall pixel into the stream batch so the video
-            # path cannot be hoisted (gains only feed the audio mix)
+            ys_c, us_c, vs_c, au_c, _prev = carry
+            out = wall._step_plan(ys_c, us_c, vs_c, au_c, gains)
+            # loop-carry one probe pixel of every output into its input so
+            # NO path (luma, chroma, audio) is loop-invariant — a constant
+            # us/vs/audio lets XLA hoist the whole chroma scale + audio mix
+            # out of the loop and the "tick" times only the Y plane
             ys2 = ys_c.at[0, 0, 0].set(out[0][0, 0])
-            # carry the full wall plane too: a one-pixel probe would let
+            us2 = us_c.at[0, 0, 0].set(out[1][0, 0])
+            vs2 = vs_c.at[0, 0, 0].set(out[2][0, 0])
+            au2 = au_c.at[0, 0].set(out[3].reshape(-1)[0])
+            # carry the full wall planes too: a one-pixel probe would let
             # XLA prune most tiles' matmuls
-            return (ys2, (out[0], out[3]))
+            return (ys2, us2, vs2, au2, (out[0], out[1], out[2], out[3]))
 
         wall0 = wall.step(ys, us, vs, audio)
-        init = (ys, (wall0[0], wall0[3]))
+        init = (ys, us, vs, audio, (wall0[0], wall0[1], wall0[2], wall0[3]))
         dt5 = time_device_loop(wall_body, init, iters=50)
         log(f"config5 64-stream 1080p wall tick: {dt5*1e3:.3f} ms = "
             f"{1/dt5:.1f} wall fps = {64/dt5:.0f} stream-scales/s/chip")
