@@ -391,11 +391,14 @@ def main() -> None:
         curd, refd = jnp.asarray(cur_f), jnp.asarray(ref_f)
 
         def me_body(i, carry):
-            c, r = carry
+            c, r, _prev = carry
             out = prog(c, r)
-            return (c.at[0, 0].set(out[0, 0, 0]), r)
+            # carry the FULL MV field: a single-element probe could let
+            # XLA narrow the search to one block's window
+            return (c.at[0, 0].set(out[0, 0, 0]), r, out)
 
-        dt6 = time_device_loop(me_body, (curd, refd), iters=20)
+        dt6 = time_device_loop(me_body, (curd, refd, prog(curd, refd)),
+                               iters=20)
         log(f"config6 1080p ME 16/64 (exact SAD): {dt6*1e3:.3f} ms/frame = "
             f"{1/dt6:.1f} fps")
     except Exception as exc:  # noqa: BLE001
@@ -405,11 +408,12 @@ def main() -> None:
         prog_s = motion._me_mxu_program(1080, 1920, 16, 64)
 
         def me_body_s(i, carry):
-            c, r = carry
+            c, r, _prev = carry
             out = prog_s(c, r)
-            return (c.at[0, 0].set(out[0, 0, 0]), r)
+            return (c.at[0, 0].set(out[0, 0, 0]), r, out)
 
-        dt6s = time_device_loop(me_body_s, (curd, refd), iters=20)
+        dt6s = time_device_loop(me_body_s, (curd, refd, prog_s(curd, refd)),
+                                iters=20)
         log(f"config6 1080p ME 16/64 (MXU SSD): {dt6s*1e3:.3f} ms/frame = "
             f"{1/dt6s:.1f} fps")
     except Exception as exc:  # noqa: BLE001
@@ -419,11 +423,12 @@ def main() -> None:
         prog_g = motion._me_mxu_program(1080, 1920, 16, 64, True)
 
         def me_body_g(i, carry):
-            c, r = carry
+            c, r, _prev = carry
             out = prog_g(c, r)
-            return (c.at[0, 0].set(out[0, 0, 0]), r)
+            return (c.at[0, 0].set(out[0, 0, 0]), r, out)
 
-        dt6g = time_device_loop(me_body_g, (curd, refd), iters=20)
+        dt6g = time_device_loop(me_body_g, (curd, refd, prog_g(curd, refd)),
+                                iters=20)
         log(f"config6 1080p ME 16/64 (MXU SSD grouped): "
             f"{dt6g*1e3:.3f} ms/frame = {1/dt6g:.1f} fps")
     except Exception as exc:  # noqa: BLE001

@@ -126,7 +126,11 @@ def _me_program(h: int, w: int, block: int, search: int):
     d_hi = search - block - 1
     drange = np.arange(d_lo, d_hi + 1, dtype=np.int32)
     # candidate list in reference scan order: x outer, y inner
-    cand = np.array([(dx, dy) for dx in drange for dy in drange], np.int32)
+    # reshape keeps the (0, 2) shape when the range is empty
+    # (search <= block): the scan runs zero steps and every block keeps
+    # the init zero MV, matching the oracle's empty candidate window
+    cand = np.array([(dx, dy) for dx in drange for dy in drange],
+                    np.int32).reshape(-1, 2)
 
     # per-block clamped candidate bounds
     ox = np.arange(wb, dtype=np.int32) * block
@@ -541,6 +545,13 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
     if block * block * 255 * 255 >= 2 ** 24:
         raise ValueError("ssd variant requires block <= 16 for exact f32 "
                          "accumulation")
+    if search <= block:
+        # degenerate geometry: the candidate window [lo, hi - block) is
+        # empty for every block (see _search_bounds), so the oracle emits
+        # the zero MV everywhere.  The SAD scan program reduces over an
+        # empty candidate list and produces exactly that; the SSD
+        # formulation below would build zero-width conv segments instead.
+        return _me_program(h, w, block, search)
     strips, wb = h // block, w // block
     if not unroll:
         unroll = min(strips, 80)

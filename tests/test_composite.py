@@ -427,3 +427,24 @@ def test_me_fullsearch_ssd_via_registry():
     mv = np.asarray(out.planes()[0])
     assert mv.shape == (4, 4, 4)
     assert np.all(mv[:3, :3, 0] == 128)  # static scene, interior zero MV
+
+
+def test_me_fullsearch_degenerate_search_leq_block():
+    """search <= block leaves every candidate window empty: the oracle
+    emits the zero MV everywhere and every device route must match
+    (the SSD formulation delegates to the scan program instead of
+    building zero-width conv segments)."""
+    from swiftvideo_tpu.ops import motion
+    rng = np.random.default_rng(17)
+    ref_f = rng.integers(0, 255, (64, 128), np.uint8)
+    cur_f = np.clip(ref_f.astype(int) + rng.integers(-12, 12, ref_f.shape),
+                    0, 255).astype(np.uint8)
+    gold = motion.me_fullsearch_golden(cur_f, ref_f, 16, 16)
+    for metric in ("sad", "ssd"):
+        out = np.asarray(motion.me_fullsearch_device(cur_f, ref_f, 16, 16,
+                                                     metric=metric))
+        assert np.array_equal(out, gold), metric
+    for grouped in (False, True):
+        out = np.asarray(motion.me_fullsearch_mxu(cur_f, ref_f, 16, 16,
+                                                  grouped=grouped))
+        assert np.array_equal(out, gold), grouped
