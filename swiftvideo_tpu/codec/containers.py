@@ -171,12 +171,20 @@ class OggPacketReader:
             if not continued:
                 self._partial.clear()
             pos = header_len
+            done: List[bytes] = []
             for i, seg in enumerate(lacing):
                 self._partial += page[pos:pos + seg]
                 pos += seg
                 if seg < 255:
-                    self._out.append((bytes(self._partial), granule))
+                    done.append(bytes(self._partial))
                     self._partial.clear()
+            # the page granule position applies to the LAST packet
+            # completed on the page (Ogg framing spec); earlier packets
+            # get -1 so granule-delta consumers can divide the page
+            # duration across them instead of charging it to the first
+            for i, pk in enumerate(done):
+                self._out.append((pk, granule if i == len(done) - 1
+                                  else -1))
 
     def packets(self) -> List[Tuple[bytes, int]]:
         """Completed ``(packet, page_granule)`` pairs since the last call."""
@@ -232,8 +240,16 @@ class OggOpusWriter:
 
     def page(self, packet: bytes, *, samples: Optional[int] = None,
              eos: bool = False) -> bytes:
-        self._granule += self._spp if samples is None else samples
-        out = self.header() + ogg_page([packet], serial=self._serial,
+        return self.page_packets([packet], samples_each=samples, eos=eos)
+
+    def page_packets(self, packets: List[bytes], *,
+                     samples_each: Optional[int] = None,
+                     eos: bool = False) -> bytes:
+        """One page holding several packets — real muxers batch ~4 KB of
+        packets per page, so the page granule covers all of them."""
+        self._granule += ((self._spp if samples_each is None
+                           else samples_each) * len(packets))
+        out = self.header() + ogg_page(list(packets), serial=self._serial,
                                        seq=self._seq, granule=self._granule,
                                        eos=eos)
         self._seq += 1

@@ -830,9 +830,15 @@ class FFmpegAudioEncoder(Tx):
             return []
         self._proc.flush_input()
         try:
-            return self._drain()
+            out = self._drain()
         except Exception:
             return []
+        # packets still waiting for a page granule at EOS (a final page
+        # without one) fall back to the libopus default 20 ms duration
+        for pk in self._opus_pend:
+            out.append(self._emit(pk, 960, 48000))
+        self._opus_pend.clear()
+        return out
 
     def close(self) -> None:
         if self._proc is not None:

@@ -377,29 +377,48 @@ class PcmEncoder:
         self.ogg = (containers.OggOpusWriter(channels)
                     if kind == "opus" else None)
         self.header_out = False
+        # real ffmpeg's ogg muxer batches several opus packets per page
+        # (one granule covering all of them); mirror that so pipe
+        # consumers must divide page-granule deltas across packets
+        self.opus_pend = []
+        self.opus_per_page = 3
 
     def _frame(self, payload: bytes) -> bytes:
-        if self.kind == "aac":
-            return adts_header(self.rate, self.channels,
-                               len(payload)) + payload
+        return adts_header(self.rate, self.channels,
+                           len(payload)) + payload
+
+    def _opus_page(self, eos: bool = False) -> bytes:
         out = b""
         if not self.header_out:
             out += self.ogg.header()
             self.header_out = True
-        return out + self.ogg.page(payload, samples=self.spf)
+        out += self.ogg.page_packets(self.opus_pend, samples_each=self.spf,
+                                     eos=eos)
+        self.opus_pend = []
+        return out
 
     def feed(self, chunk: bytes) -> None:
         self.carry += chunk
         while len(self.carry) >= self.fbytes:
             payload, self.carry = (self.carry[:self.fbytes],
                                    self.carry[self.fbytes:])
-            emit(self._frame(payload))
+            if self.kind == "aac":
+                emit(self._frame(payload))
+            else:
+                self.opus_pend.append(payload)
+                if len(self.opus_pend) >= self.opus_per_page:
+                    emit(self._opus_page())
 
     def eof(self) -> None:
         if self.carry:
             payload = self.carry + b"\x00" * (self.fbytes - len(self.carry))
             self.carry = b""
-            emit(self._frame(payload))
+            if self.kind == "aac":
+                emit(self._frame(payload))
+            else:
+                self.opus_pend.append(payload)
+        if self.kind == "opus" and self.opus_pend:
+            emit(self._opus_page(eos=True))
 
 
 def demux_file(path, post) -> int:

@@ -227,3 +227,26 @@ def test_flat_combinator():
     assert flat(err)([1]).is_error()
     skip = Tx(lambda v: EventBox.nothing(None))
     assert flat(skip)([1, 2]).is_nothing()
+
+
+def test_ogg_multi_packet_page_granule_on_last_only():
+    """The page granule position belongs to the LAST packet completed on
+    the page; earlier packets report -1 so granule-delta consumers can
+    divide the page duration instead of charging it all to the first."""
+    page = containers.ogg_page([b"p0", b"p1", b"p2"], serial=3, seq=0,
+                               granule=2880)
+    reader = containers.OggPacketReader()
+    reader.feed(page)
+    got = reader.packets()
+    assert [p for p, _ in got] == [b"p0", b"p1", b"p2"]
+    assert [g for _, g in got] == [-1, -1, 2880]
+
+
+def test_ogg_opus_writer_multi_packet_page():
+    w = containers.OggOpusWriter(2)
+    stream = w.page_packets([b"\xfc\x00" * 3, b"\xfc\x01", b"\xfc\x02"])
+    reader = containers.OggPacketReader()
+    reader.feed(stream)
+    got = reader.packets()
+    assert [p[:8] for p, _ in got[:2]] == [b"OpusHead", b"OpusTags"]
+    assert [g for _, g in got[2:]] == [-1, -1, 2880]
