@@ -1,0 +1,585 @@
+"""Command-line surface: ``python -m swiftvideo_tpu <command> ...``.
+
+The reference ships its user-facing flows as compiled example binaries
+(/root/reference/Examples/Mixing/main.swift, Examples/Transcoding/
+main.swift, Examples/RtmpServer/main.swift); this module exposes the
+same flows as subcommands over the library so a user can drive them
+without writing a graph by hand:
+
+  mix        composition JSON -> composited frames (PNG dump)
+  transcode  media file -> elementary-stream file(s) through the codec
+             layer (Annex-B / IVF / Y4M video; ADTS / Ogg-Opus audio)
+  serve      RTMP ingest server: accept publishers, count + optionally
+             record their media
+  probe      print stream parameters of an elementary/container file
+
+Everything runs on the StepClock / WallClock graph runtime; device
+compute engages automatically when a TPU is visible (``SV_DEVICE=cpu``
+forces CPU, mirroring the examples).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+import sys
+from typing import List, Optional
+
+
+def _maybe_force_cpu() -> None:
+    if os.environ.get("SV_DEVICE", "") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+# --------------------------------------------------------------------------
+# mix
+# --------------------------------------------------------------------------
+
+def _default_composition():
+    from .compose import Composition, Element, ElementState, Scene
+    from .core import TimePoint
+
+    return Composition(
+        name="mix", canvas_size=(640, 360),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        scenes=(Scene(name="main", elements=(
+            Element(name="background", initial_state=ElementState(
+                pic_pos=(0, 0), size=(640, 360))),
+            Element(name="pip", initial_state=ElementState(
+                pic_pos=(400, 20), size=(220, 124)), z_index=1),
+        )),),
+        initial_scene="main")
+
+
+def cmd_mix(args: argparse.Namespace) -> int:
+    """Composition JSON -> Composer -> PNG frames (Examples/Mixing)."""
+    _maybe_force_cpu()
+    import numpy as np
+
+    from .compose import Composer, composition_from_json
+    from .core import Bus, EventBox, StepClock, TimePoint, Tx
+    from .media import PixelFormat, create_picture_sample
+    from .ops import golden, identity_uniforms, make_compute_context
+
+    if args.composition:
+        with open(args.composition, "r", encoding="utf-8") as fh:
+            comp = composition_from_json(fh.read())
+    else:
+        comp = _default_composition()
+    os.makedirs(args.out, exist_ok=True)
+
+    clock = StepClock(comp.audio_frame_duration)
+    audio_bus, picture_bus = Bus(clock), Bus(clock)
+    composer = Composer(clock, workspace_id=args.workspace,
+                        composition=comp, audio_bus=audio_bus,
+                        picture_bus=picture_bus,
+                        compute_context=make_compute_context())
+
+    frames: List = []
+    sub = picture_bus.subscribe(Tx(
+        lambda s: (frames.append(s), EventBox.just(s))[1]
+        if s.asset_id() == comp.name else EventBox.nothing(None)))
+
+    scene = next(s for s in comp.scenes
+                 if s.name == (comp.initial_scene or comp.scenes[0].name))
+    for i, element in enumerate(scene.elements):
+        size = element.initial_state.size or comp.canvas_size
+        size = (max(int(size[0]), 2) // 2 * 2, max(int(size[1]), 2) // 2 * 2)
+        pict = create_picture_sample(size, PixelFormat.y420p,
+                                     asset_id=element.name,
+                                     workspace_id=args.workspace)
+        y, x = np.mgrid[0:size[1], 0:size[0]]
+        pict.planes()[0][:] = ((x * (i + 1) + y) % 256).astype(np.uint8)
+        pict.planes()[1][:] = np.uint8(128 + (i * 37) % 100)
+        pict.planes()[2][:] = np.uint8(128 - (i * 23) % 100)
+        composer.bind(element.name, element.name)
+        picture_bus.append(EventBox.just(pict))
+
+    ticks_per_frame = max(
+        1, round((comp.frame_duration.value * comp.audio_frame_duration.scale)
+                 / (comp.frame_duration.scale
+                    * comp.audio_frame_duration.value)))
+    written = 0
+    for _ in range(args.frames * ticks_per_frame + 4 * ticks_per_frame):
+        clock.step()
+        if len(frames) >= args.frames:
+            break
+    composer.close()
+    del sub
+
+    mixed = frames[:args.frames]
+    for idx in range(0, len(mixed), max(1, args.every)):
+        sample = mixed[idx]
+        planes = [np.asarray(p) for p in sample.planes()]
+        rgba = golden.composite_stack(
+            PixelFormat.RGBA, sample.size(),
+            [(planes, sample.pixel_format(),
+              identity_uniforms(sample.size(), sample.size()))])[0]
+        path = os.path.join(args.out, f"frame_{idx:05d}.png")
+        import cv2
+
+        cv2.imwrite(path, rgba[..., [2, 1, 0, 3]])
+        written += 1
+    print(f"mixed {len(mixed)} frames, wrote {written} PNGs to {args.out}")
+    return 0 if mixed else 1
+
+
+# --------------------------------------------------------------------------
+# transcode: elementary-stream writers
+# --------------------------------------------------------------------------
+
+class _VideoFileWriter:
+    """Write CodedMediaSamples to an elementary-stream file.
+
+    Formats: ``avc``/``hevc`` -> Annex-B (parameter sets from the AVCC
+    ``side["config"]`` re-emitted in-band), ``vp8``/``vp9`` -> IVF
+    (header frame count back-patched on close), ``uncompressed`` -> Y4M.
+    """
+
+    def __init__(self, path: str, fmt):
+        from .media.coded import MediaFormat
+
+        self.path = path
+        self.fmt = fmt
+        self.fh = open(path, "wb")
+        self.count = 0
+        self._header_done = False
+        self._mf = MediaFormat
+
+    def _params_annexb(self, sample) -> bytes:
+        from .codec import containers
+        from .media.coded import sps_from_avcdcr
+
+        config = sample.side_data().get("config")
+        if not config:
+            return b""
+        if self.fmt == self._mf.hevc:
+            params = containers.params_from_hvcc(config)
+            return b"".join(b"\x00\x00\x00\x01" + nal
+                            for nals in params.values() for nal in nals)
+        sps = sps_from_avcdcr(sample)
+        # PPS follows the SPS block in the AVCDecoderConfigurationRecord
+        off = 8 + len(sps)
+        out = b"\x00\x00\x00\x01" + sps
+        if len(config) > off + 3:
+            n_pps = config[off]
+            off += 1
+            for _ in range(n_pps):
+                size = (config[off] << 8) | config[off + 1]
+                off += 2
+                out += b"\x00\x00\x00\x01" + bytes(config[off:off + size])
+                off += size
+        return out
+
+    def write(self, sample) -> None:
+        from .codec import bitstream, containers
+        from .codec.codecs import unpack_uncompressed_picture
+        from .codec.ffmpeg_subprocess import avcc_to_annexb
+
+        if self.fmt in (self._mf.avc, self._mf.hevc):
+            if not self._header_done:
+                self.fh.write(self._params_annexb(sample))
+                self._header_done = True
+            self.fh.write(avcc_to_annexb(sample.data()))
+        elif self.fmt in (self._mf.vp8, self._mf.vp9):
+            if not self._header_done:
+                codec = "vp8" if self.fmt == self._mf.vp8 else "vp9"
+                parse = (bitstream.vp8_frame_size
+                         if self.fmt == self._mf.vp8
+                         else bitstream.vp9_frame_size)
+                w, h = parse(sample.data())
+                scale = max(sample.pts().scale, 1)
+                self.fh.write(containers.ivf_header(
+                    codec, w, h, timebase=(1, scale), n_frames=0))
+                self._header_done = True
+            self.fh.write(containers.ivf_frame(sample.data(),
+                                               sample.pts().value))
+        else:  # uncompressed -> Y4M
+            pict = unpack_uncompressed_picture(
+                sample.data(), asset_id=sample.asset_id(),
+                workspace_id=sample.workspace_id())
+            if not self._header_done:
+                w, h = pict.size()
+                self.fh.write(containers.make_y4m_header(
+                    w, h, fps=(max(sample.pts().scale, 1), 1)))
+                self._header_done = True
+            self.fh.write(b"FRAME\n")
+            import numpy as np
+
+            for plane in pict.planes():
+                self.fh.write(np.ascontiguousarray(
+                    np.asarray(plane)).tobytes())
+        self.count += 1
+
+    def close(self) -> None:
+        if self.fmt in (self._mf.vp8, self._mf.vp9) and self._header_done:
+            self.fh.seek(24)                 # IVF frame-count field
+            self.fh.write(struct.pack("<I", self.count))
+        self.fh.close()
+
+
+class _AudioFileWriter:
+    """ADTS (.aac/.adts) or Ogg-Opus (.opus) elementary-stream writer."""
+
+    def __init__(self, path: str, fmt):
+        from .media.coded import MediaFormat
+
+        self.path = path
+        self.fmt = fmt
+        self.fh = open(path, "wb")
+        self.count = 0
+        self._ogg = None
+        self._mf = MediaFormat
+
+    def write(self, sample) -> None:
+        from .codec import bitstream, containers
+        from .codec.ffmpeg_subprocess import adts_header
+
+        data = sample.data()
+        if self.fmt == self._mf.aac:
+            asc = sample.side_data().get("config")
+            channels, rate, _spp = (bitstream.aac_parse_asc(asc)
+                                    if asc else (2, 48000, 1024))
+            self.fh.write(adts_header(rate, channels, len(data)) + data)
+        else:  # opus
+            if self._ogg is None:
+                head = sample.side_data().get("config")
+                channels = (head[9] if head and len(head) > 9 else 2)
+                self._ogg = containers.OggOpusWriter(channels, head=head)
+                self.fh.write(self._ogg.header())
+            self.fh.write(self._ogg.page(data))
+        self.count += 1
+
+    def close(self) -> None:
+        self.fh.close()
+
+
+_VIDEO_EXT = {".h264": "avc", ".avc": "avc", ".264": "avc",
+              ".h265": "hevc", ".hevc": "hevc", ".265": "hevc",
+              ".ivf": "vp9", ".y4m": "uncompressed"}
+_AUDIO_EXT = {".aac": "aac", ".adts": "aac", ".opus": "opus"}
+
+
+def _fmt_for(path: str, table, override: Optional[str]):
+    from .media.coded import MediaFormat
+
+    name = override or table.get(os.path.splitext(path)[1].lower())
+    if name is None:
+        raise SystemExit(f"cannot infer codec from {path!r}; pass --vcodec/"
+                         f"--acodec (known: {sorted(set(table.values()))})")
+    return MediaFormat[name]
+
+
+def cmd_transcode(args: argparse.Namespace) -> int:
+    """File -> decode -> (SRC) -> encode -> elementary stream files
+    (Examples/Transcoding: rename >> decode >> encode graphs)."""
+    _maybe_force_cpu()
+    import time
+
+    from .codec.codecs import (AudioDecoder, AudioEncoder, VideoDecoder,
+                               VideoEncoder, ffmpeg_available)
+    from .codec.file_source import open_media_file, open_media_file_av
+    from .codec.transcode import asset_rename, flat
+    from .core import EventBox, StepClock, TimePoint, Tx
+    from .media.audio import AudioFormat
+    from .mix.src_audio import AudioSampleRateConversion
+
+    if not args.video_out and not args.audio_out:
+        raise SystemExit("nothing to do: pass --video-out and/or --audio-out")
+
+    clock = StepClock(TimePoint(10, 1000))
+    vsrc = asrc = None
+    if ffmpeg_available():
+        vsrc, asrc = open_media_file_av(clock, args.input, asset_id="in")
+    else:
+        vsrc = open_media_file(clock, args.input, asset_id="in")
+        if args.audio_out:
+            print("warning: no ffmpeg binary; cv2 path demuxes video only",
+                  file=sys.stderr)
+
+    chains = []
+    writers = []
+    counts = {"video": 0, "audio": 0}
+    vdec = venc = adec = aenc = None
+
+    if args.video_out and vsrc is not None:
+        vfmt = _fmt_for(args.video_out, _VIDEO_EXT, args.vcodec)
+        vw = _VideoFileWriter(args.video_out, vfmt)
+        writers.append(vw)
+        vdec, venc = VideoDecoder(), VideoEncoder(vfmt)
+
+        def wv(s, _w=vw):
+            for one in (s if isinstance(s, list) else [s]):
+                _w.write(one)
+                counts["video"] += 1
+            return EventBox.just(s)
+
+        wv_tx = Tx(wv)
+        # explicit stages (vs make_video_transcoder) so the codec tails
+        # can be flushed after the clock drains (Examples/Transcoding)
+        chains.append(vsrc >> asset_rename("out") >> vdec >> flat(venc)
+                      >> wv_tx)
+    if args.audio_out and asrc is not None:
+        afmt = _fmt_for(args.audio_out, _AUDIO_EXT, args.acodec)
+        aw = _AudioFileWriter(args.audio_out, afmt)
+        writers.append(aw)
+        adec, aenc = AudioDecoder(), AudioEncoder(afmt, 1024)
+        src_stage = AudioSampleRateConversion(args.rate, 2, AudioFormat.s16i)
+
+        def wa(s, _w=aw):
+            for one in (s if isinstance(s, list) else [s]):
+                _w.write(one)
+                counts["audio"] += 1
+            return EventBox.just(s)
+
+        wa_tx = Tx(wa)
+        chains.append(asrc >> asset_rename("out") >> adec >> flat(src_stage)
+                      >> flat(aenc) >> wa_tx)
+
+    for src in (vsrc, asrc):
+        if src is not None:
+            src.play()
+    for i in range(args.max_ticks):
+        clock.step()
+        if i % 10 == 9:
+            time.sleep(0.02)      # paced: let the codec subprocesses run
+        if all(not getattr(s, "_playing", False)
+               for s in (vsrc, asrc) if s is not None):
+            # drain: read-ahead-scheduled emits + subprocess replies
+            for _ in range(64):
+                clock.step()
+                time.sleep(0.005)
+            break
+    # flush codec tails (encoder latency + AU-split holdback)
+    if vdec is not None:
+        for pic in vdec.flush():
+            box = venc(pic)
+            if box.is_just():
+                for s in box.value():
+                    wv_tx(s)
+        for s in venc.flush():
+            wv_tx(s)
+        venc.close()
+    if adec is not None:
+        for a in adec.flush():
+            box = aenc(a)
+            if box.is_just():
+                for s in box.value():
+                    wa_tx(s)
+        for s in aenc.flush():
+            wa_tx(s)
+        aenc.close()
+    del chains
+    for w in writers:
+        w.close()
+    print(f"transcoded: {counts['video']} video samples"
+          f" -> {args.video_out or '-'}, {counts['audio']} audio samples"
+          f" -> {args.audio_out or '-'}")
+    return 0 if (counts["video"] or counts["audio"]) else 1
+
+
+# --------------------------------------------------------------------------
+# serve
+# --------------------------------------------------------------------------
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    """RTMP ingest server (Examples/RtmpServer): accept every publisher,
+    count media; --record writes Annex-B/ADTS per published stream."""
+    import asyncio
+
+    from .core import EventBox, Tx, WallClock
+    from .media.coded import MediaFormat, MediaType
+
+    async def run() -> int:
+        from .net.rtmp import Rtmp
+
+        stats = {}
+        writers = {}
+        chains = []
+
+        def on_sample(path, s):
+            st = stats.setdefault(path, {"video": 0, "audio": 0, "bytes": 0})
+            key = ("video" if s.media_type == MediaType.video else "audio")
+            st[key] += 1
+            st["bytes"] += len(s.data())
+            if args.record:
+                wkey = (path, key)
+                if wkey not in writers:
+                    os.makedirs(args.record, exist_ok=True)
+                    safe = path.strip("/").replace("/", "_") or "stream"
+                    if key == "video":
+                        ext = ".h264" if s.media_format == MediaFormat.avc \
+                            else ".ivf"
+                        writers[wkey] = _VideoFileWriter(
+                            os.path.join(args.record, safe + ext),
+                            s.media_format)
+                    else:
+                        ext = ".adts" if s.media_format == MediaFormat.aac \
+                            else ".opus"
+                        writers[wkey] = _AudioFileWriter(
+                            os.path.join(args.record, safe + ext),
+                            s.media_format)
+                writers[wkey].write(s)
+            return EventBox.nothing(None)
+
+        async def on_connection(pub, sub):
+            if sub is not None:
+                path = sub.play_path()
+                print(f"publisher: {path}", flush=True)
+                chains.append(sub >> Tx(lambda s, p=path: on_sample(p, s)))
+            return True
+
+        clock = WallClock()
+        server = Rtmp(clock, on_connection=on_connection,
+                      on_ended=lambda a: print("ended:", a, flush=True))
+        await server.serve(args.host, args.port)
+        print(f"rtmp://{args.host}:{args.port}/ (ctrl-c to stop)",
+              flush=True)
+        try:
+            if args.max_seconds:
+                await asyncio.sleep(args.max_seconds)
+            else:
+                while True:
+                    await asyncio.sleep(3600)
+        except (KeyboardInterrupt, asyncio.CancelledError):
+            pass
+        finally:
+            for w in writers.values():
+                w.close()
+            await server.close()
+        for path, st in stats.items():
+            print(f"{path}: {st['video']} video / {st['audio']} audio "
+                  f"samples, {st['bytes']} bytes")
+        return 0
+
+    try:
+        return asyncio.run(run())
+    except KeyboardInterrupt:
+        return 0
+
+
+# --------------------------------------------------------------------------
+# probe
+# --------------------------------------------------------------------------
+
+def cmd_probe(args: argparse.Namespace) -> int:
+    """Print stream parameters of an elementary/container file as JSON —
+    exercises the container/bitstream parsers (sample.coded.swift's
+    basicMediaDescription analogue at file level)."""
+    from .codec import bitstream, containers
+    from .codec.ffmpeg_subprocess import parse_adts_frames, split_annexb
+
+    with open(args.input, "rb") as fh:
+        data = fh.read()
+    info = {"path": args.input, "bytes": len(data)}
+    if data[:4] == b"DKIF":
+        header, frames, _rest = containers.parse_ivf(data)
+        if header:
+            header = dict(header, codec=header["codec"].decode("ascii",
+                                                               "replace"))
+        info.update(container="ivf", **(header or {}), frames=len(frames))
+    elif data[:9] == b"YUV4MPEG2":
+        reader = containers.Y4MReader()
+        reader.feed(data[:4096])
+        info.update(container="y4m", width=reader.width,
+                    height=reader.height, fps=reader.fps)
+    elif data[:4] == b"OggS":
+        reader = containers.OggPacketReader()
+        reader.feed(data)
+        packets = reader.packets()
+        info.update(container="ogg", packets=len(packets))
+        if packets and packets[0][0][:8] == b"OpusHead":
+            info.update(codec="opus",
+                        **containers.parse_opus_head(packets[0][0]))
+    elif len(data) > 2 and data[0] == 0xFF and (data[1] & 0xF0) == 0xF0:
+        frames, _carry = parse_adts_frames(data)
+        rate_tab = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                    16000, 12000, 11025, 8000, 7350]
+        idx = (data[2] >> 2) & 0xF
+        info.update(container="adts", codec="aac", frames=len(frames),
+                    sample_rate=rate_tab[idx] if idx < len(rate_tab) else 0,
+                    channels=((data[2] & 1) << 2) | (data[3] >> 6))
+    elif data[:5].startswith(b"\x00\x00\x00\x01") or \
+            data[:4].startswith(b"\x00\x00\x01"):
+        nals = split_annexb(data)
+        info.update(container="annexb", nal_units=len(nals))
+        for nal in nals:
+            if nal and (nal[0] & 0x1F) == 7:          # H.264 SPS
+                try:
+                    w, h = bitstream.h264_sps_frame_size(nal)
+                except Exception:  # noqa: BLE001 — truncated/foreign SPS
+                    info.update(codec="avc")
+                else:
+                    info.update(codec="avc", width=w, height=h)
+                break
+    elif data[:7].startswith(b"MOCKAV "):
+        head = data.split(b"\n", 1)[0].decode().split()
+        info.update(container="mockav", width=int(head[1]),
+                    height=int(head[2]),
+                    fps=(int(head[3]), int(head[4])), frames=int(head[5]),
+                    sample_rate=int(head[6]), channels=int(head[7]),
+                    audio_samples=int(head[8]))
+    else:
+        info["container"] = "unknown"
+    print(json.dumps(info))
+    return 0 if info.get("container") != "unknown" else 1
+
+
+# --------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m swiftvideo_tpu",
+        description="SwiftVideo-TPU command line (mix / transcode / serve /"
+                    " probe)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("mix", help="composite a composition JSON to PNGs")
+    p.add_argument("composition", nargs="?",
+                   help="composition manifest JSON (default: demo scene)")
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--every", type=int, default=10,
+                   help="write every Nth frame (default 10)")
+    p.add_argument("--out", default="/tmp/svtpu_mix")
+    p.add_argument("--workspace", default="cli")
+    p.set_defaults(fn=cmd_mix)
+
+    p = sub.add_parser("transcode",
+                       help="transcode a media file to elementary streams")
+    p.add_argument("input")
+    p.add_argument("--video-out", help=".h264/.h265/.ivf/.y4m output path")
+    p.add_argument("--audio-out", help=".aac/.adts/.opus output path")
+    p.add_argument("--vcodec", choices=["avc", "hevc", "vp8", "vp9",
+                                        "uncompressed"])
+    p.add_argument("--acodec", choices=["aac", "opus"])
+    p.add_argument("--rate", type=int, default=48000,
+                   help="audio output sample rate")
+    p.add_argument("--max-ticks", type=int, default=100_000)
+    p.set_defaults(fn=cmd_transcode)
+
+    p = sub.add_parser("serve", help="RTMP ingest server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=1935)
+    p.add_argument("--record", help="directory to record published streams")
+    p.add_argument("--max-seconds", type=float, default=0.0,
+                   help="stop after N seconds (0 = run forever)")
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("probe", help="print stream parameters as JSON")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_probe)
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

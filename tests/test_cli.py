@@ -1,0 +1,166 @@
+"""CLI tests (python -m swiftvideo_tpu ...): mix, transcode, probe, serve.
+
+The reference's user-facing flows live in compiled Examples
+(Examples/Mixing/main.swift etc.); the CLI wraps the same graphs, so
+these tests drive each subcommand end-to-end on CPU — transcode through
+the mock ffmpeg binary's real subprocess pipes.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from swiftvideo_tpu import cli
+from swiftvideo_tpu.codec import containers
+
+MOCK_FFMPEG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "mock_ffmpeg.py")
+
+
+@pytest.fixture
+def mock_ffmpeg(monkeypatch):
+    monkeypatch.setenv("SWIFTVIDEO_FFMPEG", MOCK_FFMPEG)
+    return MOCK_FFMPEG
+
+
+def _write_mockav(path, w=32, h=16, n_frames=5, rate=48000, ch=2,
+                  n_samples=3072):
+    fsize = w * h * 3 // 2
+    video = b"".join(bytes([10 * i + 5]) * fsize for i in range(n_frames))
+    pcm = np.arange(n_samples * ch, dtype=np.int16)
+    path.write_bytes(
+        f"MOCKAV {w} {h} 25 1 {n_frames} {rate} {ch} {n_samples}\n"
+        .encode() + video + pcm.tobytes())
+
+
+def test_mix_default_composition(tmp_path):
+    out = tmp_path / "png"
+    rc = cli.main(["mix", "--frames", "6", "--every", "3",
+                   "--out", str(out)])
+    assert rc == 0
+    pngs = sorted(out.glob("*.png"))
+    assert len(pngs) == 2
+    import cv2
+    img = cv2.imread(str(pngs[-1]))
+    assert img.shape[:2] == (360, 640)
+    assert img.std() > 1.0          # composited content, not a clear frame
+
+
+def test_mix_from_json_manifest(tmp_path):
+    from swiftvideo_tpu.compose import composition_to_json
+    comp = cli._default_composition()
+    manifest = tmp_path / "comp.json"
+    manifest.write_text(composition_to_json(comp))
+    out = tmp_path / "png"
+    rc = cli.main(["mix", str(manifest), "--frames", "3", "--every", "1",
+                   "--out", str(out)])
+    assert rc == 0
+    assert len(list(out.glob("*.png"))) == 3
+
+
+def test_transcode_video_and_audio(tmp_path, mock_ffmpeg):
+    src = tmp_path / "clip.mockav"
+    _write_mockav(src)
+    vout = tmp_path / "out.ivf"
+    aout = tmp_path / "out.opus"
+    rc = cli.main(["transcode", str(src), "--video-out", str(vout),
+                   "--vcodec", "vp8", "--audio-out", str(aout)])
+    assert rc == 0
+
+    data = vout.read_bytes()
+    header, frames, rest = containers.parse_ivf(data)
+    assert header["codec"] == b"VP80"
+    assert header["width"] == 32 and header["height"] == 16
+    assert header["n_frames"] == len(frames) == 5 and not rest
+
+    reader = containers.OggPacketReader()
+    reader.feed(aout.read_bytes())
+    packets = [p for p, _ in reader.packets()]
+    assert packets[0][:8] == b"OpusHead"
+    assert packets[1][:8] == b"OpusTags"
+    assert len(packets) > 2
+
+
+def test_transcode_annexb_h264(tmp_path, mock_ffmpeg):
+    src = tmp_path / "clip.mockav"
+    _write_mockav(src)
+    vout = tmp_path / "out.h264"
+    rc = cli.main(["transcode", str(src), "--video-out", str(vout)])
+    assert rc == 0
+    data = vout.read_bytes()
+    assert data.startswith(b"\x00\x00\x00\x01")
+    from swiftvideo_tpu.codec.ffmpeg_subprocess import split_annexb
+    nals = split_annexb(data)
+    types = {n[0] & 0x1F for n in nals if n}
+    assert 7 in types and 8 in types          # SPS + PPS re-emitted in-band
+
+
+def test_probe_ivf_y4m_adts_ogg_annexb_mockav(tmp_path, mock_ffmpeg,
+                                              capsys):
+    # ivf
+    ivf = tmp_path / "v.ivf"
+    ivf.write_bytes(containers.ivf_header("vp9", 64, 48)
+                    + containers.ivf_frame(b"\x00" * 10, 0))
+    assert cli.main(["probe", str(ivf)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["container"] == "ivf" and info["width"] == 64
+
+    # y4m
+    y4m = tmp_path / "v.y4m"
+    y4m.write_bytes(containers.make_y4m_header(32, 16))
+    assert cli.main(["probe", str(y4m)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info == {**info, "container": "y4m", "width": 32, "height": 16}
+
+    # ogg opus
+    w = containers.OggOpusWriter(2)
+    opus = tmp_path / "a.opus"
+    opus.write_bytes(w.header() + w.page(b"\xfc\x01"))
+    assert cli.main(["probe", str(opus)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["container"] == "ogg" and info["codec"] == "opus"
+    assert info["pre_skip"] == 312
+
+    # adts
+    from swiftvideo_tpu.codec.ffmpeg_subprocess import adts_header
+    adts = tmp_path / "a.adts"
+    adts.write_bytes(adts_header(48000, 2, 8) + b"\x00" * 8)
+    assert cli.main(["probe", str(adts)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["container"] == "adts" and info["sample_rate"] == 48000
+    assert info["channels"] == 2 and info["frames"] == 1
+
+    # mockav
+    mav = tmp_path / "c.mockav"
+    _write_mockav(mav)
+    assert cli.main(["probe", str(mav)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["container"] == "mockav" and info["frames"] == 5
+
+    # unknown
+    other = tmp_path / "x.bin"
+    other.write_bytes(b"\x42" * 16)
+    assert cli.main(["probe", str(other)]) == 1
+
+
+def test_probe_annexb_sps(tmp_path, capsys):
+    from tests.test_bitstream import make_sps  # spec-built H.264 SPS
+    sps = make_sps(3, 2)                       # 3x2 macroblocks = 48x32
+    annexb = tmp_path / "v.h264"
+    annexb.write_bytes(b"\x00\x00\x00\x01" + sps
+                       + b"\x00\x00\x00\x01\x68\xce\x3c\x80"
+                       + b"\x00\x00\x00\x01\x65\x88\x80\x10")
+    assert cli.main(["probe", str(annexb)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["container"] == "annexb" and info["codec"] == "avc"
+    assert (info["width"], info["height"]) == (48, 32)
+
+
+def test_serve_smoke_max_seconds(tmp_path):
+    """serve binds, runs for max-seconds, exits cleanly."""
+    rc = cli.main(["serve", "--host", "127.0.0.1", "--port", "0",
+                   "--max-seconds", "0.2"])
+    assert rc == 0
