@@ -164,3 +164,78 @@ def test_serve_smoke_max_seconds(tmp_path):
     rc = cli.main(["serve", "--host", "127.0.0.1", "--port", "0",
                    "--max-seconds", "0.2"])
     assert rc == 0
+
+
+def test_serve_records_published_stream(tmp_path):
+    """A real RTMP publisher against `serve --record`: the server accepts
+    the loopback publish and records the AVC track as Annex-B
+    (Examples/RtmpServer topology over the CLI)."""
+    import socket
+    import subprocess
+    import time
+
+    from tests.test_bitstream import make_sps
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    rec = tmp_path / "rec"
+    env = dict(os.environ, SV_DEVICE="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "swiftvideo_tpu", "serve",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--record", str(rec), "--max-seconds", "6"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)
+    try:
+        line = proc.stdout.readline().decode()   # "rtmp://host:port/ ..."
+        assert "rtmp://" in line
+
+        import asyncio
+
+        from swiftvideo_tpu.core import EventBox, TimePoint, WallClock
+        from swiftvideo_tpu.media import (CodedMediaSample, MediaFormat,
+                                          MediaType)
+
+        sps = make_sps(2, 1)                     # 32x16
+        pps = b"\x68\xce\x3c\x80"
+        from tests.test_ffmpeg_pipe import make_avcdcr
+        config = make_avcdcr(sps, pps)
+
+        async def publish():
+            from swiftvideo_tpu.net.rtmp import Rtmp
+            client = Rtmp(WallClock())
+            pub, _ = await client.connect(
+                f"rtmp://127.0.0.1:{port}/live/cam", max_attempts=3,
+                retry_delay=0.3)
+            await asyncio.sleep(0.3)             # metadata grace timer
+            for i in range(10):
+                nal = bytes([0x65]) + bytes([i]) * 40
+                pub.apply(EventBox.just(CodedMediaSample(
+                    buffer=len(nal).to_bytes(4, "big") + nal,
+                    pts_value=TimePoint(i * 33, 1000),
+                    dts_value=TimePoint(i * 33, 1000),
+                    media_type=MediaType.video,
+                    media_format=MediaFormat.avc, id_asset="cam",
+                    side={"config": config})))
+                await asyncio.sleep(0.01)
+            await asyncio.sleep(0.3)
+            pub.close()
+
+        asyncio.run(publish())
+        proc.wait(timeout=12)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    recorded = list(rec.glob("*.h264"))
+    assert recorded, f"nothing recorded in {rec}"
+    data = recorded[0].read_bytes()
+    from swiftvideo_tpu.codec.ffmpeg_subprocess import split_annexb
+    nals = split_annexb(data)
+    # SPS re-emitted in-band + the published IDR slices
+    assert any(n[0] & 0x1F == 7 for n in nals if n)
+    idrs = [n for n in nals if n and n[0] & 0x1F == 5]
+    assert len(idrs) == 10
+    assert idrs[3][1] == 3
