@@ -28,8 +28,16 @@ def _pack_tp(tp: TimePoint) -> bytes:
 
 
 def _unpack_tp(data: bytes) -> TimePoint:
+    if len(data) != 16:
+        raise ValueError("truncated TimePoint record")
     v, s = struct.unpack("<qq", data)
     return TimePoint(v, s)
+
+
+def _unpack_i32(data: bytes) -> int:
+    if len(data) != 4:
+        raise ValueError("truncated int32 record")
+    return struct.unpack("<i", data)[0]
 
 
 def _record(tag: int, payload: bytes) -> bytes:
@@ -57,7 +65,9 @@ def pack_constituent(c: MediaConstituent) -> bytes:
     return b"".join(out)
 
 
-def unpack_constituent(data: bytes) -> MediaConstituent:
+def unpack_constituent(data: bytes, _depth: int = 0) -> MediaConstituent:
+    if _depth > 32:
+        raise ValueError("constituent nesting too deep")
     kwargs = dict(id_asset="", pts=TimePoint(0, 1000))
     subs = []
     for tag, payload in _iter_records(data):
@@ -72,7 +82,7 @@ def unpack_constituent(data: bytes) -> MediaConstituent:
         elif tag == 6:
             kwargs["normalized_pts"] = _unpack_tp(payload)
         elif tag == 7:
-            subs.append(unpack_constituent(payload))
+            subs.append(unpack_constituent(payload, _depth + 1))
     return MediaConstituent(constituents=tuple(subs), **kwargs)
 
 
@@ -122,13 +132,15 @@ def deserialize(data: bytes) -> CodedMediaSample:
         elif tag == _T_BUFFER:
             kwargs["buffer"] = payload
         elif tag == _T_MEDIATYPE:
-            kwargs["media_type"] = MediaType(struct.unpack("<i", payload)[0])
+            kwargs["media_type"] = MediaType(_unpack_i32(payload))
         elif tag == _T_MEDIAFORMAT:
-            kwargs["media_format"] = MediaFormat(struct.unpack("<i", payload)[0])
+            kwargs["media_format"] = MediaFormat(_unpack_i32(payload))
         elif tag == _T_ENCODER:
             extra["encoder"] = payload.decode()
         elif tag == _T_SIDE:
             recs = dict(_iter_records(payload))
+            if 1 not in recs or 2 not in recs:
+                raise ValueError("malformed side-data record")
             side[recs[1].decode()] = recs[2]
         elif tag == _T_CONSTITUENT:
             constituents.append(unpack_constituent(payload))

@@ -118,15 +118,23 @@ def parse_atoms(data: bytes, offset: int = 0, end: Optional[int] = None):
         offset += size
 
 
-def decode_value(tag: str, body: bytes):
+def _fixed(fmt: str, body: bytes, n: int):
+    if len(body) < n:
+        raise FlavorError(f"truncated {fmt} body")
+    return struct.unpack(fmt, body[:n])[0]
+
+
+def decode_value(tag: str, body: bytes, _depth: int = 0):
+    if _depth > 32:
+        raise FlavorError("atom nesting too deep")
     if tag == "in32":
-        return struct.unpack("<i", body[:4])[0]
+        return _fixed("<i", body, 4)
     if tag == "in64":
-        return struct.unpack("<q", body[:8])[0]
+        return _fixed("<q", body, 8)
     if tag == "fl32":
-        return struct.unpack("<f", body[:4])[0]
+        return _fixed("<f", body, 4)
     if tag == "fl64":
-        return struct.unpack("<d", body[:8])[0]
+        return _fixed("<d", body, 8)
     if tag == "bool":
         return bool(body[0]) if body else False
     if tag == "utf8":
@@ -134,7 +142,7 @@ def decode_value(tag: str, body: bytes):
     if tag == "data":
         return body
     if tag == "list":
-        return [decode_value(t, b) for t, b in parse_atoms(body)]
+        return [decode_value(t, b, _depth + 1) for t, b in parse_atoms(body)]
     if tag == "dict":
         out = {}
         items = list(parse_atoms(body))
@@ -143,7 +151,8 @@ def decode_value(tag: str, body: bytes):
             vtag, vbody = items[i + 1]
             if ktag != "utf8":
                 raise FlavorError("dict keys must be utf8")
-            out[kbody.decode("utf-8", "replace")] = decode_value(vtag, vbody)
+            out[kbody.decode("utf-8", "replace")] = decode_value(
+                vtag, vbody, _depth + 1)
         return out
     return body  # opaque
 
@@ -184,6 +193,8 @@ def serialize_trak(t: TrackInfo) -> bytes:
 
 
 def parse_trak(body: bytes) -> TrackInfo:
+    if len(body) < 21:
+        raise FlavorError("truncated trak body")
     fourcc = body[0:4].decode("ascii", "replace")
     stream_id, track_id, time_base = struct.unpack_from("<iiq", body, 4)
     uses_dts = bool(body[20])

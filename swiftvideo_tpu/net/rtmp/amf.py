@@ -75,6 +75,15 @@ def serialize(values: List[Any]) -> bytes:
     return b"".join(serialize_one(v) for v in values)
 
 
+def _unpack(fmt: str, data: bytes, pos: int):
+    """Bounds-checked ``struct.unpack_from`` — hostile/truncated input
+    must surface as AmfError, never struct.error."""
+    try:
+        return struct.unpack_from(fmt, data, pos)
+    except struct.error as exc:
+        raise AmfError(f"truncated value at {pos}") from exc
+
+
 def _read_string(data: bytes, pos: int) -> Tuple[str, int]:
     if pos + 2 > len(data):
         raise AmfError("truncated string")
@@ -91,14 +100,16 @@ def parse_one(data: bytes, pos: int = 0) -> Tuple[Any, int]:
     marker = data[pos]
     pos += 1
     if marker == _NUMBER:
-        val = struct.unpack_from(">d", data, pos)[0]
+        val = _unpack(">d", data, pos)[0]
         return val, pos + 8
     if marker == _BOOL:
+        if pos >= len(data):
+            raise AmfError("truncated boolean")
         return bool(data[pos]), pos + 1
     if marker == _STRING:
         return _read_string(data, pos)
     if marker == _LONG_STRING:
-        n = struct.unpack_from(">I", data, pos)[0]
+        n = _unpack(">I", data, pos)[0]
         pos += 4
         return data[pos:pos + n].decode("utf-8", "replace"), pos + n
     if marker in (_NULL, _UNDEFINED):
@@ -114,7 +125,7 @@ def parse_one(data: bytes, pos: int = 0) -> Tuple[Any, int]:
             val, pos = parse_one(data, pos)
             out[key] = val
     if marker == _STRICT:
-        n = struct.unpack_from(">I", data, pos)[0]
+        n = _unpack(">I", data, pos)[0]
         pos += 4
         items = []
         for _ in range(n):
@@ -122,7 +133,7 @@ def parse_one(data: bytes, pos: int = 0) -> Tuple[Any, int]:
             items.append(val)
         return items, pos
     if marker == _DATE:
-        val = struct.unpack_from(">d", data, pos)[0]
+        val = _unpack(">d", data, pos)[0]
         return val, pos + 10  # ms since epoch + 2-byte tz
     raise AmfError(f"unknown marker 0x{marker:02x}")
 
