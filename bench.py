@@ -507,10 +507,11 @@ def _rtmp_realtime_multiple(count: int = 120, frame_ms: int = 16) -> float:
             clock.step()
             if i % 8 == 0:
                 await asyncio.sleep(0)
-        for _ in range(200):
-            await asyncio.sleep(0.005)
-            if len(received) >= count:
-                break
+        deadline = time.perf_counter() + 10.0
+        while len(received) < count and time.perf_counter() < deadline:
+            # sleep(0) still services the selector each loop turn; a 5 ms
+            # poll would quantize the whole measurement
+            await asyncio.sleep(0)
         wall = time.perf_counter() - t0
         await server.close()
         pub.close()

@@ -55,12 +55,19 @@ def _basic_header(csid: int, fmt: int) -> bytes:
     return bytes([((fmt & 0x3) << 6) | 1]) + struct.pack("<H", csid & 0xFFFF)
 
 
+class _OutState:
+    """Last-sent header per chunk stream (what type selection needs)."""
+
+    __slots__ = ("msg_stream_id", "msg_length", "msg_type", "timestamp",
+                 "timestamp_delta", "extended")
+
+
 class ChunkSerializer:
     """Stateful writer for one connection direction."""
 
     def __init__(self, out_chunk_size: int = DEFAULT_CHUNK_SIZE):
         self.out_chunk_size = out_chunk_size
-        self._prev: Dict[int, Chunk] = {}
+        self._prev: Dict[int, _OutState] = {}
         self._last_chunk0: Dict[int, int] = {}
 
     def set_chunk_size(self, size: int) -> None:
@@ -115,8 +122,17 @@ class ChunkSerializer:
             out.append(cont)
         return b"".join(out)
 
-    def _store(self, chunk: Chunk, is0: bool) -> None:
-        self._prev[chunk.chunk_stream_id] = chunk.changing(data=b"")
+    def _store(self, chunk: Chunk, is0: bool, extended: bool,
+               timestamp_delta: Optional[int] = None) -> None:
+        st = _OutState()
+        st.msg_stream_id = chunk.msg_stream_id
+        st.msg_length = chunk.msg_length
+        st.msg_type = chunk.msg_type
+        st.timestamp = chunk.timestamp
+        st.timestamp_delta = (chunk.timestamp_delta if timestamp_delta is None
+                              else timestamp_delta)
+        st.extended = extended
+        self._prev[chunk.chunk_stream_id] = st
         if is0:
             self._last_chunk0[chunk.chunk_stream_id] = chunk.timestamp
 
@@ -136,7 +152,7 @@ class ChunkSerializer:
         # store the delta as the receiver now knows it: a type-0 header
         # resets it to 0, so the next message must carry an explicit delta
         # (type 1/2) before type-3 continuation becomes legal
-        self._store(chunk.changing(extended=ext, timestamp_delta=0), True)
+        self._store(chunk, True, ext, timestamp_delta=0)
         return self._chunk_payload(chunk, header, ts_full, ext)
 
     def _chunk1(self, chunk: Chunk) -> bytes:
@@ -145,7 +161,7 @@ class ChunkSerializer:
                   + _be24(chunk.msg_length) + bytes([chunk.msg_type]))
         if ext:
             header += struct.pack(">I", ts_full)
-        self._store(chunk.changing(extended=ext), False)
+        self._store(chunk, False, ext)
         return self._chunk_payload(chunk, header, ts_full, ext)
 
     def _chunk2(self, chunk: Chunk) -> bytes:
@@ -153,7 +169,7 @@ class ChunkSerializer:
         header = _basic_header(chunk.chunk_stream_id, 2) + ts3
         if ext:
             header += struct.pack(">I", ts_full)
-        self._store(chunk.changing(extended=ext), False)
+        self._store(chunk, False, ext)
         return self._chunk_payload(chunk, header, ts_full, ext)
 
     def _chunk3(self, chunk: Chunk) -> bytes:
@@ -163,17 +179,41 @@ class ChunkSerializer:
         ts_full = chunk.timestamp % 0xFFFFFFFF
         if ext:
             header += struct.pack(">I", ts_full)
-        self._store(chunk.changing(extended=ext), False)
+        self._store(chunk, False, ext)
         return self._chunk_payload(chunk, header, ts_full, ext)
 
 
+class _Partial:
+    """Mutable per-chunk-stream assembly state (hot path: one instance
+    lives per chunk stream; payload accumulates in a bytearray so a
+    message split over N chunks costs O(len) total, not O(len*N))."""
+
+    __slots__ = ("msg_stream_id", "msg_length", "msg_type", "timestamp",
+                 "timestamp_delta", "extended", "data")
+
+    def __init__(self):
+        self.msg_stream_id = 0
+        self.msg_length = 0
+        self.msg_type = 0
+        self.timestamp = 0
+        self.timestamp_delta = 0
+        self.extended = False
+        self.data = bytearray()
+
+
 class ChunkDeserializer:
-    """Incremental parser with per-chunk-stream partial assembly."""
+    """Incremental parser with per-chunk-stream partial assembly.
+
+    The byte buffer is consumed via a read offset (compacted only when
+    parsing stalls) and message payloads accumulate in per-stream
+    bytearrays — ``Chunk`` objects materialize once per complete
+    message, not once per 128-byte wire chunk."""
 
     def __init__(self, in_chunk_size: int = DEFAULT_CHUNK_SIZE):
         self.in_chunk_size = in_chunk_size
-        self._partial: Dict[int, Chunk] = {}
-        self._buffer = b""
+        self._partial: Dict[int, _Partial] = {}
+        self._buffer = bytearray()
+        self._pos = 0
 
     def set_chunk_size(self, size: int) -> None:
         self.in_chunk_size = size
@@ -201,69 +241,82 @@ class ChunkDeserializer:
     def poll(self) -> Optional[Chunk]:
         """Parse and return the next complete message, or None."""
         while True:
-            chunk, consumed = self._try_parse(self._buffer)
+            chunk, consumed = self._try_parse()
             if consumed == 0:
+                if self._pos:
+                    del self._buffer[:self._pos]
+                    self._pos = 0
                 return None
-            self._buffer = self._buffer[consumed:]
+            self._pos += consumed
             if chunk is not None:
                 return chunk
 
+    def _complete(self, p: _Partial, csid: int) -> Chunk:
+        data = bytes(p.data)
+        p.data = bytearray()
+        return Chunk(msg_stream_id=p.msg_stream_id, msg_length=p.msg_length,
+                     msg_type=p.msg_type, chunk_stream_id=csid,
+                     timestamp=p.timestamp, timestamp_delta=p.timestamp_delta,
+                     extended=p.extended, data=data)
+
     # returns (complete_chunk_or_None, bytes_consumed); consumed==0 => wait
-    def _try_parse(self, buf: bytes) -> Tuple[Optional[Chunk], int]:
-        if not buf:
+    def _try_parse(self) -> Tuple[Optional[Chunk], int]:
+        buf = self._buffer
+        pos0 = self._pos
+        avail = len(buf) - pos0
+        if avail <= 0:
             return None, 0
-        fmt = (buf[0] & 0xC0) >> 6
-        csid = buf[0] & 0x3F
+        b0 = buf[pos0]
+        fmt = (b0 & 0xC0) >> 6
+        csid = b0 & 0x3F
         pos = 1
         if csid == 0:
-            if len(buf) < 2:
+            if avail < 2:
                 return None, 0
-            csid = buf[1] + 64
+            csid = buf[pos0 + 1] + 64
             pos = 2
         elif csid == 1:
-            if len(buf) < 3:
+            if avail < 3:
                 return None, 0
-            csid = struct.unpack_from("<H", buf, 1)[0]
+            csid = struct.unpack_from("<H", buf, pos0 + 1)[0]
             pos = 3
         prev = self._partial.get(csid)
-        parser = [self._chunk0, self._chunk1, self._chunk2, self._chunk3][fmt]
-        result = parser(buf, pos, csid, prev)
+        parser = (self._chunk0, self._chunk1, self._chunk2, self._chunk3)[fmt]
+        result = parser(buf, pos0, pos, avail, csid, prev)
         if result is None:
             return None, 0
-        chunk, consumed = result
-        if chunk.data is not None and len(chunk.data) == chunk.msg_length:
-            # complete: store header state with empty data for continuations
-            self._partial[csid] = chunk.changing(data=b"")
-            return chunk, consumed
-        self._partial[csid] = chunk
+        p, consumed = result
+        if len(p.data) == p.msg_length:
+            return self._complete(p, csid), consumed
         return None, consumed
 
     @staticmethod
-    def _read_ts(buf: bytes, pos: int, need: int):
-        """Read be24 ts field + optional extended. Returns (ts, pos) or None."""
-        if len(buf) < pos + need:
+    def _read_ts(buf, pos0: int, pos: int, avail: int, need: int):
+        """Read be24 ts field + optional extended; offsets relative to
+        ``pos0``. Returns (ts, hdr_len, extended) or None to wait."""
+        if avail < pos + need:
             return None
-        ts = (buf[pos] << 16) | (buf[pos + 1] << 8) | buf[pos + 2]
+        a = pos0 + pos
+        ts = (buf[a] << 16) | (buf[a + 1] << 8) | buf[a + 2]
         if ts == 0xFFFFFF:
-            if len(buf) < pos + need + 4:
+            if avail < pos + need + 4:
                 return None
-            full = struct.unpack_from(">I", buf, pos + need)[0]
+            full = struct.unpack_from(">I", buf, a + need)[0]
             return full, need + 4, True
         return ts, need, False
 
-    def _chunk0(self, buf, pos, csid, prev):
-        if len(buf) < pos + 11:
-            return None
-        r = self._read_ts(buf, pos, 11)
+    def _chunk0(self, buf, pos0, pos, avail, csid, prev):
+        r = self._read_ts(buf, pos0, pos, avail, 11)
         if r is None:
             return None
         serial_ts, hdr_len, ext = r
-        length = (buf[pos + 3] << 16) | (buf[pos + 4] << 8) | buf[pos + 5]
-        msg_type = buf[pos + 6]
-        msid = struct.unpack_from("<I", buf, pos + 7)[0]
+        a = pos0 + pos
+        length = (buf[a + 3] << 16) | (buf[a + 4] << 8) | buf[a + 5]
+        msg_type = buf[a + 6]
+        msid = struct.unpack_from("<I", buf, a + 7)[0]
         body_pos = pos + hdr_len
         take = min(length, self.in_chunk_size)
-        if len(buf) < body_pos + take:
+        if avail < body_pos + take:
             return None
         # RFC1982 serial arithmetic (deserialize.swift:92-101)
         if prev is not None:
@@ -274,60 +327,64 @@ class ChunkDeserializer:
                 timestamp = prev.timestamp + (serial_ts - prev_serial)
         else:
             timestamp = serial_ts
-        chunk = Chunk(msg_stream_id=msid, msg_length=length, msg_type=msg_type,
-                      chunk_stream_id=csid, timestamp=timestamp,
-                      timestamp_delta=0, extended=serial_ts >= 0xFFFFFF,
-                      data=buf[body_pos:body_pos + take])
-        return chunk, body_pos + take
+            self._partial[csid] = prev = _Partial()
+        prev.msg_stream_id = msid
+        prev.msg_length = length
+        prev.msg_type = msg_type
+        prev.timestamp = timestamp
+        prev.timestamp_delta = 0
+        prev.extended = serial_ts >= 0xFFFFFF
+        prev.data = bytearray(buf[pos0 + body_pos:pos0 + body_pos + take])
+        return prev, body_pos + take
 
-    def _chunk1(self, buf, pos, csid, prev):
-        if prev is None or len(buf) < pos + 7:
+    def _chunk1(self, buf, pos0, pos, avail, csid, prev):
+        if prev is None:
             return None
-        r = self._read_ts(buf, pos, 7)
+        r = self._read_ts(buf, pos0, pos, avail, 7)
         if r is None:
             return None
         delta, hdr_len, ext = r
-        length = (buf[pos + 3] << 16) | (buf[pos + 4] << 8) | buf[pos + 5]
-        msg_type = buf[pos + 6]
+        a = pos0 + pos
+        length = (buf[a + 3] << 16) | (buf[a + 4] << 8) | buf[a + 5]
+        msg_type = buf[a + 6]
         body_pos = pos + hdr_len
         take = min(length, self.in_chunk_size)
-        if len(buf) < body_pos + take:
+        if avail < body_pos + take:
             return None
-        chunk = prev.changing(msg_length=length, msg_type=msg_type,
-                              timestamp=prev.timestamp + delta,
-                              timestamp_delta=delta,
-                              extended=delta >= 0xFFFFFF,
-                              data=prev.data + buf[body_pos:body_pos + take])
-        return chunk, body_pos + take
+        prev.msg_length = length
+        prev.msg_type = msg_type
+        prev.timestamp += delta
+        prev.timestamp_delta = delta
+        prev.extended = delta >= 0xFFFFFF
+        prev.data = bytearray(buf[pos0 + body_pos:pos0 + body_pos + take])
+        return prev, body_pos + take
 
-    def _chunk2(self, buf, pos, csid, prev):
-        if prev is None or len(buf) < pos + 3:
+    def _chunk2(self, buf, pos0, pos, avail, csid, prev):
+        if prev is None:
             return None
-        r = self._read_ts(buf, pos, 3)
+        r = self._read_ts(buf, pos0, pos, avail, 3)
         if r is None:
             return None
         delta, hdr_len, ext = r
         body_pos = pos + hdr_len
         take = min(prev.msg_length, self.in_chunk_size)
-        if len(buf) < body_pos + take:
+        if avail < body_pos + take:
             return None
-        chunk = prev.changing(timestamp=prev.timestamp + delta,
-                              timestamp_delta=delta,
-                              extended=delta >= 0xFFFFFF,
-                              data=prev.data + buf[body_pos:body_pos + take])
-        return chunk, body_pos + take
+        prev.timestamp += delta
+        prev.timestamp_delta = delta
+        prev.extended = delta >= 0xFFFFFF
+        prev.data = bytearray(buf[pos0 + body_pos:pos0 + body_pos + take])
+        return prev, body_pos + take
 
-    def _chunk3(self, buf, pos, csid, prev):
+    def _chunk3(self, buf, pos0, pos, avail, csid, prev):
         if prev is None:
             return None
         body_pos = pos + (4 if prev.extended else 0)
         already = len(prev.data)
         take = min(prev.msg_length - already, self.in_chunk_size)
-        if len(buf) < body_pos + take:
+        if avail < body_pos + take:
             return None
-        continuation = already > 0
-        timestamp = prev.timestamp if continuation else \
-            prev.timestamp + prev.timestamp_delta
-        chunk = prev.changing(timestamp=timestamp,
-                              data=prev.data + buf[body_pos:body_pos + take])
-        return chunk, body_pos + take
+        if already == 0:       # new message repeating the previous header
+            prev.timestamp += prev.timestamp_delta
+        prev.data += buf[pos0 + body_pos:pos0 + body_pos + take]
+        return prev, body_pos + take

@@ -380,8 +380,12 @@ class RtmpSessionCore:
     def _create_publish(self) -> bytes:
         n = self.ctx.command_number
         self.ctx.command_number = n + 1
-        return self._command_chunk(amf.serialize(
-            ["publish", float(n), None, self.ctx.play_path or ""]))
+        # raise the outgoing chunk size before media starts (the server
+        # does the same at connect, states.swift:392-407; 128-byte chunks
+        # would cost a header per 128 payload bytes on every frame)
+        return self._set_chunk_size(4096) + self._command_chunk(
+            amf.serialize(["publish", float(n), None,
+                           self.ctx.play_path or ""]))
 
     def _create_play(self) -> bytes:
         """Client play (completed here; reference TODO at states.swift:496)."""
