@@ -149,6 +149,7 @@ class _VideoFileWriter:
         self.fh = open(path, "wb")
         self.count = 0
         self._header_done = False
+        self._pending = None     # first Y4M frame, held until fps is known
         self._mf = MediaFormat
 
     def _params_annexb(self, sample) -> bytes:
@@ -204,19 +205,46 @@ class _VideoFileWriter:
                 sample.data(), asset_id=sample.asset_id(),
                 workspace_id=sample.workspace_id())
             if not self._header_done:
-                w, h = pict.size()
-                self.fh.write(containers.make_y4m_header(
-                    w, h, fps=(max(sample.pts().scale, 1), 1)))
-                self._header_done = True
-            self.fh.write(b"FRAME\n")
-            import numpy as np
-
-            for plane in pict.planes():
-                self.fh.write(np.ascontiguousarray(
-                    np.asarray(plane)).tobytes())
+                if self._pending is None:
+                    # the Y4M header needs the frame RATE, which the
+                    # timebase alone doesn't give — hold the first frame
+                    # until the second's pts reveals the spacing
+                    self._pending = (pict, sample.pts())
+                    self.count += 1
+                    return
+                self._write_y4m_header(self._pending[0],
+                                       self._pending[1], sample.pts())
+                self._write_y4m_frame(self._pending[0])
+                self._pending = None
+            self._write_y4m_frame(pict)
         self.count += 1
 
+    def _write_y4m_header(self, pict, pts0, pts1=None) -> None:
+        from .codec import containers
+        from .core.time import rescale
+
+        w, h = pict.size()
+        fps = (30, 1)
+        if pts1 is not None:
+            dv = rescale(pts1, pts0.scale).value - pts0.value
+            if dv > 0:
+                fps = (max(pts0.scale, 1), dv)
+        self.fh.write(containers.make_y4m_header(w, h, fps=fps))
+        self._header_done = True
+
+    def _write_y4m_frame(self, pict) -> None:
+        import numpy as np
+
+        self.fh.write(b"FRAME\n")
+        for plane in pict.planes():
+            self.fh.write(np.ascontiguousarray(
+                np.asarray(plane)).tobytes())
+
     def close(self) -> None:
+        if self._pending is not None:        # single-frame Y4M stream
+            self._write_y4m_header(self._pending[0], self._pending[1])
+            self._write_y4m_frame(self._pending[0])
+            self._pending = None
         if self.fmt in (self._mf.vp8, self._mf.vp9) and self._header_done:
             self.fh.seek(24)                 # IVF frame-count field
             self.fh.write(struct.pack("<I", self.count))
@@ -366,11 +394,21 @@ def cmd_transcode(args: argparse.Namespace) -> int:
             wv_tx(s)
         venc.close()
     if adec is not None:
-        for a in adec.flush():
+        # tail PCM takes the same path as the live chain: decoder ->
+        # sample-rate conversion -> encoder (a 44.1 kHz tail fed straight
+        # into a 48 kHz-locked encoder pipe would be mispitched)
+        def _encode_tail(a):
             box = aenc(a)
             if box.is_just():
                 for s in box.value():
                     wa_tx(s)
+
+        for a in adec.flush():
+            b = src_stage(a)
+            if b.is_just():
+                _encode_tail(b.value())
+        for a in src_stage.flush():
+            _encode_tail(a)
         for s in aenc.flush():
             wa_tx(s)
         aenc.close()
@@ -449,9 +487,11 @@ def cmd_serve(args: argparse.Namespace) -> int:
         except (KeyboardInterrupt, asyncio.CancelledError):
             pass
         finally:
+            # stop the server FIRST: closing writers while connections
+            # still drain would hand closed file handles to on_sample
+            await server.close()
             for w in writers.values():
                 w.close()
-            await server.close()
         for path, st in stats.items():
             print(f"{path}: {st['video']} video / {st['audio']} audio "
                   f"samples, {st['bytes']} bytes")
@@ -498,8 +538,7 @@ def cmd_probe(args: argparse.Namespace) -> int:
                         **containers.parse_opus_head(packets[0][0]))
     elif len(data) > 2 and data[0] == 0xFF and (data[1] & 0xF0) == 0xF0:
         frames, _carry = parse_adts_frames(data)
-        rate_tab = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
-                    16000, 12000, 11025, 8000, 7350]
+        rate_tab = bitstream.AAC_SAMPLE_RATES
         idx = (data[2] >> 2) & 0xF
         info.update(container="adts", codec="aac", frames=len(frames),
                     sample_rate=rate_tab[idx] if idx < len(rate_tab) else 0,

@@ -169,8 +169,11 @@ def _h264_sps_frame_size_py(data: bytes) -> Tuple[int, int]:
     return width, height
 
 
-_AAC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
-              16000, 12000, 11025, 8000, 7350, 0, 0, 0]
+# ISO 14496-3 samplingFrequencyIndex table — the single copy; ADTS and
+# ASC writers index the first 13 entries, readers the padded 16
+AAC_SAMPLE_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                    16000, 12000, 11025, 8000, 7350]
+_AAC_RATES = AAC_SAMPLE_RATES + [0, 0, 0]
 _GA_AOTS = {1, 2, 3, 4, 6, 7, 17, 19, 20, 21, 22, 23}
 
 
@@ -226,8 +229,7 @@ def aac_parse_asc(asc: bytes) -> Tuple[int, int, int]:
     return _aac_parse_asc_py(asc)
 
 
-_ASC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
-              16000, 12000, 11025, 8000, 7350]
+_ASC_RATES = AAC_SAMPLE_RATES
 
 
 def make_asc(sample_rate: int, channels: int, *,

@@ -131,8 +131,7 @@ def make_avcdcr(sps: bytes, pps: bytes) -> bytes:
             + bytes([1]) + struct.pack(">H", len(pps)) + pps)
 
 
-_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
-               16000, 12000, 11025, 8000, 7350]
+from .bitstream import AAC_SAMPLE_RATES as _ADTS_RATES
 
 
 def parse_adts_frames(data: bytes) -> Tuple[List[bytes], bytes]:

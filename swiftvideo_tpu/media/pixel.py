@@ -146,13 +146,14 @@ def allocate_planes(fmt: PixelFormat, size: Tuple[int, int]) -> List[np.ndarray]
             for i in range(num_planes(fmt))]
 
 
-def packed422_to_planar(arr: np.ndarray, fmt: "PixelFormat"):
+def packed422_to_planar(arr, fmt: "PixelFormat", xp=np):
     """Convert packed 4:2:2 (yuvs / zvuy, [H, W, 2]) to y422p planes
     ([H,W] y, [H,W/2] cb, [H,W/2] cr).
 
     Layout per 2-pixel group along W (sample.pict.swift:83-102 component
     orders): yuvs = (y0, cb, y1, cr), zvuy = (cb, y0, cr, y1).  TPU ingest
     normalizes packed formats to planar so device kernels stay dense.
+    ``xp`` keeps device arrays on device (jnp slices stay jnp).
     """
     if fmt == PixelFormat.yuvs:
         y = arr[..., 0]
@@ -164,23 +165,21 @@ def packed422_to_planar(arr: np.ndarray, fmt: "PixelFormat"):
         cr = arr[:, 1::2, 0]
     else:
         raise ValueError(f"not a packed 4:2:2 format: {fmt}")
-    return [np.ascontiguousarray(y), np.ascontiguousarray(cb),
-            np.ascontiguousarray(cr)]
+    if xp is np:
+        return [np.ascontiguousarray(y), np.ascontiguousarray(cb),
+                np.ascontiguousarray(cr)]
+    return [y, cb, cr]
 
 
-def planar_to_packed422(planes, fmt: "PixelFormat") -> np.ndarray:
-    """Inverse of packed422_to_planar (egress to packed-422 consumers)."""
+def planar_to_packed422(planes, fmt: "PixelFormat", xp=np):
+    """Inverse of packed422_to_planar (egress to packed-422 consumers);
+    functional construction so it works on immutable device arrays."""
     y, cb, cr = planes
     h, w = y.shape
-    out = np.empty((h, w, 2), np.uint8)
+    # interleave cb/cr along W: chroma[:, 0::2] = cb, chroma[:, 1::2] = cr
+    chroma = xp.stack([cb, cr], axis=-1).reshape(h, w)
     if fmt == PixelFormat.yuvs:
-        out[..., 0] = y
-        out[:, 0::2, 1] = cb
-        out[:, 1::2, 1] = cr
-    elif fmt == PixelFormat.zvuy:
-        out[..., 1] = y
-        out[:, 0::2, 0] = cb
-        out[:, 1::2, 0] = cr
-    else:
-        raise ValueError(f"not a packed 4:2:2 format: {fmt}")
-    return out
+        return xp.stack([y, chroma], axis=-1)
+    if fmt == PixelFormat.zvuy:
+        return xp.stack([chroma, y], axis=-1)
+    raise ValueError(f"not a packed 4:2:2 format: {fmt}")

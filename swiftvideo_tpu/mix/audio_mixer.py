@@ -48,15 +48,21 @@ class AudioMixer(Source):
                  asset_id: Optional[str] = None,
                  stats_report: Optional[StatsReport] = None,
                  epoch: Optional[int] = None,
-                 compute_context=None):
+                 compute_context=None,
+                 device_min_elems: int = 1 << 16):
         super().__init__()
         self.clock = clock
         # device mixing (resurrected snd_s16i_s16i, kernels.cl.swift:534-562)
         # engages when a device compute context is wired AND the tick's
         # contributions are all full-window aligned (the Composer
         # steady-state with an SRC in front); any offset/partial sample
-        # falls back to the host loop, which is the exact same algebra
+        # falls back to the host loop, which is the exact same algebra.
+        # device_min_elems gates on total mixed elements: a typical
+        # Composer tick (a few sources x ~2k int16) is microseconds of
+        # numpy but a full device dispatch + two host<->device copies —
+        # the device fold only pays off at wall-scale batch sizes
         self.compute_context = compute_context
+        self.device_min_elems = device_min_elems
         self.frame_duration = frame_duration
         self.delay = delay if delay is not None else TimePoint(0, frame_duration.scale)
         self.sample_rate = sample_rate
@@ -131,6 +137,7 @@ class AudioMixer(Source):
         ctx = self.compute_context
         device_ok = (ctx is not None
                      and getattr(ctx, "backend", None) in ("jax", "pallas")
+                     and len(contribs) * backing.size >= self.device_min_elems
                      and all(b_off == 0 and i_off == 0
                              and data.size == backing.size
                              for data, _g, b_off, i_off in contribs))

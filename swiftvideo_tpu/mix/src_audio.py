@@ -30,13 +30,38 @@ class AudioSampleRateConversion(Tx):
         self.use_device = use_device
         self._resampler: Optional[PolyphaseResampler] = None
         self._pts: Optional[TimePoint] = None
+        self._last: Optional[AudioSample] = None
         super().__init__(self._impl)
+
+    def flush(self):
+        """Drain the filter-history tail (group delay) as a final sample
+        list; call after the upstream decoder has flushed."""
+        if self._resampler is None or self._last is None:
+            return []
+        import numpy as np
+        r = self._resampler
+        y = r.process(np.zeros((r.channels, r.R), np.float32))
+        count = y.shape[1]
+        if count == 0:
+            return []
+        buffers = from_planar_f32(y, self.out_format)
+        pts = self._pts
+        self._pts = pts + TimePoint(count, self.out_frequency)
+        last = self._last
+        return [AudioSample(
+            buffers=tuple(buffers), frequency=self.out_frequency,
+            channels=self.out_channels, format=self.out_format,
+            sample_count=count, time_point=last.time(), pts_value=pts,
+            id_asset=last.asset_id(), id_workspace=last.workspace_id(),
+            token_workspace=last.token_workspace,
+            transform=last.transform, event_info=last.info())]
 
     def _impl(self, sample: AudioSample) -> EventBox:
         if (self.out_frequency == sample.sample_rate()
                 and self.out_channels == sample.number_channels()
                 and self.out_format == sample.format):
             return EventBox.just(sample)
+        self._last = sample
         if self._resampler is None:
             self._pts = rescale(sample.pts(), self.out_frequency)
             self._resampler = PolyphaseResampler(

@@ -111,6 +111,8 @@ def parse_one(data: bytes, pos: int = 0) -> Tuple[Any, int]:
     if marker == _LONG_STRING:
         n = _unpack(">I", data, pos)[0]
         pos += 4
+        if pos + n > len(data):
+            raise AmfError("truncated long string body")
         return data[pos:pos + n].decode("utf-8", "replace"), pos + n
     if marker in (_NULL, _UNDEFINED):
         return None, pos
@@ -133,6 +135,8 @@ def parse_one(data: bytes, pos: int = 0) -> Tuple[Any, int]:
             items.append(val)
         return items, pos
     if marker == _DATE:
+        if pos + 10 > len(data):
+            raise AmfError("truncated date")
         val = _unpack(">d", data, pos)[0]
         return val, pos + 10  # ms since epoch + 2-byte tz
     raise AmfError(f"unknown marker 0x{marker:02x}")

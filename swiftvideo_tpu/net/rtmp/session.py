@@ -285,7 +285,9 @@ class RtmpSessionCore:
         return out + self._command_chunk(result, chunk.chunk_stream_id), []
 
     def _set_chunk_size(self, size: int) -> bytes:
-        chunk = Chunk(msg_stream_id=self.ctx.msg_stream_id, msg_length=4,
+        # protocol control messages ride msg stream 0 (RTMP spec 5.4) —
+        # NOT the createStream-allocated stream id
+        chunk = Chunk(msg_stream_id=0, msg_length=4,
                       msg_type=0x1, chunk_stream_id=2, timestamp=0,
                       data=struct.pack(">I", size))
         out = self.serializer.serialize(chunk)

@@ -395,7 +395,7 @@ def composite_stack(out_fmt: PixelFormat, size: Tuple[int, int],
     norm = []
     for planes, in_fmt, uni in sources:
         if in_fmt in (PixelFormat.yuvs, PixelFormat.zvuy):
-            planes = packed422_to_planar(np.asarray(planes[0]), in_fmt)
+            planes = packed422_to_planar(xp.asarray(planes[0]), in_fmt, xp)
             in_fmt = PixelFormat.y422p
         norm.append((planes, in_fmt, uni))
     target = clear_planes(fold_fmt, size)
@@ -404,6 +404,7 @@ def composite_stack(out_fmt: PixelFormat, size: Tuple[int, int],
     for planes, in_fmt, uni in norm:
         target = apply_composite(target, fold_fmt, planes, in_fmt, uni, xp)
     if packed_out:
-        return [planar_to_packed422([np.asarray(p) for p in target],
-                                    out_fmt)]
+        # stays on device for xp=jnp (the old np.asarray round-trip broke
+        # the device-array contract for packed outputs)
+        return [planar_to_packed422(target, out_fmt, xp)]
     return target

@@ -241,7 +241,8 @@ def test_device_mix_parity_exact():
         clock = StepClock(step_size=FRAME)
         mixer = AudioMixer(clock, workspace_id="t", frame_duration=FRAME,
                            sample_rate=SR, channel_count=2,
-                           compute_context=ctx)
+                           compute_context=ctx,
+                           device_min_elems=0)  # tiny test ticks: no gate
         outs = []
         mixer >> Tx(lambda s: (outs.append(np.asarray(s.data()[0]).copy()),
                                EventBox.just(s))[1])

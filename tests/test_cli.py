@@ -239,3 +239,78 @@ def test_serve_records_published_stream(tmp_path):
     idrs = [n for n in nals if n and n[0] & 0x1F == 5]
     assert len(idrs) == 10
     assert idrs[3][1] == 3
+
+
+def test_y4m_writer_fps_from_frame_spacing(tmp_path):
+    """The Y4M header frame rate comes from pts spacing, not the pts
+    timebase (a 30 fps stream with scale-1000 pts must NOT declare
+    F1000:1)."""
+    from swiftvideo_tpu.cli import _VideoFileWriter
+    from swiftvideo_tpu.codec.codecs import pack_uncompressed_picture
+    from swiftvideo_tpu.core import TimePoint
+    from swiftvideo_tpu.media import (CodedMediaSample, MediaFormat,
+                                      MediaType, PixelFormat,
+                                      create_picture_sample)
+
+    def sample(ms):
+        pict = create_picture_sample((32, 16), PixelFormat.y420p,
+                                     asset_id="a", workspace_id="w")
+        return CodedMediaSample(
+            buffer=pack_uncompressed_picture(pict),
+            pts_value=TimePoint(ms, 1000), dts_value=TimePoint(ms, 1000),
+            media_type=MediaType.video,
+            media_format=MediaFormat.uncompressed,
+            id_asset="a", id_workspace="w")
+
+    out = tmp_path / "c.y4m"
+    w = _VideoFileWriter(str(out), MediaFormat.uncompressed)
+    for i in range(3):
+        w.write(sample(i * 33))
+    w.close()
+    header = out.read_bytes().split(b"\n", 1)[0]
+    assert b"F1000:33" in header, header
+    reader = containers.Y4MReader()
+    frames = reader.feed(out.read_bytes())
+    assert abs(reader.fps[0] / reader.fps[1] - 30.3) < 0.1
+    assert len(frames) == 3
+
+    # single-frame stream: header still written on close (default rate)
+    out1 = tmp_path / "one.y4m"
+    w = _VideoFileWriter(str(out1), MediaFormat.uncompressed)
+    w.write(sample(0))
+    w.close()
+    reader = containers.Y4MReader()
+    assert len(reader.feed(out1.read_bytes())) == 1
+
+
+def test_src_stage_flush_drains_tail():
+    """AudioSampleRateConversion.flush() emits the filter-history tail
+    with continuous pts (the transcode CLI routes decoder-tail PCM
+    through the SRC before the encoder)."""
+    from swiftvideo_tpu.core import TimePoint
+    from swiftvideo_tpu.media.audio import AudioFormat, AudioSample
+    from swiftvideo_tpu.mix.src_audio import AudioSampleRateConversion
+
+    src = AudioSampleRateConversion(48000, 2, AudioFormat.s16i)
+    t = np.arange(4410, dtype=np.float64)
+    mono = (np.sin(2 * np.pi * 440 * t / 44100) * 12000).astype(np.int16)
+    inter = np.empty(mono.size * 2, np.int16)
+    inter[0::2] = mono
+    inter[1::2] = mono
+    total = 0
+    for k in range(4):
+        s = AudioSample(buffers=(inter.copy(),), frequency=44100,
+                        channels=2, format=AudioFormat.s16i,
+                        sample_count=4410, id_asset="a", id_workspace="w",
+                        pts_value=TimePoint(k * 4410, 44100))
+        box = src(s)
+        if box.is_just():
+            total += box.value().number_samples()
+    tail = src.flush()
+    assert tail, "flush produced no tail samples"
+    # 4 x 4410 @44.1k -> exactly 19200 @48k streamed; the flush drains
+    # the filter ring-out with continuous pts at the output rate
+    assert total == 19200
+    assert tail[0].pts().value == total
+    assert tail[0].sample_rate() == 48000
+    assert sum(s.number_samples() for s in tail) <= src._resampler.R

@@ -64,6 +64,12 @@ def test_amf_parse_garbage():
     assert amf.parse(valid)[0] == "connect"
     _survives(amf.parse, _mutations(valid))
     _survives(amf.parse, (_rand(n) for n in (0, 1, 2, 7, 64, 1024)))
+    # declared length past the buffer end must raise, not yield truncated
+    # garbage: long string (marker 0x0C) and date (0x0B, 8+2 bytes)
+    for hostile in (b"\x0c\xff\xff\xff\xff" + b"ten bytes!",
+                    b"\x0b" + b"\x00" * 9):
+        with pytest.raises(amf.AmfError):
+            amf.parse(hostile)
 
 
 def test_rtmp_chunk_deserializer_garbage():
