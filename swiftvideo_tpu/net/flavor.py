@@ -317,20 +317,24 @@ class FlavorSessionCore:
 
     # --- byte pump --------------------------------------------------------
     def feed(self, data: bytes) -> Tuple[bytes, List[CodedMediaSample]]:
-        self._buffer += data
+        # read-offset walk, one buffer compaction per feed: re-slicing the
+        # backlog per atom is quadratic during relay catch-up bursts
+        buf = self._buffer + data
+        pos = 0
+        n = len(buf)
         out = b""
         samples: List[CodedMediaSample] = []
-        while len(self._buffer) >= 8:
-            size = struct.unpack_from("<I", self._buffer, 0)[0]
+        while n - pos >= 8:
+            size = struct.unpack_from("<I", buf, pos)[0]
             if size < 8:
                 self.errors.append(f"bad atom size {size}")
-                self._buffer = b""
+                pos = n
                 break
-            if len(self._buffer) < size:
+            if n - pos < size:
                 break
-            tag = self._buffer[4:8].decode("ascii", "replace")
-            body = self._buffer[8:size]
-            self._buffer = self._buffer[size:]
+            tag = buf[pos + 4:pos + 8].decode("ascii", "replace")
+            body = buf[pos + 8:pos + size]
+            pos += size
             try:
                 o, s = self._handle_atom(tag, body)
             except (FlavorError, ValueError, IndexError,
@@ -341,6 +345,7 @@ class FlavorSessionCore:
                 continue
             out += o
             samples.extend(s)
+        self._buffer = buf[pos:]
         return out, samples
 
     def _handle_atom(self, tag: str, body: bytes):
