@@ -711,11 +711,163 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
     return jax.jit(run)
 
 
+@lru_cache(maxsize=8)
+def _me_mxu_batched_program(h: int, w: int, block: int, search: int):
+    """Strip-BATCHED grouped formulation: the whole frame as ONE conv.
+
+    The scan variants above pay a per-strip fixed cost that dominates the
+    program (measured 17.1 -> 10.3 ms going from unroll 1 to 67 at
+    1080p/16/64 — the FLOPs are trivial, the op count is not).  Here the
+    (strip, x-segment) pair folds into ``feature_group_count`` — a
+    depthwise-style grouped 1D conv with S*G groups, C_in 16 and C_out
+    ``gs`` per group — so every strip's cross-correlation runs in one
+    MXU dispatch and the dy lexicographic reduce runs once over the
+    stacked volume.  Bit-identical scores to the scanned grouped variant
+    (same per-element arithmetic; lex-min is order-independent).
+    Falls back to the scanned program when no group size divides the
+    block columns or the geometry is degenerate.
+
+    MEASURED (TPU v5e, 1080p/16/64, hardware-exact vs the scan): 21.4
+    ms/frame — SLOWER than the fully-unrolled scan's 15.3-15.6 ms, so
+    the scan stays the production default.  The per-strip "fixed cost"
+    is not dispatch (one program either way) but the grouped-conv
+    lowering itself: C_out=gs(=8)<128 lanes per group wastes ~94% of
+    the MXU, and stacking 67 strips into one conv multiplies the padded
+    work while adding ~600 MB of HBM intermediates.  Kept as the
+    documented negative result and for future XLA lowerings."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if block * block * 255 * 255 >= 2 ** 24:
+        raise ValueError("ssd variant requires block <= 16 for exact f32 "
+                         "accumulation")
+    if search <= block:
+        return _me_program(h, w, block, search)
+    strips, wb = h // block, w // block
+    gs = next((g for g in (8, 6, 5, 4, 3, 2) if wb % g == 0), 0)
+    if not gs:
+        return _me_mxu_program(h, w, block, search, False)
+    d_lo = block // 2 - search // 2
+    d_hi = search - block - 1
+    n_d = d_hi - d_lo + 1
+    dxs = np.arange(d_lo, d_hi + 1, dtype=np.int32)
+    n_j = search - block
+
+    oy = np.arange(strips, dtype=np.int32) * block
+    ylo = np.clip(oy + d_lo, 0, h)
+    yhi = np.minimum(ylo + search, h) - block
+    nvy = np.maximum(yhi - ylo, 0)
+    jgbase = (ylo - oy) - d_lo
+
+    ox = np.arange(wb, dtype=np.int32) * block
+    xlo = np.clip(ox + d_lo, 0, w)
+    xhi = np.minimum(xlo + search, w) - block
+    txg = ox[:, None] + dxs[None, :]
+    xmask = (txg >= xlo[:, None]) & (txg < xhi[:, None])
+
+    n_groups = wb // gs
+    seg_p = block * (gs - 1) + n_d
+    seg_w = seg_p + block - 1
+    seg_x0 = block * gs * np.arange(n_groups, dtype=np.int32) + d_lo
+    pg = (block * (np.arange(wb, dtype=np.int32) % gs))[:, None] \
+        + (dxs - d_lo)[None, :]                # [wb, n_d] -> seg_p index
+    pad_l = -d_lo
+    pad_r = max(int(seg_x0[-1]) + seg_w - w, 0) + 8
+
+    dvals = (d_lo + np.arange(n_d)).astype(np.float64)
+    cx_tab = jnp.asarray(_axis_cost(-dvals).astype(np.float32))
+    cy_tab_np = _axis_cost(-dvals).astype(np.float32)
+    # per-(strip, j) dy-cost / validity, pre-spread over the channel axis
+    jj = np.arange(n_j, dtype=np.int32)
+    cy_sj = cy_tab_np[np.clip(jgbase[:, None] + jj[None, :], 0, n_d - 1)]
+    cyv = jnp.asarray(np.repeat(cy_sj.T, wb, axis=1))      # [n_j, S*wb]
+    validv = jnp.asarray(np.repeat((jj[None, :] < nvy[:, None]).T,
+                                   wb, axis=1))            # [n_j, S*wb]
+    big_key = np.int32(2 ** 30)
+
+    def run(cur_u8, ref_u8):
+        cur_u8 = cur_u8[:strips * block]
+        refp = jnp.pad(ref_u8, ((0, search), (pad_l, pad_r)))
+        r2c = lax.reduce_window(
+            (refp.astype(jnp.int32)) ** 2, 0, lax.add,
+            (block, 1), (1, 1), "valid")
+        s2 = lax.reduce_window(r2c, 0, lax.add, (1, block), (1, 1), "valid")
+
+        # rhs: strip-major per-block filters [kw, C_in, S*wb]
+        filt = (cur_u8.reshape(strips, block, wb, block)
+                .transpose(0, 3, 1, 2)         # [S, kw, 16, wb]
+                .astype(jnp.bfloat16)
+                .transpose(1, 2, 0, 3)
+                .reshape(block, block, strips * wb))
+
+        wins = jnp.take(refp, ylo[:, None] + np.arange(search)[None, :],
+                        axis=0)                # [S, search, wpad] u8
+        vb = jnp.stack([wins[:, i:i + n_j, :] for i in range(block)],
+                       axis=-1).astype(jnp.bfloat16)   # [S, n_j, wpad, 16]
+        vseg = jnp.concatenate(
+            [vb[:, :, int(s0) + pad_l:int(s0) + pad_l + seg_w, :]
+             for s0 in seg_x0], axis=-1)       # [S, n_j, seg_w, G*16]
+        lhs = (vseg.transpose(1, 2, 0, 3)
+               .reshape(n_j, seg_w, strips * n_groups * block))
+
+        cross = lax.conv_general_dilated(
+            lhs, filt, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=strips * n_groups,
+            preferred_element_type=jnp.float32,
+        )                                      # [n_j, seg_p, S*wb]
+
+        rows = jnp.clip(ylo[:, None] + jj[None, :], 0, h - block)
+        r2rows = s2[rows]                      # [S, n_j, wpad']
+        r2g = jnp.stack(
+            [r2rows[:, :, int(s0) + pad_l:int(s0) + pad_l + seg_p]
+             for s0 in seg_x0], axis=3)        # [S, n_j, seg_p, G]
+        r2row = (jnp.repeat(r2g, gs, axis=3)   # [S, n_j, seg_p, wb]
+                 .transpose(1, 2, 0, 3)
+                 .reshape(n_j, seg_p, strips * wb))
+        partial = r2row - 2 * cross.astype(jnp.int32)
+
+        inner = partial.astype(jnp.float32) * _SCALE2 + cyv[:, None, :]
+        inner = jnp.where(validv[:, None, :], inner, jnp.inf)
+        jvol = jnp.broadcast_to(jj[:, None, None], inner.shape)
+
+        def lex_min(a, b):
+            sa, ka = a
+            sb, kb = b
+            tb = (sb < sa) | ((sb == sa) & (kb < ka))
+            return jnp.where(tb, sb, sa), jnp.where(tb, kb, ka)
+
+        m1, k1 = lax.reduce((inner, jvol),
+                            (jnp.float32(jnp.inf), big_key),
+                            lex_min, (0,))     # [seg_p, S*wb]
+        m1r = m1.reshape(seg_p, strips, wb).transpose(1, 2, 0)
+        k1r = k1.reshape(seg_p, strips, wb).transpose(1, 2, 0)
+        pgb = jnp.broadcast_to(jnp.asarray(pg)[None], (strips, wb, n_d))
+        tg = jnp.take_along_axis(m1r, pgb, axis=2)   # [S, wb, n_d]
+        jg = jnp.take_along_axis(k1r, pgb, axis=2)
+        score = tg + cx_tab[None, None, :]
+        score = jnp.where(jnp.asarray(xmask)[None], score, jnp.inf)
+        m = jnp.min(score, axis=2)             # [S, wb]
+        km = jnp.min(jnp.where(score == m[..., None],
+                               jnp.arange(n_d, dtype=jnp.int32)[None, None],
+                               big_key), axis=2)
+        j_best = jnp.take_along_axis(jg, km[..., None], axis=2)[..., 0]
+        mvx = (-jnp.asarray(dxs))[km].astype(jnp.float32)
+        mvy = (oy[:, None] - (ylo[:, None] + j_best)).astype(jnp.float32)
+        return _mv_rgba(mvx, mvy, search, jnp)
+
+    return jax.jit(run)
+
+
 def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64,
-                      grouped: bool = False):
+                      grouped: bool = False, batched: bool = False):
     """SSD-variant full search on the MXU (see module notes above)."""
     import jax.numpy as jnp
     cur = jnp.asarray(cur)
     h, w = cur.shape
+    if batched:
+        return _me_mxu_batched_program(h, w, block,
+                                       search)(cur, jnp.asarray(ref))
     return _me_mxu_program(h, w, block, search,
                            grouped)(cur, jnp.asarray(ref))

@@ -248,6 +248,22 @@ def test_motion_mxu_ssd_translation_recovered():
     assert np.all(inner[..., 0] == expect) and np.all(inner[..., 2] == expect)
 
 
+@pytest.mark.parametrize("geom", [(64, 96, 64), (96, 160, 32),
+                                  (128, 128, 64)])
+def test_motion_mxu_ssd_batched_matches_golden(geom):
+    """Strip-batched one-conv formulation (feature groups = strip x
+    x-segment) is candidate-exact vs the oracle."""
+    h, w, search = geom
+    rng = np.random.default_rng(h * w + 7)
+    ref = rng.integers(0, 255, (h, w), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    gold = motion.me_ssd_golden(cur, ref, 16, search)
+    bat = np.asarray(motion.me_fullsearch_mxu(cur, ref, 16, search,
+                                              batched=True))
+    assert np.array_equal(gold, bat)
+
+
 def test_motion_mxu_ssd_block_guard():
     with pytest.raises(ValueError):
         motion.me_fullsearch_mxu(np.zeros((64, 64), np.uint8),
