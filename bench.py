@@ -336,7 +336,11 @@ def main() -> None:
         # the einsum and report phantom throughput
         return x + jnp.sum(y, axis=(1, 2))[:, None] * 1e-20
 
-    dt2 = time_device_loop(resample_body, xa, iters=50)
+    # this kernel is ~10 us/iter on-device: at iters=50 the slope delta
+    # (~0.4 ms) sits below tunnel jitter and the estimate swung 28-553
+    # GSa/s run to run; 2000 iters puts ~16 ms of real device time in
+    # the delta so the slope is stable
+    dt2 = time_device_loop(resample_body, xa, iters=2000)
     msps = n_streams * cycles * M / dt2 / 1e6
     log(f"config2 resample 44.1->48k ({n_streams} ch batched): "
         f"{msps:.0f} Msamples/s")
