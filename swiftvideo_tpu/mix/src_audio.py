@@ -35,19 +35,25 @@ class AudioSampleRateConversion(Tx):
 
     def flush(self):
         """Drain the filter-history tail (group delay) as a final sample
-        list; call after the upstream decoder has flushed."""
+        list; call after the upstream decoder has flushed.  Resets the
+        stage: a second flush() returns [] rather than a duplicate tail,
+        and samples fed afterwards start a fresh stream segment
+        (re-anchored pts, clean filter history — the zeros pushed here
+        must not linger as mid-stream silence)."""
         if self._resampler is None or self._last is None:
             return []
         import numpy as np
         r = self._resampler
         y = r.process(np.zeros((r.channels, r.R), np.float32))
+        self._resampler = None
+        last = self._last
+        self._last = None
         count = y.shape[1]
         if count == 0:
             return []
         buffers = from_planar_f32(y, self.out_format)
         pts = self._pts
-        self._pts = pts + TimePoint(count, self.out_frequency)
-        last = self._last
+        self._pts = None
         return [AudioSample(
             buffers=tuple(buffers), frequency=self.out_frequency,
             channels=self.out_channels, format=self.out_format,

@@ -94,7 +94,12 @@ def _read_string(data: bytes, pos: int) -> Tuple[str, int]:
     return data[pos:pos + n].decode("utf-8", "replace"), pos + n
 
 
-def parse_one(data: bytes, pos: int = 0) -> Tuple[Any, int]:
+def parse_one(data: bytes, pos: int = 0, *,
+              _depth: int = 0) -> Tuple[Any, int]:
+    if _depth > 32:
+        # hostile nesting must surface as AmfError, not RecursionError
+        # (which would escape the session handlers and kill the task)
+        raise AmfError("nesting too deep")
     if pos >= len(data):
         raise AmfError("truncated")
     marker = data[pos]
@@ -124,14 +129,14 @@ def parse_one(data: bytes, pos: int = 0) -> Tuple[Any, int]:
             key, pos = _read_string(data, pos)
             if key == "" and pos < len(data) and data[pos] == _OBJECT_END:
                 return out, pos + 1
-            val, pos = parse_one(data, pos)
+            val, pos = parse_one(data, pos, _depth=_depth + 1)
             out[key] = val
     if marker == _STRICT:
         n = _unpack(">I", data, pos)[0]
         pos += 4
         items = []
         for _ in range(n):
-            val, pos = parse_one(data, pos)
+            val, pos = parse_one(data, pos, _depth=_depth + 1)
             items.append(val)
         return items, pos
     if marker == _DATE:

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..media.pixel import PixelFormat
+from ..media.pixel import (PixelFormat, packed422_to_planar,
+                           planar_to_packed422)
 from . import golden
 from .uniforms import UNIFORM_WIDTH, ImageUniforms
 
@@ -54,23 +55,6 @@ def _stack_program(out_fmt: PixelFormat, size: Tuple[int, int],
 _PACKED_422 = (PixelFormat.yuvs, PixelFormat.zvuy)
 
 
-def packed422_to_planar_device(arr, fmt: PixelFormat):
-    """Device twin of media.pixel.packed422_to_planar ([H,W,2] -> y422p)."""
-    arr = jnp.asarray(arr)
-    if fmt == PixelFormat.yuvs:
-        return [arr[..., 0], arr[:, 0::2, 1], arr[:, 1::2, 1]]
-    return [arr[..., 1], arr[:, 0::2, 0], arr[:, 1::2, 0]]
-
-
-def planar_to_packed422_device(planes, fmt: PixelFormat):
-    """Device twin of media.pixel.planar_to_packed422."""
-    y, cb, cr = (jnp.asarray(p) for p in planes)
-    h, w = y.shape
-    c = jnp.stack([cb, cr], axis=2).reshape(h, w)
-    pair = [y, c] if fmt == PixelFormat.yuvs else [c, y]
-    return jnp.stack(pair, axis=-1)
-
-
 def composite_stack_device(out_fmt: PixelFormat, size: Tuple[int, int],
                            sources: Sequence[Tuple[Sequence, PixelFormat,
                                                    ImageUniforms]]):
@@ -86,12 +70,14 @@ def composite_stack_device(out_fmt: PixelFormat, size: Tuple[int, int],
         norm = []
         for planes, fmt, uni in sources:
             if fmt in _PACKED_422:
-                planes = packed422_to_planar_device(planes[0], fmt)
+                planes = packed422_to_planar(jnp.asarray(planes[0]), fmt,
+                                             xp=jnp)
                 fmt = PixelFormat.y422p
             norm.append((planes, fmt, uni))
         out = composite_stack_device(fold_fmt, size, norm)
         if out_fmt in _PACKED_422:
-            return (planar_to_packed422_device(out, out_fmt),)
+            return (planar_to_packed422([jnp.asarray(p) for p in out],
+                                        out_fmt, xp=jnp),)
         return out
     in_fmts = tuple(fmt for _, fmt, _ in sources)
     planes = tuple(tuple(jnp.asarray(p) for p in s) for s, _, _ in sources)

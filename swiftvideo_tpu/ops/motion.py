@@ -692,8 +692,14 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
                                    jnp.arange(n_d, dtype=jnp.int32)[None],
                                    big_key), axis=1)
             j_best = jg[jnp.arange(wb), km]
-            mvx = (-jnp.asarray(dxs))[km].astype(jnp.float32)
-            mvy = (oy_s - (ylo_s + j_best)).astype(jnp.float32)
+            # empty candidate window (all-inf scores: frame edge leaves no
+            # valid tx/ty) -> the oracle's zero MV, not masked garbage
+            valid = jnp.isfinite(m)
+            mvx = jnp.where(valid,
+                            (-jnp.asarray(dxs))[km].astype(jnp.float32), 0.0)
+            mvy = jnp.where(valid,
+                            (oy_s - (ylo_s + j_best)).astype(jnp.float32),
+                            0.0)
             return None, (mvx, mvy)
 
         _, (mvx, mvy) = lax.scan(
@@ -853,8 +859,13 @@ def _me_mxu_batched_program(h: int, w: int, block: int, search: int):
                                jnp.arange(n_d, dtype=jnp.int32)[None, None],
                                big_key), axis=2)
         j_best = jnp.take_along_axis(jg, km[..., None], axis=2)[..., 0]
-        mvx = (-jnp.asarray(dxs))[km].astype(jnp.float32)
-        mvy = (oy[:, None] - (ylo[:, None] + j_best)).astype(jnp.float32)
+        # empty candidate window -> zero MV (see scan variant)
+        valid = jnp.isfinite(m)
+        mvx = jnp.where(valid, (-jnp.asarray(dxs))[km].astype(jnp.float32),
+                        0.0)
+        mvy = jnp.where(
+            valid,
+            (oy[:, None] - (ylo[:, None] + j_best)).astype(jnp.float32), 0.0)
         return _mv_rgba(mvx, mvy, search, jnp)
 
     return jax.jit(run)

@@ -306,6 +306,7 @@ def test_src_stage_flush_drains_tail():
         box = src(s)
         if box.is_just():
             total += box.value().number_samples()
+    ring = src._resampler.R
     tail = src.flush()
     assert tail, "flush produced no tail samples"
     # 4 x 4410 @44.1k -> exactly 19200 @48k streamed; the flush drains
@@ -313,4 +314,14 @@ def test_src_stage_flush_drains_tail():
     assert total == 19200
     assert tail[0].pts().value == total
     assert tail[0].sample_rate() == 48000
-    assert sum(s.number_samples() for s in tail) <= src._resampler.R
+    assert sum(s.number_samples() for s in tail) <= ring
+    # flush() resets the stage: a second flush is a no-op (no duplicate
+    # tail), and a resumed feed starts a fresh re-anchored segment
+    assert src.flush() == []
+    s = AudioSample(buffers=(inter.copy(),), frequency=44100,
+                    channels=2, format=AudioFormat.s16i,
+                    sample_count=4410, id_asset="a", id_workspace="w",
+                    pts_value=TimePoint(9 * 4410, 44100))
+    box = src(s)
+    assert box.is_just()
+    assert box.value().pts().value == 9 * 4800  # re-anchored, not continued

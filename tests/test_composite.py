@@ -448,3 +448,27 @@ def test_me_fullsearch_degenerate_search_leq_block():
         out = np.asarray(motion.me_fullsearch_mxu(cur_f, ref_f, 16, 16,
                                                   grouped=grouped))
         assert np.array_equal(out, gold), grouped
+
+
+def test_me_ssd_empty_window_at_frame_edge():
+    """Frames exactly one block wide (or tall) leave the candidate window
+    empty for every block even when search > block: clamped bounds give
+    xlo = 0, xhi = w - block = 0.  The all-inf masked score must resolve
+    to the oracle's zero MV, not whichever masked candidate the argmin
+    lands on (round-3 review finding)."""
+    from swiftvideo_tpu.ops import motion
+    rng = np.random.default_rng(23)
+    for shape in ((64, 16), (16, 256)):
+        ref_f = rng.integers(0, 255, shape, np.uint8)
+        cur_f = np.clip(ref_f.astype(int)
+                        + rng.integers(-9, 9, shape), 0, 255).astype(np.uint8)
+        gold = motion.me_ssd_golden(cur_f, ref_f, 16, 64)
+        assert np.all(gold[..., (0, 2)] == 128)   # zero MV everywhere
+        for grouped in (False, True):
+            out = np.asarray(motion.me_fullsearch_mxu(cur_f, ref_f, 16, 64,
+                                                      grouped=grouped))
+            assert np.array_equal(out, gold), (shape, grouped)
+        out = np.asarray(motion.me_fullsearch_device(cur_f, ref_f, 16, 64,
+                                                     metric="sad"))
+        sad_gold = motion.me_fullsearch_golden(cur_f, ref_f, 16, 64)
+        assert np.array_equal(out, sad_gold), shape

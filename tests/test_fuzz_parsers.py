@@ -70,6 +70,17 @@ def test_amf_parse_garbage():
                     b"\x0b" + b"\x00" * 9):
         with pytest.raises(amf.AmfError):
             amf.parse(hostile)
+    # hostile nesting must surface as AmfError, never RecursionError
+    # (which escapes the session handlers): strict-arrays-of-strict-arrays
+    # and objects-of-objects thousands deep
+    deep_arrays = b"\x0a\x00\x00\x00\x01" * 2000
+    deep_objects = (b"\x08\x00\x00\x00\x01\x00\x01k" * 2000)
+    for hostile in (deep_arrays, deep_objects):
+        with pytest.raises(amf.AmfError):
+            amf.parse(hostile)
+    # ...while legitimate shallow nesting still parses
+    nested = {"a": {"b": {"c": [1.0, {"d": "e"}]}}}
+    assert amf.parse(amf.serialize([nested]))[0] == nested
 
 
 def test_rtmp_chunk_deserializer_garbage():
