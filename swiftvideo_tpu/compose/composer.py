@@ -87,15 +87,32 @@ class Composer:
         scene = self._scenes.get(name)
         if scene is None:
             raise ComposerError(f"unknown scene {name}")
-        self._elements.clear()
-        # parents first so children can link
+        # The reference KEEPS animator objects across scene changes so
+        # live bindings stay connected (composer.swift:111-135 remaps the
+        # element table in place): elements named in the new scene reuse
+        # their animators with refreshed definition/state; elements not in
+        # it stay parked with parents detached.
+        old = self._elements
+        self._elements = {}
+        for ename, (el, pic, soun) in old.items():
+            pic.set_parent(None)
+            soun.set_parent(None)
+            self._elements[ename] = (el, pic, soun)
         for element in scene.elements:
-            pic = PictureAnimator(self.clock, self.composition.canvas_size,
-                                  parent_anchors=element.initial_state.parent_anchor
-                                  or (), z_index=element.z_index)
-            soun = SoundAnimator(self.clock)
+            kept = self._elements.get(element.name)
+            if kept is not None:
+                _, pic, soun = kept
+                pic.anchors = list(element.initial_state.parent_anchor or ())
+                pic.z_index = element.z_index
+            else:
+                pic = PictureAnimator(
+                    self.clock, self.composition.canvas_size,
+                    parent_anchors=element.initial_state.parent_anchor or (),
+                    z_index=element.z_index)
+                soun = SoundAnimator(self.clock)
             self._elements[element.name] = (element, pic, soun)
-        for element, pic, soun in self._elements.values():
+        for element in scene.elements:
+            _, pic, soun = self._elements[element.name]
             if element.parent and element.parent in self._elements:
                 _, ppic, psoun = self._elements[element.parent]
                 pic.set_parent(ppic)

@@ -176,6 +176,63 @@ def test_composer_run_command_tree():
     composer.close()
 
 
+def test_composer_scene_change_keeps_bound_animators():
+    """A scene switch must not sever live bindings: the reference remaps the
+    element table in place (composer.swift:111-135), so an element present in
+    both scenes keeps its animator objects and a bound asset keeps flowing;
+    elements parked out of the new scene get their parents detached."""
+    from swiftvideo_tpu.compose import Composer
+    clock = StepClock(TimePoint(480, 48000))
+    audio_bus, picture_bus = Bus(clock), Bus(clock)
+    comp = Composition(
+        name="comp", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        sample_rate=48000, channel_count=2,
+        scenes=(
+            Scene(name="a", elements=(
+                Element(name="stay", initial_state=ElementState(
+                    pic_pos=(0, 0), size=(32, 64))),
+                Element(name="park", parent="stay",
+                        initial_state=ElementState(size=(8, 8))),
+            )),
+            Scene(name="b", elements=(
+                Element(name="stay", initial_state=ElementState(
+                    pic_pos=(32, 0), size=(32, 64)), z_index=2),
+            )),
+        ),
+        initial_scene="a")
+    composer = Composer(clock, workspace_id="w", composition=comp,
+                        audio_bus=audio_bus, picture_bus=picture_bus,
+                        compute_context=make_compute_context("golden"))
+    composer.bind("camA", "stay")
+    pic_before = composer._elements["stay"][1]
+    park_pic = composer._elements["park"][1]
+    assert park_pic.parent is pic_before
+
+    composer.set_scene("b")
+    # same animator object => the bound chain is still wired into the mixer
+    assert composer._elements["stay"][1] is pic_before
+    assert pic_before.z_index == 2
+    # the parked element survives with its parent detached
+    assert composer._elements["park"][1] is park_pic
+    assert park_pic.parent is None
+
+    got = []
+    sub = picture_bus.subscribe(Tx(
+        lambda s: (got.append(s), EventBox.just(s))[1]
+        if s.asset_id() == "comp" else EventBox.nothing(None)))
+    picture_bus.append(EventBox.just(_source(220, asset="camA", rev="r1")))
+    for _ in range(100):
+        clock.step()
+    mixed = [s for s in got if s.asset_id() == "comp"]
+    assert mixed
+    y = np.asarray(mixed[-1].planes()[0])
+    assert abs(int(y[32, 48]) - 220) <= 1   # element moved right in scene b
+    assert y[32, 8] == 0
+    composer.close()
+
+
 def test_bus_digest_receives_stats():
     """Digest receivers collect per-dispatch results (bus.swift:156-158),
     the hook apps use to harvest StatsReport metrics."""
