@@ -100,12 +100,16 @@ def cmd_mix(args: argparse.Namespace) -> int:
         composer.bind(element.name, element.name)
         picture_bus.append(EventBox.just(pict))
 
-    ticks_per_frame = max(
-        1, round((comp.frame_duration.value * comp.audio_frame_duration.scale)
-                 / (comp.frame_duration.scale
-                    * comp.audio_frame_duration.value)))
+    # tick budget: enough audio-clock steps to cover args.frames video
+    # frames (exact rational ceiling — round() under-budgets whenever the
+    # ratio is fractional, e.g. 10ms ticks vs 33.3ms frames) plus slack
+    # for the mixer start-up delay
+    num = args.frames * comp.frame_duration.value * \
+        comp.audio_frame_duration.scale
+    den = comp.frame_duration.scale * comp.audio_frame_duration.value
+    budget = -(-num // den) + 64
     written = 0
-    for _ in range(args.frames * ticks_per_frame + 4 * ticks_per_frame):
+    for _ in range(budget):
         clock.step()
         if len(frames) >= args.frames:
             break
@@ -451,8 +455,11 @@ def cmd_serve(args: argparse.Namespace) -> int:
                     os.makedirs(args.record, exist_ok=True)
                     safe = path.strip("/").replace("/", "_") or "stream"
                     if key == "video":
-                        ext = ".h264" if s.media_format == MediaFormat.avc \
-                            else ".ivf"
+                        # _VideoFileWriter emits Annex-B for avc/hevc and
+                        # IVF for vp8/vp9 — the extension must match
+                        ext = {MediaFormat.avc: ".h264",
+                               MediaFormat.hevc: ".h265"}.get(
+                                   s.media_format, ".ivf")
                         writers[wkey] = _VideoFileWriter(
                             os.path.join(args.record, safe + ext),
                             s.media_format)

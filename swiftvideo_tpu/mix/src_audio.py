@@ -40,14 +40,16 @@ class AudioSampleRateConversion(Tx):
         and samples fed afterwards start a fresh stream segment
         (re-anchored pts, clean filter history — the zeros pushed here
         must not linger as mid-stream silence)."""
-        if self._resampler is None or self._last is None:
+        r, last = self._resampler, self._last
+        self._resampler = None
+        self._last = None
+        if r is None or last is None:
+            # pure format/channel conversion has no filter history — reset
+            # the pts anchor but fabricate no tail
+            self._pts = None
             return []
         import numpy as np
-        r = self._resampler
         y = r.process(np.zeros((r.channels, r.R), np.float32))
-        self._resampler = None
-        last = self._last
-        self._last = None
         count = y.shape[1]
         if count == 0:
             return []
@@ -68,15 +70,18 @@ class AudioSampleRateConversion(Tx):
                 and self.out_format == sample.format):
             return EventBox.just(sample)
         self._last = sample
-        if self._resampler is None:
+        if self._pts is None:
             self._pts = rescale(sample.pts(), self.out_frequency)
-            self._resampler = PolyphaseResampler(
-                sample.sample_rate(), self.out_frequency, self.out_channels,
-                use_device=self.use_device)
         x = to_planar_f32(sample.data(), sample.format,
                           sample.number_channels())
         x = map_channels(x, self.out_channels)
         if sample.sample_rate() != self.out_frequency:
+            # the resampler (and its flush()-drained filter history) exists
+            # only when an actual rate conversion ran
+            if self._resampler is None:
+                self._resampler = PolyphaseResampler(
+                    sample.sample_rate(), self.out_frequency,
+                    self.out_channels, use_device=self.use_device)
             y = self._resampler.process(x)
         else:
             y = x

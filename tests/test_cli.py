@@ -325,3 +325,40 @@ def test_src_stage_flush_drains_tail():
     box = src(s)
     assert box.is_just()
     assert box.value().pts().value == 9 * 4800  # re-anchored, not continued
+
+
+def test_src_stage_flush_no_tail_without_resampling():
+    """A pure channel/format conversion at equal rates has no filter
+    history — flush() must not fabricate a silence tail, but it still
+    resets the pts anchor for the next segment."""
+    from swiftvideo_tpu.core import TimePoint
+    from swiftvideo_tpu.media.audio import AudioFormat, AudioSample
+    from swiftvideo_tpu.mix.src_audio import AudioSampleRateConversion
+
+    src = AudioSampleRateConversion(48000, 2, AudioFormat.s16i)
+    mono = np.arange(480, dtype=np.int16)
+
+    def feed(pts):
+        s = AudioSample(buffers=(mono.copy(),), frequency=48000, channels=1,
+                        format=AudioFormat.s16i, sample_count=480,
+                        id_asset="a", id_workspace="w",
+                        pts_value=TimePoint(pts, 48000))
+        return src(s)
+
+    out = feed(0)
+    assert out.is_just() and out.value().number_channels() == 2
+    assert src.flush() == []
+    # resumed feed re-anchors to the incoming pts
+    r2 = feed(5000)
+    assert r2.is_just() and r2.value().pts().value == 5000
+
+
+def test_mix_frame_budget_exact(tmp_path):
+    """`mix --frames N` must produce exactly N frames even when the
+    audio-tick / video-frame ratio is fractional (10 ms ticks vs 33.3 ms
+    frames): the tick budget uses a rational ceiling, not round()."""
+    out = tmp_path / "png"
+    rc = cli.main(["mix", "--frames", "60", "--every", "10",
+                   "--out", str(out)])
+    assert rc == 0
+    assert len(list(out.glob("*.png"))) == 6  # 60 frames, every 10th
