@@ -242,6 +242,50 @@ def make_asc(sample_rate: int, channels: int, *,
     return v.to_bytes(2, "big")
 
 
+def h265_sps_frame_size(sps: bytes) -> Tuple[int, int]:
+    """(width, height) from an HEVC SPS NAL (H.265 §7.3.2.2.1), cropping
+    the conformance window.  Beyond-parity: the reference's shim parses
+    only H.264 SPS (shim.cpp:187-271); this extends basicMediaDescription
+    to the hevc streams the codec layer already transports.  Accepts the
+    NAL with or without its 2-byte header."""
+    if len(sps) >= 2 and ((sps[0] >> 1) & 0x3F) == 33:
+        sps = sps[2:]
+    br = ExpGolomb(sps, strip_epb=True)
+    br.bits(4)                              # sps_video_parameter_set_id
+    max_sub = br.bits(3)                    # sps_max_sub_layers_minus1
+    br.bits(1)                              # temporal_id_nesting
+    # profile_tier_level(1, max_sub)
+    br.bits(8)                              # space(2) tier(1) profile_idc(5)
+    br.bits(32)                             # compatibility flags
+    br.bits(32)                             # 4 source flags + 43 reserved
+    br.bits(16)                             #   + inbld = 48 bits total
+    br.bits(8)                              # general_level_idc
+    pres = [(br.bits(1), br.bits(1)) for _ in range(max_sub)]
+    if max_sub > 0:
+        for _ in range(max_sub, 8):
+            br.bits(2)                      # reserved_zero_2bits
+    for pp, lp in pres:
+        if pp:
+            br.bits(88)                     # sub-layer profile block
+        if lp:
+            br.bits(8)                      # sub_layer_level_idc
+    br.ue()                                 # sps_seq_parameter_set_id
+    chroma_format_idc = br.ue()
+    separate_planes = 0
+    if chroma_format_idc == 3:
+        separate_planes = br.bits(1)
+    w = br.ue()                             # pic_width_in_luma_samples
+    h = br.ue()
+    crop_l = crop_r = crop_t = crop_b = 0
+    if br.bits(1):                          # conformance_window_flag
+        crop_l, crop_r, crop_t, crop_b = br.ue(), br.ue(), br.ue(), br.ue()
+    if br.overrun:
+        raise ValueError("HEVC SPS parse overrun")
+    sub_w = 2 if chroma_format_idc in (1, 2) and not separate_planes else 1
+    sub_h = 2 if chroma_format_idc == 1 and not separate_planes else 1
+    return w - sub_w * (crop_l + crop_r), h - sub_h * (crop_t + crop_b)
+
+
 def vp8_frame_size(frame: bytes) -> Tuple[int, int]:
     """(width, height) from a VP8 keyframe (RFC 6386 §9.1).
 

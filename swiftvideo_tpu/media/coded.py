@@ -167,12 +167,37 @@ def sps_from_avcdcr(sample: CodedMediaSample) -> bytes:
 def basic_media_description(sample: CodedMediaSample):
     """Parse stream parameters from codec config (sample.coded.swift:202-230).
     Uses the native bitstream helpers (codec.bitstream — C++ with a Python
-    fallback)."""
+    fallback).  Beyond the reference's avc+aac pair, this also describes the
+    other formats the codec layer transports: hevc (SPS from the hvcC
+    config), vp8/vp9 (size is in-band in the keyframe payload), and opus
+    (OpusHead config)."""
     from ..codec import bitstream
     if sample.media_format == MediaFormat.avc:
         sps = sps_from_avcdcr(sample)
         width, height = bitstream.h264_sps_frame_size(sps)
         return BasicVideoDescription(size=(width, height))
+    if sample.media_format == MediaFormat.hevc:
+        record = sample.side_data().get("config")
+        if record is None:
+            raise MediaDescriptionError("invalid metadata")
+        from ..codec.containers import params_from_hvcc
+        try:
+            sps_list = params_from_hvcc(record).get(33) or ()
+            if not sps_list:
+                raise ValueError("hvcC has no SPS")
+            size = bitstream.h265_sps_frame_size(sps_list[0])
+        except ValueError as e:
+            raise MediaDescriptionError(str(e)) from e
+        return BasicVideoDescription(size=size)
+    if sample.media_format in (MediaFormat.vp8, MediaFormat.vp9):
+        parse = (bitstream.vp8_frame_size
+                 if sample.media_format == MediaFormat.vp8
+                 else bitstream.vp9_frame_size)
+        try:
+            size = parse(sample.data())
+        except (ValueError, IndexError) as e:
+            raise MediaDescriptionError(str(e)) from e
+        return BasicVideoDescription(size=size)
     if sample.media_format == MediaFormat.aac:
         asc = sample.side_data().get("config")
         if asc is None:
@@ -181,16 +206,61 @@ def basic_media_description(sample: CodedMediaSample):
         return BasicAudioDescription(sample_rate=float(sample_rate),
                                      channel_count=channels,
                                      samples_per_packet=samples_per_packet)
+    if sample.media_format == MediaFormat.opus:
+        head = sample.side_data().get("config")
+        if head is None:
+            raise MediaDescriptionError("invalid metadata")
+        import struct
+        from ..codec.containers import parse_opus_head
+        try:
+            info = parse_opus_head(head)
+        except (ValueError, IndexError, struct.error) as e:
+            raise MediaDescriptionError(str(e)) from e
+        # opus always decodes at 48 kHz; 960 samples = the canonical 20 ms
+        return BasicAudioDescription(sample_rate=48000.0,
+                                     channel_count=info["channels"],
+                                     samples_per_packet=960)
     raise MediaDescriptionError("unsupported")
 
 
 def is_keyframe(sample: CodedMediaSample) -> bool:
-    """sample.coded.swift:232-252 — AVC NAL-type-5 check in AVCC framing."""
+    """sample.coded.swift:232-252 — AVC NAL-type-5 check in AVCC framing.
+    Extended beyond the reference (which returns false for every other
+    format) to the formats the codec layer transports: hevc IRAP NALs in
+    length-prefixed framing, the vp8 frame-tag interframe bit, and the
+    vp9 uncompressed-header frame type."""
     if sample.media_type != MediaType.video:
         return True
+    data = sample.data()
     if sample.media_format == MediaFormat.avc:
-        data = sample.data()
         return len(data) >= 5 and (data[4] & 0x1F) == 5
+    if sample.media_format == MediaFormat.hevc:
+        # walk 4-byte-length-prefixed NALs to the first VCL one; keyframe
+        # iff it is an IRAP type (BLA 16-18, IDR 19-20, CRA 21)
+        pos = 0
+        while pos + 5 <= len(data):
+            n = int.from_bytes(data[pos:pos + 4], "big")
+            nal_type = (data[pos + 4] >> 1) & 0x3F
+            if nal_type < 32:              # VCL
+                return 16 <= nal_type <= 21
+            pos += 4 + n
+        return False
+    if sample.media_format == MediaFormat.vp8:
+        return len(data) >= 1 and (data[0] & 1) == 0
+    if sample.media_format == MediaFormat.vp9:
+        if len(data) < 1:
+            return False
+        b = data[0]
+        if (b >> 6) != 2:                  # frame_marker
+            return False
+        profile = ((b >> 5) & 1) | (((b >> 4) & 1) << 1)
+        bits = [(b >> (3 - i)) & 1 for i in range(4)]
+        idx = 0
+        if profile == 3:
+            idx += 1                       # reserved bit
+        if bits[idx]:                      # show_existing_frame
+            return False
+        return bits[idx + 1] == 0          # frame_type == KEY_FRAME
     return False
 
 

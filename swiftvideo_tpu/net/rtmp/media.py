@@ -3,6 +3,14 @@
 Reference semantics: ``serializeMedia`` / ``createMetadata``
 (serialize.swift:24-90) and the config-resend / first-keyframe gating of
 ``rtmp.Serialize`` (rtmp.swift:562-609).
+
+Beyond the reference (which frames avc/aac only): non-avc video (hevc,
+vp9, av1) and non-aac audio (opus) travel as Enhanced RTMP ex-headers —
+the isExHeader bit plus a codec fourCC per the E-RTMP v1/v2 spec
+(PacketTypeSequenceStart for config, PacketTypeCodedFrames for media,
+24-bit composition time present only for hvc1).  Formats with no RTMP
+representation (vp8) serialize to nothing rather than mislabeling the
+codec id.
 """
 
 from __future__ import annotations
@@ -11,9 +19,16 @@ from typing import Dict, List, Optional
 
 from ...core import rescale
 from ...media.coded import (BasicAudioDescription, BasicVideoDescription,
-                            CodedMediaSample, MediaType, is_keyframe)
+                            CodedMediaSample, MediaFormat, MediaType,
+                            is_keyframe)
 from . import amf
 from .chunks import Chunk, ChunkSerializer
+
+VIDEO_FOURCC = {MediaFormat.hevc: b"hvc1", MediaFormat.vp9: b"vp09",
+                MediaFormat.av1: b"av01"}
+AUDIO_FOURCC = {MediaFormat.opus: b"Opus"}
+FOURCC_VIDEO = {v: k for k, v in VIDEO_FOURCC.items()}
+FOURCC_AUDIO = {v: k for k, v in AUDIO_FOURCC.items()}
 
 
 def serialize_media(sample: CodedMediaSample, serializer: ChunkSerializer,
@@ -29,10 +44,29 @@ def serialize_media(sample: CodedMediaSample, serializer: ChunkSerializer,
     csid = 0x6 if is_video else 0x4
     if is_video:
         frame_type = 0x10 if is_keyframe(sample) else 0x20
-        header = bytes([0x7 | frame_type, 0 if send_config else 1,
-                        (cts >> 16) & 0xFF, (cts >> 8) & 0xFF, cts & 0xFF])
+        if sample.media_format == MediaFormat.avc:
+            header = bytes([0x7 | frame_type, 0 if send_config else 1,
+                            (cts >> 16) & 0xFF, (cts >> 8) & 0xFF, cts & 0xFF])
+        else:
+            fourcc = VIDEO_FOURCC.get(sample.media_format)
+            if fourcc is None:
+                return b""          # no RTMP representation (e.g. vp8)
+            ptype = 0 if send_config else 1   # SequenceStart / CodedFrames
+            header = bytes([0x80 | frame_type | ptype]) + fourcc
+            if not send_config and sample.media_format == MediaFormat.hevc:
+                # SI24 composition time is defined only for hvc1
+                header += bytes([(cts >> 16) & 0xFF, (cts >> 8) & 0xFF,
+                                 cts & 0xFF])
     else:
-        header = bytes([0xAF, 0 if send_config else 1])
+        if sample.media_format == MediaFormat.aac:
+            header = bytes([0xAF, 0 if send_config else 1])
+        else:
+            fourcc = AUDIO_FOURCC.get(sample.media_format)
+            if fourcc is None:
+                return b""
+            # E-RTMP v2 audio: soundFormat 9 = ExHeader, low nibble packet
+            # type (0 SequenceStart / 1 CodedFrames)
+            header = bytes([0x90 | (0 if send_config else 1)]) + fourcc
     payload = sample.side_data().get("config", b"") if send_config \
         else sample.data()
     body = header + payload
@@ -45,8 +79,15 @@ def serialize_media(sample: CodedMediaSample, serializer: ChunkSerializer,
     return serializer.serialize(chunk)
 
 
+_VIDEO_CODEC_ID = {MediaFormat.avc: "avc1", MediaFormat.hevc: "hvc1",
+                   MediaFormat.vp9: "vp09", MediaFormat.av1: "av01"}
+_AUDIO_CODEC_ID = {MediaFormat.aac: "mp4a", MediaFormat.opus: "Opus"}
+
+
 def create_metadata(descriptions: List, serializer: ChunkSerializer,
-                    msg_stream_id: int) -> bytes:
+                    msg_stream_id: int,
+                    video_format: Optional[MediaFormat] = None,
+                    audio_format: Optional[MediaFormat] = None) -> bytes:
     """@setDataFrame onMetaData (serialize.swift:57-90)."""
     props: Dict[str, object] = {"encoder": "swiftvideo-tpu 0.1",
                                 "duration": 0.0, "filesize": 0.0}
@@ -55,14 +96,16 @@ def create_metadata(descriptions: List, serializer: ChunkSerializer,
             props.update({"width": float(desc.size[0]),
                           "height": float(desc.size[1]),
                           "videodatarate": 1000.0, "framerate": 30.0,
-                          "videocodecid": "avc1"})
+                          "videocodecid": _VIDEO_CODEC_ID.get(
+                              video_format, "avc1")})
         elif isinstance(desc, BasicAudioDescription):
             props.update({"audiodatarate": 96.0,
                           "audiosamplerate": float(desc.sample_rate),
                           "audiosamplesize": 16.0,
                           "audiochannels": float(desc.channel_count),
                           "stereo": 1.0 if desc.channel_count > 1 else 0.0,
-                          "audiocodecid": "mp4a"})
+                          "audiocodecid": _AUDIO_CODEC_ID.get(
+                              audio_format, "mp4a")})
     payload = amf.serialize(["@setDataFrame", "onMetaData",
                              amf.EcmaArray(props)])
     chunk = Chunk(msg_stream_id=msg_stream_id, msg_length=len(payload),

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import asyncio
 import uuid
-from typing import Awaitable, Callable, List, Optional
+from typing import Awaitable, Callable, Dict, List, Optional
 
 from ...core import (Clock, EventBox, EventError, ResultEvent, Source,
                      StatsReport, Terminal, TimePoint, Tx, WallClock)
@@ -47,6 +47,7 @@ class RtmpPublisher(Terminal):
         self.core = core
         self.ident = ident or str(uuid.uuid4())
         self._props: List = []
+        self._prop_formats: Dict[MediaType, MediaFormat] = {}
         self._sent_props = False
         self._media = MediaSerializer(core.serializer,
                                       core.ctx.msg_stream_id)
@@ -75,7 +76,9 @@ class RtmpPublisher(Terminal):
         return MediaSourceType.rtmp
 
     def accepted_formats(self) -> List[MediaFormat]:
-        return [MediaFormat.avc, MediaFormat.aac]
+        # avc/aac via legacy FLV tags; the rest via E-RTMP ex-headers
+        return [MediaFormat.avc, MediaFormat.aac, MediaFormat.hevc,
+                MediaFormat.vp9, MediaFormat.av1, MediaFormat.opus]
 
     def dialed_out(self) -> bool:
         return self.core.ctx.dialed_out
@@ -95,6 +98,8 @@ class RtmpPublisher(Terminal):
             if not have:
                 try:
                     self._props.append(basic_media_description(sample))
+                    self._prop_formats[sample.media_type] = \
+                        sample.media_format
                 except Exception as err:  # garbage config: skip, let the
                     # 200 ms grace timer send whatever metadata we have
                     return EventBox.error(EventError(
@@ -125,8 +130,10 @@ class RtmpPublisher(Terminal):
         if self._sent_props:
             return
         self._sent_props = True
-        data = create_metadata(self._props, self.core.serializer,
-                               self.core.ctx.msg_stream_id)
+        data = create_metadata(
+            self._props, self.core.serializer, self.core.ctx.msg_stream_id,
+            video_format=self._prop_formats.get(MediaType.video),
+            audio_format=self._prop_formats.get(MediaType.audio))
         self.conn.write(data)
 
     def close(self) -> None:

@@ -181,6 +181,8 @@ class RtmpSessionCore:
         data = chunk.data
         if len(data) < 5:
             return b"", []
+        if data[0] & 0x80:
+            return self._handle_video_ex(chunk)
         is_config = data[1] == 0
         if is_config and len(data) > 4:
             self.ctx.side_data["videoConfig"] = data[5:]
@@ -200,10 +202,51 @@ class RtmpSessionCore:
             side={"config": config}, encoder=self.ctx.encoder or "")
         return b"", [sample]
 
+    def _handle_video_ex(self, chunk: Chunk):
+        """Enhanced RTMP ex-header video (E-RTMP v1): isExHeader bit set,
+        packet type in the low nibble, codec fourCC next; 24-bit
+        composition time only for hvc1 CodedFrames.  Beyond the
+        reference, which parses legacy avc tags only
+        (states.swift:198-223)."""
+        from .media import FOURCC_VIDEO
+        data = chunk.data
+        ptype = data[0] & 0x0F
+        fmt = FOURCC_VIDEO.get(bytes(data[1:5]))
+        if fmt is None:
+            return b"", []
+        if ptype == 0:                       # PacketTypeSequenceStart
+            self.ctx.side_data["videoConfig"] = data[5:]
+            self.ctx.side_data["videoFormat"] = fmt
+            return b"", []
+        if ptype not in (1, 3):              # CodedFrames / CodedFramesX
+            return b"", []
+        cts, off = 0, 5
+        if fmt == MediaFormat.hevc and ptype == 1:
+            if len(data) < 8:
+                return b"", []
+            cts = (data[5] << 16) | (data[6] << 8) | data[7]
+            off = 8
+        if len(data) <= off:
+            return b"", []
+        config = self.ctx.side_data.get("videoConfig")
+        side = {"config": config} if config is not None else {}
+        sample = CodedMediaSample(
+            buffer=data[off:],
+            pts_value=TimePoint(chunk.timestamp + cts, 1000),
+            dts_value=TimePoint(chunk.timestamp, 1000),
+            media_type=MediaType.video, media_format=fmt,
+            id_asset=self.ctx.asset_id, id_workspace=self.ctx.app or "",
+            token_workspace=self.ctx.play_path,
+            time_point=self.clock.current(),
+            side=side, encoder=self.ctx.encoder or "")
+        return b"", [sample]
+
     def _handle_audio(self, chunk: Chunk):
         data = chunk.data
         if len(data) < 2:
             return b"", []
+        if (data[0] >> 4) == 9:
+            return self._handle_audio_ex(chunk)
         is_config = data[1] == 0
         if is_config:
             self.ctx.side_data["audioConfig"] = data[2:]
@@ -220,6 +263,36 @@ class RtmpSessionCore:
             token_workspace=self.ctx.play_path,
             time_point=self.clock.current(),
             side={"config": config}, encoder=self.ctx.encoder or "")
+        return b"", [sample]
+
+    def _handle_audio_ex(self, chunk: Chunk):
+        """E-RTMP v2 audio ex-header: soundFormat 9, packet type in the
+        low nibble, fourCC next (Opus)."""
+        from .media import FOURCC_AUDIO
+        data = chunk.data
+        if len(data) < 5:
+            return b"", []
+        ptype = data[0] & 0x0F
+        fmt = FOURCC_AUDIO.get(bytes(data[1:5]))
+        if fmt is None:
+            return b"", []
+        if ptype == 0:                       # AudioPacketTypeSequenceStart
+            self.ctx.side_data["audioConfig"] = data[5:]
+            self.ctx.side_data["audioFormat"] = fmt
+            return b"", []
+        if ptype != 1 or len(data) <= 5:     # AudioPacketTypeCodedFrames
+            return b"", []
+        config = self.ctx.side_data.get("audioConfig")
+        side = {"config": config} if config is not None else {}
+        sample = CodedMediaSample(
+            buffer=data[5:],
+            pts_value=TimePoint(chunk.timestamp, 1000),
+            dts_value=TimePoint(chunk.timestamp, 1000),
+            media_type=MediaType.audio, media_format=fmt,
+            id_asset=self.ctx.asset_id, id_workspace=self.ctx.app or "",
+            token_workspace=self.ctx.play_path,
+            time_point=self.clock.current(),
+            side=side, encoder=self.ctx.encoder or "")
         return b"", [sample]
 
     def _handle_data(self, chunk: Chunk):

@@ -123,3 +123,68 @@ def test_random_bytes():
     a = bitstream.generate_random_bytes(64)
     b = bitstream.generate_random_bytes(64)
     assert len(a) == 64 and a != b
+
+
+def make_h265_sps(width: int, height: int, crop=(0, 0, 0, 0),
+                  chroma: int = 1, max_sub: int = 0,
+                  nal_header: bool = True) -> bytes:
+    """Assemble an HEVC SPS per H.265 §7.3.2.2.1 syntax."""
+    w = _BitWriter()
+    if nal_header:
+        w.u(33 << 1, 8).u(1, 8)     # nal_unit_header (type 33, tid 0)
+    w.u(0, 4)                       # sps_video_parameter_set_id
+    w.u(max_sub, 3)                 # sps_max_sub_layers_minus1
+    w.u(1, 1)                       # temporal_id_nesting
+    # profile_tier_level(1, max_sub)
+    w.u(0, 2).u(0, 1).u(1, 5)       # space / tier / profile_idc (Main)
+    w.u(0x60000000, 32)             # compatibility flags
+    w.u(0b1011, 4)                  # progressive/interlaced/non-packed/frame-only
+    w.u(0, 32).u(0, 12)             # 43 reserved + inbld
+    w.u(120, 8)                     # general_level_idc (4.0)
+    for _ in range(max_sub):
+        w.u(0, 1).u(0, 1)           # sub-layer profile/level absent
+    if max_sub > 0:
+        for _ in range(max_sub, 8):
+            w.u(0, 2)               # reserved_zero_2bits
+    w.ue(0)                        # sps_seq_parameter_set_id
+    w.ue(chroma)                   # chroma_format_idc
+    if chroma == 3:
+        w.u(0, 1)                  # separate_colour_plane_flag
+    w.ue(width)
+    w.ue(height)
+    if any(crop):
+        w.u(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(0, 1)
+    w.u(1, 1)                      # rbsp stop bit (parse never reaches it)
+    return w.bytes()
+
+
+def test_h265_sps_1080p_with_crop():
+    # 1920x1088 luma grid cropped to 1080: bottom crop 4 chroma units (x2)
+    sps = make_h265_sps(1920, 1088, crop=(0, 0, 0, 4))
+    assert bitstream.h265_sps_frame_size(sps) == (1920, 1080)
+
+
+def test_h265_sps_no_crop_no_header():
+    sps = make_h265_sps(1280, 720, nal_header=False)
+    assert bitstream.h265_sps_frame_size(sps) == (1280, 720)
+
+
+def test_h265_sps_sub_layers_and_444():
+    # max_sub=2 exercises the sub-layer flag + reserved-bit path; 4:4:4
+    # chroma means crop units are 1 luma sample
+    sps = make_h265_sps(640, 480, crop=(2, 2, 0, 0), chroma=3, max_sub=2)
+    assert bitstream.h265_sps_frame_size(sps) == (636, 480)
+
+
+def test_h265_sps_truncated_raises():
+    sps = make_h265_sps(1920, 1088)[:8]
+    try:
+        bitstream.h265_sps_frame_size(sps)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected overrun error")

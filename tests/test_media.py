@@ -146,3 +146,58 @@ def test_packed422_roundtrip():
         assert y.shape == (16, 32) and cb.shape == (16, 16)
         back = planar_to_packed422((y, cb, cr), fmt)
         assert np.array_equal(back, arr)
+
+
+def test_media_description_hevc_vpx_opus():
+    """Beyond-parity basic_media_description coverage: hevc via hvcC,
+    vp8/vp9 in-band keyframe headers, opus via OpusHead (the reference
+    parses only avc SPS + aac ASC, sample.coded.swift:202-230)."""
+    from swiftvideo_tpu.codec import containers
+    from swiftvideo_tpu.media.coded import basic_media_description
+    from tests.test_bitstream import make_h265_sps
+
+    def coded(fmt, data=b"", side=None, mtype=MediaType.video):
+        return CodedMediaSample(
+            buffer=data, pts_value=TimePoint(0, 1), dts_value=TimePoint(0, 1),
+            media_type=mtype, media_format=fmt, side=side or {})
+
+    sps = make_h265_sps(1920, 1088, crop=(0, 0, 0, 4))
+    rec = containers.make_hvcc(b"\x40\x01", sps, b"\x44\x01")
+    d = basic_media_description(coded(MediaFormat.hevc, side={"config": rec}))
+    assert d.size == (1920, 1080)
+
+    vp8_key = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" + \
+        (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+    d = basic_media_description(coded(MediaFormat.vp8, data=vp8_key))
+    assert d.size == (320, 240)
+
+    head = containers.make_opus_head(2)
+    d = basic_media_description(coded(MediaFormat.opus, side={"config": head},
+                                      mtype=MediaType.audio))
+    assert (d.sample_rate, d.channel_count, d.samples_per_packet) == \
+        (48000.0, 2, 960)
+
+
+def test_keyframe_hevc_vp8_vp9():
+    from swiftvideo_tpu.media.coded import is_keyframe
+
+    def coded(fmt, data):
+        return CodedMediaSample(
+            buffer=data, pts_value=TimePoint(0, 1), dts_value=TimePoint(0, 1),
+            media_type=MediaType.video, media_format=fmt)
+
+    def nal(t, payload=b"\x00"):
+        body = bytes([t << 1, 1]) + payload
+        return len(body).to_bytes(4, "big") + body
+
+    # hevc: AUD (35) then IDR_W_RADL (19) -> keyframe; TRAIL_R (1) -> not
+    assert is_keyframe(coded(MediaFormat.hevc, nal(35) + nal(19)))
+    assert is_keyframe(coded(MediaFormat.hevc, nal(21)))       # CRA
+    assert not is_keyframe(coded(MediaFormat.hevc, nal(35) + nal(1)))
+    # vp8: frame-tag bit 0 is the interframe flag
+    assert is_keyframe(coded(MediaFormat.vp8, b"\x00rest"))
+    assert not is_keyframe(coded(MediaFormat.vp8, b"\x01rest"))
+    # vp9: frame_marker=2, profile 0, show_existing=0, frame_type bit
+    assert is_keyframe(coded(MediaFormat.vp9, b"\x80..."))
+    assert not is_keyframe(coded(MediaFormat.vp9, b"\x84..."))  # interframe
+    assert not is_keyframe(coded(MediaFormat.vp9, b"\x88..."))  # show_existing

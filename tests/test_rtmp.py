@@ -15,7 +15,8 @@ import numpy as np
 import pytest
 
 from swiftvideo_tpu.core import StepClock, TimePoint
-from swiftvideo_tpu.media import CodedMediaSample, MediaFormat, MediaType
+from swiftvideo_tpu.media import (CodedMediaSample, MediaFormat, MediaType,
+                                  is_keyframe)
 from swiftvideo_tpu.net.rtmp import (Chunk, ChunkDeserializer,
                                      ChunkSerializer, Rtmp, amf)
 
@@ -340,3 +341,106 @@ def test_publisher_drops_when_backpressured():
     conn.resume_writing()
     assert pub.apply(EventBox.just(sample)).is_just()
     assert len(conn.transport.sent) > n
+
+
+def test_enhanced_rtmp_fourcc_roundtrip():
+    """Non-avc/aac media travels as Enhanced RTMP ex-headers (fourCC
+    signaling per E-RTMP v1/v2) — beyond the reference's avc/aac-only
+    tags (serialize.swift:24-55, states.swift:198-248): hevc with hvcC
+    config + 24-bit cts, vp9 config-less, opus with OpusHead config."""
+    from swiftvideo_tpu.net.rtmp.media import MediaSerializer
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+
+    clock = StepClock(TimePoint(16, 1000))
+
+    def roundtrip(samples):
+        tx_core = RtmpSessionCore(is_server=False, asset_id="a", clock=clock)
+        rx_core = RtmpSessionCore(is_server=True, asset_id="a", clock=clock)
+        rx_core._hs_state = "established"   # skip the handshake exchange
+        media = MediaSerializer(tx_core.serializer, 1)
+        received = []
+        for s in samples:
+            blob = media.serialize(s)
+            if blob:
+                _, out = rx_core.feed(blob)
+                received.extend(out)
+        return received
+
+    def coded(fmt, data, pts_ms, dts_ms=None, side=None,
+              mtype=MediaType.video):
+        dts_ms = pts_ms if dts_ms is None else dts_ms
+        return CodedMediaSample(
+            buffer=data, pts_value=TimePoint(pts_ms, 1000),
+            dts_value=TimePoint(dts_ms, 1000), media_type=mtype,
+            media_format=fmt, id_asset="a", id_workspace="w",
+            side=side or {})
+
+    # hevc: IDR + TRAIL, 2 ms composition offset, hvcC config
+    from tests.test_bitstream import make_h265_sps
+    from swiftvideo_tpu.codec import containers
+    rec = containers.make_hvcc(
+        b"\x40\x01", make_h265_sps(1920, 1088, crop=(0, 0, 0, 4)),
+        b"\x44\x01")
+
+    def nal(t):
+        body = bytes([t << 1, 1]) + b"\x00" * 20
+        return len(body).to_bytes(4, "big") + body
+
+    got = roundtrip([
+        coded(MediaFormat.hevc, nal(19), 2, 0, side={"config": rec}),
+        coded(MediaFormat.hevc, nal(1), 18, 16, side={"config": rec}),
+    ])
+    assert [s.media_format for s in got] == [MediaFormat.hevc] * 2
+    assert [is_keyframe(s) for s in got] == [True, False]
+    assert [(s.pts() - s.dts()).value for s in got] == [2, 2]
+    assert got[0].side_data()["config"] == rec
+    assert got[0].data() == nal(19)
+
+    # vp9: no codec config record; keyframe bit from the frame header
+    got = roundtrip([coded(MediaFormat.vp9, b"\x80" + b"k" * 10, 0),
+                     coded(MediaFormat.vp9, b"\x84" + b"p" * 10, 16)])
+    assert [s.media_format for s in got] == [MediaFormat.vp9] * 2
+    assert [is_keyframe(s) for s in got] == [True, False]
+    assert "config" not in got[0].side_data()
+
+    # opus: ex-header audio with OpusHead config
+    head = containers.make_opus_head(2)
+    got = roundtrip([coded(MediaFormat.opus, b"\xfc" + b"o" * 30, 0,
+                           side={"config": head}, mtype=MediaType.audio),
+                     coded(MediaFormat.opus, b"\xfc" + b"p" * 30, 20,
+                           side={"config": head}, mtype=MediaType.audio)])
+    assert [s.media_format for s in got] == [MediaFormat.opus] * 2
+    assert got[0].side_data()["config"] == head
+    assert got[1].data() == b"\xfc" + b"p" * 30
+
+    # vp8 has no RTMP representation: serializes to nothing, no crash
+    assert roundtrip([coded(MediaFormat.vp8, b"\x00" + b"v" * 10, 0)]) == []
+
+
+def test_enhanced_rtmp_metadata_codec_ids():
+    """onMetaData advertises the real codec ids (hvc1/Opus) instead of
+    hardcoded avc1/mp4a."""
+    from swiftvideo_tpu.codec import containers
+    from swiftvideo_tpu.net.rtmp import amf
+    from swiftvideo_tpu.net.rtmp.chunks import ChunkDeserializer
+    from swiftvideo_tpu.net.rtmp.media import create_metadata
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+    from swiftvideo_tpu.media.coded import (BasicAudioDescription,
+                                            BasicVideoDescription)
+
+    clock = StepClock(TimePoint(16, 1000))
+    core = RtmpSessionCore(is_server=False, asset_id="a", clock=clock)
+    blob = create_metadata(
+        [BasicVideoDescription(size=(1920, 1080)),
+         BasicAudioDescription(sample_rate=48000.0, channel_count=2,
+                               samples_per_packet=960)],
+        core.serializer, 1, video_format=MediaFormat.hevc,
+        audio_format=MediaFormat.opus)
+    de = ChunkDeserializer()
+    de.append(blob)
+    chunk = de.poll()
+    atoms = amf.parse(chunk.data)
+    meta = atoms[2]
+    assert meta["videocodecid"] == "hvc1"
+    assert meta["audiocodecid"] == "Opus"
+    assert meta["width"] == 1920.0
