@@ -188,9 +188,37 @@ def test_containers_garbage():
 def test_bitstream_parsers_garbage():
     _survives(bitstream.h264_sps_frame_size,
               (_rand(n) for n in (0, 1, 4, 20, 64)))
+    _survives(bitstream.h265_sps_frame_size,
+              (_rand(n) for n in (0, 1, 2, 8, 24, 80)))
     _survives(bitstream.vp8_frame_size, (_rand(10) for _ in range(30)))
     _survives(bitstream.vp9_frame_size, (_rand(12) for _ in range(30)))
     _survives(bitstream.aac_parse_asc, (_rand(n) for n in (0, 1, 2, 5)))
+
+
+def test_rtmp_ex_header_media_garbage():
+    """Enhanced-RTMP ex-header media handlers fed hostile payloads:
+    truncated fourCCs, bogus packet types, short hvc1 cts fields."""
+    from swiftvideo_tpu.core import StepClock, TimePoint
+    from swiftvideo_tpu.net.rtmp.chunks import Chunk
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+
+    sess = RtmpSessionCore(is_server=True, asset_id="fuzz",
+                           clock=StepClock(TimePoint(16, 1000)))
+    payloads = [b"\x80", b"\x90", b"\x81hvc", b"\x81hvc1",
+                b"\x81hvc1\x00", b"\x81hvc1\x00\x00",
+                b"\x8fhvc1" + _rand(8), b"\x91Opus", b"\x90Opus",
+                b"\x81vp09", b"\x83vp09" + _rand(4),
+                b"\x80av01" + _rand(30)]
+    payloads += [bytes([0x80 | i]) + _rand(12) for i in range(16)]
+    for data in payloads:
+        for mtype in (0x8, 0x9):
+            chunk = Chunk(msg_stream_id=1, msg_length=len(data),
+                          msg_type=mtype, chunk_stream_id=6, timestamp=0,
+                          timestamp_delta=0, data=data)
+            try:
+                sess._handle_chunk(chunk)
+            except ALLOWED:
+                pass
 
 
 def test_adts_annexb_garbage():
