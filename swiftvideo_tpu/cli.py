@@ -191,12 +191,13 @@ class _VideoFileWriter:
                 self.fh.write(self._params_annexb(sample))
                 self._header_done = True
             self.fh.write(avcc_to_annexb(sample.data()))
-        elif self.fmt in (self._mf.vp8, self._mf.vp9):
+        elif self.fmt in (self._mf.vp8, self._mf.vp9, self._mf.av1):
             if not self._header_done:
-                codec = "vp8" if self.fmt == self._mf.vp8 else "vp9"
-                parse = (bitstream.vp8_frame_size
-                         if self.fmt == self._mf.vp8
-                         else bitstream.vp9_frame_size)
+                codec, parse = {
+                    self._mf.vp8: ("vp8", bitstream.vp8_frame_size),
+                    self._mf.vp9: ("vp9", bitstream.vp9_frame_size),
+                    self._mf.av1: ("av1", bitstream.av1_frame_size),
+                }[self.fmt]
                 w, h = parse(sample.data())
                 scale = max(sample.pts().scale, 1)
                 self.fh.write(containers.ivf_header(
@@ -249,7 +250,8 @@ class _VideoFileWriter:
             self._write_y4m_header(self._pending[0], self._pending[1])
             self._write_y4m_frame(self._pending[0])
             self._pending = None
-        if self.fmt in (self._mf.vp8, self._mf.vp9) and self._header_done:
+        if self.fmt in (self._mf.vp8, self._mf.vp9, self._mf.av1) \
+                and self._header_done:
             self.fh.seek(24)                 # IVF frame-count field
             self.fh.write(struct.pack("<I", self.count))
         self.fh.close()
@@ -601,7 +603,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video-out", help=".h264/.h265/.ivf/.y4m output path")
     p.add_argument("--audio-out", help=".aac/.adts/.opus output path")
     p.add_argument("--vcodec", choices=["avc", "hevc", "vp8", "vp9",
-                                        "uncompressed"])
+                                        "av1", "uncompressed"])
     p.add_argument("--acodec", choices=["aac", "opus"])
     p.add_argument("--rate", type=int, default=48000,
                    help="audio output sample rate")

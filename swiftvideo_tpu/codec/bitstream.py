@@ -359,6 +359,98 @@ def vp9_frame_size(frame: bytes) -> Tuple[int, int]:
     return w, h
 
 
+def leb128(data: bytes, pos: int) -> Tuple[int, int]:
+    """AV1 leb128 (spec §4.10.5) -> (value, new_pos)."""
+    value = 0
+    for i in range(8):
+        if pos >= len(data):
+            raise ValueError("truncated leb128")
+        b = data[pos]
+        pos += 1
+        value |= (b & 0x7F) << (7 * i)
+        if not (b & 0x80):
+            return value, pos
+    raise ValueError("leb128 too long")
+
+
+def av1_obus(frame: bytes):
+    """Iterate (obu_type, payload) over an AV1 temporal unit (low-overhead
+    bitstream format, obu_has_size_field expected)."""
+    pos = 0
+    while pos < len(frame):
+        hdr = frame[pos]
+        if hdr & 0x80:
+            raise ValueError("forbidden bit set in OBU header")
+        obu_type = (hdr >> 3) & 0x0F
+        has_ext = hdr & 0x04
+        has_size = hdr & 0x02
+        pos += 1
+        if has_ext:
+            pos += 1
+        if not has_size:
+            yield obu_type, frame[pos:]
+            return
+        size, pos = leb128(frame, pos)
+        if pos + size > len(frame):
+            raise ValueError("truncated OBU")
+        yield obu_type, frame[pos:pos + size]
+        pos += size
+
+
+def av1_frame_size(frame: bytes) -> Tuple[int, int]:
+    """(width, height) from the sequence header OBU of an AV1 temporal
+    unit (AV1 spec §5.5.1-5.5.2).  Raises on streams whose sequence
+    header carries timing info (uvlc-coded tick counts — not emitted by
+    realtime encoders)."""
+    for obu_type, payload in av1_obus(frame):
+        if obu_type != 1:                  # OBU_SEQUENCE_HEADER
+            continue
+        try:
+            return _av1_seq_header_size(payload)
+        except IndexError as e:
+            raise ValueError("truncated sequence header") from e
+    raise ValueError("no AV1 sequence header OBU")
+
+
+def _av1_seq_header_size(payload: bytes) -> Tuple[int, int]:
+    br = _BitReader(payload)
+    br.bits(3)                         # seq_profile
+    br.bit()                           # still_picture
+    reduced = br.bit()                 # reduced_still_picture_header
+    if reduced:
+        br.bits(5)                     # seq_level_idx[0]
+    else:
+        if br.bit():                   # timing_info_present_flag
+            raise ValueError("timing info in sequence header "
+                             "unsupported")
+        decoder_model = 0              # absent without timing info
+        initial_delay = br.bit()       # initial_display_delay_present
+        n_ops = br.bits(5) + 1         # operating_points_cnt
+        for _ in range(n_ops):
+            br.bits(12)                # operating_point_idc
+            level = br.bits(5)         # seq_level_idx
+            if level > 7:
+                br.bit()               # seq_tier
+            if decoder_model:
+                raise ValueError("decoder model unsupported")
+            if initial_delay and br.bit():
+                br.bits(4)             # initial_display_delay_minus_1
+    wbits = br.bits(4) + 1
+    hbits = br.bits(4) + 1
+    return br.bits(wbits) + 1, br.bits(hbits) + 1
+
+
+def av1_is_keyframe(frame: bytes) -> bool:
+    """A random-access AV1 temporal unit carries a sequence header OBU
+    (type 1) before its frame; inter frames don't.  (Full frame_type
+    parsing needs sequence-header context; this presence check matches
+    how muxers flag AV1 keyframes.)"""
+    try:
+        return any(t == 1 for t, _ in av1_obus(frame))
+    except ValueError:
+        return False
+
+
 def generate_random_bytes(n: int) -> bytes:
     lib = _load_native()
     if lib is not None:

@@ -119,7 +119,7 @@ def _decode_image_cv2(sample: CodedMediaSample) -> PictureSample:
 
 
 _BITSTREAM_VIDEO = (MediaFormat.avc, MediaFormat.hevc, MediaFormat.vp8,
-                    MediaFormat.vp9)
+                    MediaFormat.vp9, MediaFormat.av1)
 _BITSTREAM_AUDIO = (MediaFormat.aac, MediaFormat.opus)
 
 

@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Tuple
 
 # --- IVF (VP8/VP9) ----------------------------------------------------------
 
-_IVF_FOURCC = {"vp8": b"VP80", "vp9": b"VP90"}
+_IVF_FOURCC = {"vp8": b"VP80", "vp9": b"VP90", "av1": b"AV01"}
 
 
 def ivf_header(codec: str, width: int, height: int, *,

@@ -251,7 +251,8 @@ class FFmpegVideoDecoder(Tx):
     """
 
     _FORMATS = {MediaFormat.avc: "h264", MediaFormat.hevc: "hevc",
-                MediaFormat.vp8: "ivf", MediaFormat.vp9: "ivf"}
+                MediaFormat.vp8: "ivf", MediaFormat.vp9: "ivf",
+                MediaFormat.av1: "ivf"}
 
     def __init__(self):
         self._proc: Optional[_PipeProcess] = None
@@ -280,10 +281,12 @@ class FFmpegVideoDecoder(Tx):
             params = containers.params_from_hvcc(config)
             nals = params.get(32, []) + params.get(33, []) + params.get(34, [])
             self._proc.write(b"".join(b"\x00\x00\x00\x01" + n for n in nals))
-        else:  # vp8/vp9: IVF header sized from the first keyframe
-            codec = "vp8" if sample.media_format == MediaFormat.vp8 else "vp9"
-            sizer = (bitstream.vp8_frame_size if codec == "vp8"
-                     else bitstream.vp9_frame_size)
+        else:  # vp8/vp9/av1: IVF header sized from the first keyframe
+            codec, sizer = {
+                MediaFormat.vp8: ("vp8", bitstream.vp8_frame_size),
+                MediaFormat.vp9: ("vp9", bitstream.vp9_frame_size),
+                MediaFormat.av1: ("av1", bitstream.av1_frame_size),
+            }[sample.media_format]
             w, h = sizer(sample.data())
             self._proc.write(containers.ivf_header(codec, w, h))
 
@@ -359,10 +362,10 @@ class FFmpegVideoEncoder(Tx):
     """Tx[PictureSample, List[CodedMediaSample]] for AVC (libx264), HEVC
     (libx265), VP8/VP9 (libvpx) — the reference's codec list
     (enc.video.ffmpeg.swift:166-197) with its low-latency x264 operating
-    point (:240-265).
+    point (:240-265) — plus AV1 (libaom realtime), beyond the reference.
 
     Annex B outputs (avc/hevc) split into access units on forced AUDs;
-    VP8/VP9 come back IVF-framed, already one packet per frame.
+    VP8/VP9/AV1 come back IVF-framed, already one packet per frame.
     """
 
     _AUD = {MediaFormat.avc: 9, MediaFormat.hevc: 35}
@@ -371,7 +374,7 @@ class FFmpegVideoEncoder(Tx):
                  bitrate: int = 3_000_000, fps: int = 30,
                  keyframe_interval_s: float = 2.0):
         if fmt not in (MediaFormat.avc, MediaFormat.hevc, MediaFormat.vp8,
-                       MediaFormat.vp9):
+                       MediaFormat.vp9, MediaFormat.av1):
             raise ValueError(f"unsupported encode format {fmt.name}")
         self.fmt = fmt
         self._proc: Optional[_PipeProcess] = None
@@ -398,6 +401,11 @@ class FFmpegVideoEncoder(Tx):
             return ["-c:v", "libx265", "-preset", "ultrafast",
                     "-b:v", str(self.bitrate), "-x265-params", x265,
                     "-f", "hevc"]
+        if self.fmt == MediaFormat.av1:
+            return ["-c:v", "libaom-av1", "-usage", "realtime",
+                    "-cpu-used", "8", "-lag-in-frames", "0",
+                    "-g", str(self.keyint), "-b:v", str(self.bitrate),
+                    "-f", "ivf"]
         codec = "libvpx" if self.fmt == MediaFormat.vp8 else "libvpx-vp9"
         return ["-c:v", codec, "-deadline", "realtime", "-cpu-used", "8",
                 "-lag-in-frames", "0", "-g", str(self.keyint),
@@ -501,7 +509,8 @@ class FFmpegVideoEncoder(Tx):
             for plane in sample.planes():
                 self._proc.write(
                     np.ascontiguousarray(np.asarray(plane)).tobytes())
-            if self.fmt in (MediaFormat.vp8, MediaFormat.vp9):
+            if self.fmt in (MediaFormat.vp8, MediaFormat.vp9,
+                            MediaFormat.av1):
                 out = self._emit_ivf(sample)
             else:
                 out = self._emit_annexb(sample)
@@ -516,7 +525,8 @@ class FFmpegVideoEncoder(Tx):
         if self._proc is None or self._meta_sample is None:
             return []
         self._proc.flush_input()
-        if self.fmt in (MediaFormat.vp8, MediaFormat.vp9):
+        if self.fmt in (MediaFormat.vp8, MediaFormat.vp9,
+                        MediaFormat.av1):
             return self._emit_ivf(self._meta_sample)
         # annexb: the drained carry may hold SEVERAL complete access
         # units (lookahead/threaded encoders buffer frames) — split on

@@ -189,10 +189,12 @@ def basic_media_description(sample: CodedMediaSample):
         except ValueError as e:
             raise MediaDescriptionError(str(e)) from e
         return BasicVideoDescription(size=size)
-    if sample.media_format in (MediaFormat.vp8, MediaFormat.vp9):
-        parse = (bitstream.vp8_frame_size
-                 if sample.media_format == MediaFormat.vp8
-                 else bitstream.vp9_frame_size)
+    if sample.media_format in (MediaFormat.vp8, MediaFormat.vp9,
+                               MediaFormat.av1):
+        parse = {MediaFormat.vp8: bitstream.vp8_frame_size,
+                 MediaFormat.vp9: bitstream.vp9_frame_size,
+                 MediaFormat.av1: bitstream.av1_frame_size}[
+                     sample.media_format]
         try:
             size = parse(sample.data())
         except (ValueError, IndexError) as e:
@@ -245,6 +247,9 @@ def is_keyframe(sample: CodedMediaSample) -> bool:
                 return 16 <= nal_type <= 21
             pos += 4 + n
         return False
+    if sample.media_format == MediaFormat.av1:
+        from ..codec.bitstream import av1_is_keyframe
+        return av1_is_keyframe(data)
     if sample.media_format == MediaFormat.vp8:
         return len(data) >= 1 and (data[0] & 1) == 0
     if sample.media_format == MediaFormat.vp9:

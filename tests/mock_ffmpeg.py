@@ -189,8 +189,23 @@ def vp9_key_prefix(w, h) -> bytes:
     return bytes([0x82, 0x49, 0x83, 0x42]) + body
 
 
+def av1_key_prefix(w, h) -> bytes:
+    """Minimal real AV1 sequence-header OBU (reduced_still_picture_header)
+    so ``bitstream.av1_frame_size`` parses mock packets."""
+    bits = "000" + "0" + "1" + "00000" + format(15, "04b") + format(15, "04b")
+    bits += format(w - 1, "016b") + format(h - 1, "016b")
+    bits += "0" * (-len(bits) % 8)
+    payload = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    return bytes([0x0A, len(payload)]) + payload
+
+
 def ivf_payload_planes(payload: bytes):
-    """(w, h, planes) from a mock VP8/VP9 IVF payload."""
+    """(w, h, planes) from a mock VP8/VP9/AV1 IVF payload."""
+    if payload[0] == 0x0A:                                  # av1 seq OBU
+        size = payload[1]
+        bits = "".join(format(b, "08b") for b in payload[2:2 + size])
+        return (int(bits[18:34], 2) + 1, int(bits[34:50], 2) + 1,
+                payload[2 + size:])
     if payload[3:6] == b"\x9d\x01\x2a":                     # vp8
         w, h = struct.unpack_from("<HH", payload, 6)
         return w & 0x3FFF, h & 0x3FFF, payload[10:]
@@ -306,8 +321,8 @@ class RawvideoEncoder:
         if not self.header_out:
             out += containers.ivf_header(self.vp_codec, self.w, self.h)
             self.header_out = True
-        prefix = (vp8_key_prefix(self.w, self.h) if self.vp_codec == "vp8"
-                  else vp9_key_prefix(self.w, self.h))
+        prefix = {"vp8": vp8_key_prefix, "vp9": vp9_key_prefix,
+                  "av1": av1_key_prefix}[self.vp_codec](self.w, self.h)
         return out + containers.ivf_frame(prefix + planes, self.count)
 
     def feed(self, chunk: bytes) -> None:
@@ -481,7 +496,8 @@ def main() -> int:
                         keyint = int(kv.split("=")[1])
         if "-g" in post:
             keyint = int(post["-g"])
-        vp_codec = "vp9" if post.get("-c:v") == "libvpx-vp9" else "vp8"
+        vp_codec = {"libvpx-vp9": "vp9",
+                    "libaom-av1": "av1"}.get(post.get("-c:v"), "vp8")
         worker = RawvideoEncoder(w, h, out_fmt, keyint, vp_codec)
     elif in_fmt == "aac":
         worker = AdtsDecoder()

@@ -189,6 +189,68 @@ def test_vp9_frame_size():
     assert bitstream.vp9_frame_size(bw.bytes()) == (1280, 720)
 
 
+def make_av1_seq_obu(w, h, *, reduced=False, wbits=11, hbits=11):
+    """Build a sequence-header OBU (type 1, has_size) per AV1 §5.5.1."""
+    bw = _BitWriter()
+    bw.put(0, 3)            # seq_profile
+    bw.put(0, 1)            # still_picture
+    bw.put(1 if reduced else 0, 1)   # reduced_still_picture_header
+    if reduced:
+        bw.put(0, 5)        # seq_level_idx[0]
+    else:
+        bw.put(0, 1)        # timing_info_present_flag
+        bw.put(1, 1)        # initial_display_delay_present_flag
+        bw.put(0, 5)        # operating_points_cnt_minus_1
+        bw.put(0, 12)       # operating_point_idc[0]
+        bw.put(8, 5)        # seq_level_idx[0] (>7 -> tier bit)
+        bw.put(0, 1)        # seq_tier[0]
+        bw.put(1, 1)        # initial_display_delay_present_for_this_op
+        bw.put(3, 4)        # initial_display_delay_minus_1
+    bw.put(wbits - 1, 4)    # frame_width_bits_minus_1
+    bw.put(hbits - 1, 4)    # frame_height_bits_minus_1
+    bw.put(w - 1, wbits)
+    bw.put(h - 1, hbits)
+    payload = bw.bytes()
+    assert len(payload) < 128          # single-byte leb128
+    return bytes([0x0A, len(payload)]) + payload
+
+
+def test_av1_frame_size():
+    # full (non-reduced) header with an inter-frame OBU appended
+    frame_obu = bytes([0x32, 0x03]) + b"xyz"       # OBU_FRAME, 3 bytes
+    tu = make_av1_seq_obu(1920, 1080) + frame_obu
+    assert bitstream.av1_frame_size(tu) == (1920, 1080)
+    # reduced_still_picture_header path + 16-bit size fields
+    tu = make_av1_seq_obu(640, 360, reduced=True, wbits=16, hbits=16)
+    assert bitstream.av1_frame_size(tu) == (640, 360)
+    # seq header NOT first: temporal delimiter (type 2, empty) leads
+    td = bytes([0x12, 0x00])
+    assert bitstream.av1_frame_size(
+        td + make_av1_seq_obu(320, 240)) == (320, 240)
+    with pytest.raises(ValueError):
+        bitstream.av1_frame_size(frame_obu)        # no seq header
+    with pytest.raises(ValueError):
+        bitstream.av1_frame_size(bytes([0x0A, 0x40]))  # truncated OBU
+
+
+def test_av1_leb128():
+    assert bitstream.leb128(b"\x05", 0) == (5, 1)
+    assert bitstream.leb128(b"\x80\x02", 0) == (256, 2)
+    with pytest.raises(ValueError):
+        bitstream.leb128(b"\x80", 0)               # truncated
+    with pytest.raises(ValueError):
+        bitstream.leb128(b"\xff" * 9, 0)           # too long
+
+
+def test_av1_keyframe_detection():
+    from swiftvideo_tpu.codec.bitstream import av1_is_keyframe
+    td = bytes([0x12, 0x00])
+    frame_obu = bytes([0x32, 0x03]) + b"xyz"
+    assert av1_is_keyframe(make_av1_seq_obu(64, 64) + frame_obu)
+    assert not av1_is_keyframe(td + frame_obu)     # inter TU
+    assert not av1_is_keyframe(b"\x80bogus")       # forbidden bit
+
+
 # --- ASC -------------------------------------------------------------------------
 
 def test_make_asc_roundtrip():

@@ -348,7 +348,8 @@ def _video_roundtrip(fmt, n=6, size=(32, 16)):
 
 
 @pytest.mark.parametrize("fmt", [MediaFormat.avc, MediaFormat.hevc,
-                                 MediaFormat.vp8, MediaFormat.vp9])
+                                 MediaFormat.vp8, MediaFormat.vp9,
+                                 MediaFormat.av1])
 def test_mock_video_encode_decode_roundtrip(fmt, mock_ffmpeg):
     n = 6
     coded, pics = _video_roundtrip(fmt, n)

@@ -193,6 +193,11 @@ def test_bitstream_parsers_garbage():
     _survives(bitstream.vp8_frame_size, (_rand(10) for _ in range(30)))
     _survives(bitstream.vp9_frame_size, (_rand(12) for _ in range(30)))
     _survives(bitstream.aac_parse_asc, (_rand(n) for n in (0, 1, 2, 5)))
+    from tests.test_containers import make_av1_seq_obu
+    _survives(bitstream.av1_frame_size, (_rand(n) for n in (0, 1, 2, 8, 24)))
+    _survives(bitstream.av1_frame_size,
+              _mutations(make_av1_seq_obu(1920, 1080)))
+    _survives(bitstream.av1_is_keyframe, (_rand(12) for _ in range(30)))
 
 
 def test_rtmp_ex_header_media_garbage():

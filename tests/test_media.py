@@ -201,3 +201,21 @@ def test_keyframe_hevc_vp8_vp9():
     assert is_keyframe(coded(MediaFormat.vp9, b"\x80..."))
     assert not is_keyframe(coded(MediaFormat.vp9, b"\x84..."))  # interframe
     assert not is_keyframe(coded(MediaFormat.vp9, b"\x88..."))  # show_existing
+    # av1: keyframe TUs carry a sequence header OBU; inter TUs don't
+    from tests.test_containers import make_av1_seq_obu
+    frame_obu = bytes([0x32, 0x03]) + b"xyz"
+    assert is_keyframe(coded(MediaFormat.av1,
+                             make_av1_seq_obu(64, 64) + frame_obu))
+    assert not is_keyframe(coded(MediaFormat.av1,
+                                 bytes([0x12, 0x00]) + frame_obu))
+
+
+def test_media_description_av1():
+    from swiftvideo_tpu.media.coded import basic_media_description
+    from tests.test_containers import make_av1_seq_obu
+
+    s = CodedMediaSample(
+        buffer=make_av1_seq_obu(1280, 720), pts_value=TimePoint(0, 1),
+        dts_value=TimePoint(0, 1), media_type=MediaType.video,
+        media_format=MediaFormat.av1)
+    assert basic_media_description(s).size == (1280, 720)
