@@ -193,12 +193,8 @@ class _VideoFileWriter:
             self.fh.write(avcc_to_annexb(sample.data()))
         elif self.fmt in (self._mf.vp8, self._mf.vp9, self._mf.av1):
             if not self._header_done:
-                codec, parse = {
-                    self._mf.vp8: ("vp8", bitstream.vp8_frame_size),
-                    self._mf.vp9: ("vp9", bitstream.vp9_frame_size),
-                    self._mf.av1: ("av1", bitstream.av1_frame_size),
-                }[self.fmt]
-                w, h = parse(sample.data())
+                codec = self.fmt.name
+                w, h = bitstream.IVF_FRAME_SIZE[codec](sample.data())
                 scale = max(sample.pts().scale, 1)
                 self.fh.write(containers.ivf_header(
                     codec, w, h, timebase=(1, scale), n_frames=0))

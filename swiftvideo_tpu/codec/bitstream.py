@@ -247,9 +247,23 @@ def h265_sps_frame_size(sps: bytes) -> Tuple[int, int]:
     the conformance window.  Beyond-parity: the reference's shim parses
     only H.264 SPS (shim.cpp:187-271); this extends basicMediaDescription
     to the hevc streams the codec layer already transports.  Accepts the
-    NAL with or without its 2-byte header."""
-    if len(sps) >= 2 and ((sps[0] >> 1) & 0x3F) == 33:
-        sps = sps[2:]
+    NAL with or without its 2-byte header: a header is assumed only when
+    the first two bytes match a real SPS NAL header (forbidden bit 0,
+    type 33, nuh_layer_id 0, temporal_id_plus1 >= 1), and a raw payload
+    that happens to mimic one (first byte 0x42: vps_id=4 + one sub-layer)
+    is recovered by re-parsing without the header on failure."""
+    looks_hdr = (len(sps) >= 2 and ((sps[0] >> 1) & 0x3F) == 33
+                 and not (sps[0] & 0x81) and (sps[1] >> 3) == 0
+                 and (sps[1] & 0x7) >= 1)
+    if not looks_hdr:
+        return _h265_sps_size(sps)
+    try:
+        return _h265_sps_size(sps[2:])
+    except ValueError:
+        return _h265_sps_size(sps)
+
+
+def _h265_sps_size(sps: bytes) -> Tuple[int, int]:
     br = ExpGolomb(sps, strip_epb=True)
     br.bits(4)                              # sps_video_parameter_set_id
     max_sub = br.bits(3)                    # sps_max_sub_layers_minus1
@@ -328,6 +342,14 @@ class _BitReader:
 def vp9_frame_size(frame: bytes) -> Tuple[int, int]:
     """(width, height) from a VP9 keyframe uncompressed header
     (VP9 bitstream spec §6.2)."""
+    info = vp9_keyframe_info(frame)
+    return info["width"], info["height"]
+
+
+def vp9_keyframe_info(frame: bytes) -> dict:
+    """Full uncompressed-header parse of a VP9 keyframe (spec §6.2):
+    profile, bit_depth, subsampling_x/y, full_range, color_space,
+    width, height.  Source data for VPCodecConfigurationRecord."""
     br = _BitReader(frame)
     if br.bits(2) != 2:
         raise ValueError("bad VP9 frame marker")
@@ -344,19 +366,27 @@ def vp9_frame_size(frame: bytes) -> Tuple[int, int]:
     if br.bits(24) != 0x498342:        # sync code
         raise ValueError("bad VP9 sync code")
     # color config
+    bit_depth = 8
     if profile >= 2:
-        br.bit()                       # ten_or_twelve_bit
+        bit_depth = 12 if br.bit() else 10
     color_space = br.bits(3)
+    sub_x = sub_y = 1                  # profiles 0/2 are 4:2:0
+    full_range = 1
     if color_space != 7:               # != CS_RGB
-        br.bit()                       # color_range
+        full_range = br.bit()
         if profile in (1, 3):
-            br.bits(3)                 # subsampling_x/y + reserved
+            sub_x, sub_y = br.bit(), br.bit()
+            br.bit()                   # reserved
     else:
         if profile in (1, 3):
             br.bit()                   # reserved
+            sub_x = sub_y = 0          # CS_RGB implies 4:4:4
     w = br.bits(16) + 1
     h = br.bits(16) + 1
-    return w, h
+    return {"profile": profile, "bit_depth": bit_depth,
+            "subsampling_x": sub_x, "subsampling_y": sub_y,
+            "full_range": full_range, "color_space": color_space,
+            "width": w, "height": h}
 
 
 def leb128(data: bytes, pos: int) -> Tuple[int, int]:
@@ -402,23 +432,32 @@ def av1_frame_size(frame: bytes) -> Tuple[int, int]:
     unit (AV1 spec §5.5.1-5.5.2).  Raises on streams whose sequence
     header carries timing info (uvlc-coded tick counts — not emitted by
     realtime encoders)."""
+    info = av1_seq_header_info(frame)
+    return info["width"], info["height"]
+
+
+def av1_seq_header_info(frame: bytes) -> dict:
+    """Parse the sequence header OBU of an AV1 temporal unit: profile,
+    level (seq_level_idx[0]), tier, width, height.  Source data for
+    AV1CodecConfigurationRecord."""
     for obu_type, payload in av1_obus(frame):
         if obu_type != 1:                  # OBU_SEQUENCE_HEADER
             continue
         try:
-            return _av1_seq_header_size(payload)
+            return _av1_seq_header_parse(payload)
         except IndexError as e:
             raise ValueError("truncated sequence header") from e
     raise ValueError("no AV1 sequence header OBU")
 
 
-def _av1_seq_header_size(payload: bytes) -> Tuple[int, int]:
+def _av1_seq_header_parse(payload: bytes) -> dict:
     br = _BitReader(payload)
-    br.bits(3)                         # seq_profile
+    profile = br.bits(3)               # seq_profile
     br.bit()                           # still_picture
     reduced = br.bit()                 # reduced_still_picture_header
+    level = tier = 0
     if reduced:
-        br.bits(5)                     # seq_level_idx[0]
+        level = br.bits(5)             # seq_level_idx[0]
     else:
         if br.bit():                   # timing_info_present_flag
             raise ValueError("timing info in sequence header "
@@ -426,29 +465,53 @@ def _av1_seq_header_size(payload: bytes) -> Tuple[int, int]:
         decoder_model = 0              # absent without timing info
         initial_delay = br.bit()       # initial_display_delay_present
         n_ops = br.bits(5) + 1         # operating_points_cnt
-        for _ in range(n_ops):
+        for i in range(n_ops):
             br.bits(12)                # operating_point_idc
-            level = br.bits(5)         # seq_level_idx
-            if level > 7:
-                br.bit()               # seq_tier
+            lv = br.bits(5)            # seq_level_idx
+            ti = br.bit() if lv > 7 else 0   # seq_tier
+            if i == 0:
+                level, tier = lv, ti
             if decoder_model:
                 raise ValueError("decoder model unsupported")
             if initial_delay and br.bit():
                 br.bits(4)             # initial_display_delay_minus_1
     wbits = br.bits(4) + 1
     hbits = br.bits(4) + 1
-    return br.bits(wbits) + 1, br.bits(hbits) + 1
+    return {"profile": profile, "level": level, "tier": tier,
+            "reduced": reduced,
+            "width": br.bits(wbits) + 1, "height": br.bits(hbits) + 1}
 
 
 def av1_is_keyframe(frame: bytes) -> bool:
-    """A random-access AV1 temporal unit carries a sequence header OBU
-    (type 1) before its frame; inter frames don't.  (Full frame_type
-    parsing needs sequence-header context; this presence check matches
-    how muxers flag AV1 keyframes.)"""
+    """True when the temporal unit starts at a keyframe.  frame_type
+    sits ahead of every sequence-dependent field in the frame header
+    (spec §5.9.2: show_existing_frame f(1), frame_type f(2)), so it is
+    readable without sequence context; reduced_still_picture_header
+    streams omit those bits and are keyframes by definition.  Falls back
+    to sequence-header presence when the TU carries no frame OBU.  (A
+    bare presence check misflags streams that repeat the sequence header
+    on every TU — repeat-headers / error-resilient encoder configs.)"""
+    saw_seq = False
     try:
-        return any(t == 1 for t, _ in av1_obus(frame))
+        for obu_type, payload in av1_obus(frame):
+            if obu_type == 1 and payload:       # OBU_SEQUENCE_HEADER
+                if (payload[0] >> 3) & 1:       # reduced_still_picture
+                    return True                 # single-KEY-frame stream
+                saw_seq = True
+            elif obu_type in (3, 6) and payload:  # FRAME_HEADER / FRAME
+                if payload[0] & 0x80:           # show_existing_frame
+                    return False
+                return ((payload[0] >> 5) & 0x3) == 0   # KEY_FRAME
     except ValueError:
-        return False
+        return saw_seq
+    return saw_seq
+
+
+#: MediaFormat-name -> keyframe size parser for the IVF codec family —
+#: the single dispatch map shared by the CLI writer, the video decoder,
+#: and basic_media_description.
+IVF_FRAME_SIZE = {"vp8": vp8_frame_size, "vp9": vp9_frame_size,
+                  "av1": av1_frame_size}
 
 
 def generate_random_bytes(n: int) -> bytes:

@@ -389,6 +389,96 @@ def make_hvcc(vps: bytes, sps: bytes, pps: bytes) -> bytes:
     return bytes(rec)
 
 
+# VP9 level by max luma picture size (VP9 spec Annex A levels table) —
+# first level whose picture-size budget fits; good enough for a config
+# record (rate-based constraints need stream stats we don't track).
+_VP9_LEVELS = [(36864, 10), (73728, 11), (163840, 21), (552960, 30),
+               (983040, 31), (2228224, 40), (8912896, 50), (35651584, 60)]
+
+# (colourPrimaries, transferCharacteristics, matrixCoefficients) per
+# VP9 color_space value; unlisted spaces map to "unspecified" (2,2,2).
+_VP9_CICP = {1: (6, 6, 6),             # CS_BT_601 -> SMPTE 170M
+             2: (1, 1, 1),             # CS_BT_709
+             4: (9, 14, 9)}            # CS_BT_2020 (10-bit transfer)
+
+
+def make_vpcc(keyframe: bytes) -> bytes:
+    """VPCodecConfigurationRecord (VP9 ISO binding §2.2.1; the E-RTMP
+    ``vp09`` SequenceStart payload) built from a VP9 keyframe's
+    uncompressed header.  codecInitializationData is always empty for
+    VP9 per the binding."""
+    from . import bitstream
+    info = bitstream.vp9_keyframe_info(keyframe)
+    level = next((lv for cap, lv in _VP9_LEVELS
+                  if info["width"] * info["height"] <= cap), 62)
+    sub = {(1, 1): 1, (1, 0): 2, (0, 0): 3}.get(
+        (info["subsampling_x"], info["subsampling_y"]), 0)
+    prim, xfer, mat = _VP9_CICP.get(info["color_space"], (2, 2, 2))
+    return bytes([info["profile"], level,
+                  (info["bit_depth"] << 4) | (sub << 1)
+                  | info["full_range"],
+                  prim, xfer, mat]) + struct.pack(">H", 0)
+
+
+def parse_vpcc(record: bytes) -> dict:
+    """Inverse of :func:`make_vpcc` (fields of §2.2.1)."""
+    if len(record) < 8:
+        raise ValueError("short vpcC record")
+    return {"profile": record[0], "level": record[1],
+            "bit_depth": record[2] >> 4,
+            "chroma_subsampling": (record[2] >> 1) & 0x7,
+            "full_range": record[2] & 1,
+            "colour_primaries": record[3],
+            "transfer_characteristics": record[4],
+            "matrix_coefficients": record[5],
+            "codec_initialization_data":
+                record[8:8 + struct.unpack_from(">H", record, 6)[0]]}
+
+
+def make_av1c(temporal_unit: bytes) -> bytes:
+    """AV1CodecConfigurationRecord (AV1 ISO binding §2.3.3; the E-RTMP
+    ``av01`` SequenceStart payload) from a temporal unit carrying a
+    sequence header OBU.  configOBUs carries the sequence header
+    verbatim — the authoritative source decoders actually parse; the
+    color-config summary bits are fixed at this pipeline's 8-bit 4:2:0
+    operating point (parsing them exactly would need the full
+    color_config walk past the frame-id/superblock flags)."""
+    from . import bitstream
+    info = bitstream.av1_seq_header_info(temporal_unit)
+    seq_obu = b""
+    for obu_type, payload in bitstream.av1_obus(temporal_unit):
+        if obu_type == 1:
+            size = bytearray()
+            n = len(payload)
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                size.append(b | (0x80 if n else 0))
+                if not n:
+                    break
+            seq_obu = bytes([0x0A]) + bytes(size) + payload
+            break
+    return bytes([0x81,                           # marker=1, version=1
+                  (info["profile"] << 5) | info["level"],
+                  (info["tier"] << 7) | (1 << 3) | (1 << 2),  # csx=csy=1
+                  0]) + seq_obu                   # 8-bit 4:2:0, no delay
+
+
+def parse_av1c(record: bytes) -> dict:
+    """Inverse of :func:`make_av1c` (fields of §2.3.3)."""
+    if len(record) < 4 or record[0] != 0x81:
+        raise ValueError("bad av1C marker/version")
+    return {"profile": record[1] >> 5, "level": record[1] & 0x1F,
+            "tier": record[2] >> 7,
+            "high_bitdepth": (record[2] >> 6) & 1,
+            "twelve_bit": (record[2] >> 5) & 1,
+            "monochrome": (record[2] >> 4) & 1,
+            "chroma_subsampling_x": (record[2] >> 3) & 1,
+            "chroma_subsampling_y": (record[2] >> 2) & 1,
+            "chroma_sample_position": record[2] & 0x3,
+            "config_obus": record[4:]}
+
+
 def y4m_frame_to_planes(data: bytes, w: int, h: int):
     """Raw 4:2:0 y4m frame payload -> (y, u, v) u8 numpy planes (the one
     shared unpack for the decoder drain and the file demux pullers)."""

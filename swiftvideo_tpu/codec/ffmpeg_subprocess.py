@@ -282,12 +282,8 @@ class FFmpegVideoDecoder(Tx):
             nals = params.get(32, []) + params.get(33, []) + params.get(34, [])
             self._proc.write(b"".join(b"\x00\x00\x00\x01" + n for n in nals))
         else:  # vp8/vp9/av1: IVF header sized from the first keyframe
-            codec, sizer = {
-                MediaFormat.vp8: ("vp8", bitstream.vp8_frame_size),
-                MediaFormat.vp9: ("vp9", bitstream.vp9_frame_size),
-                MediaFormat.av1: ("av1", bitstream.av1_frame_size),
-            }[sample.media_format]
-            w, h = sizer(sample.data())
+            codec = sample.media_format.name
+            w, h = bitstream.IVF_FRAME_SIZE[codec](sample.data())
             self._proc.write(containers.ivf_header(codec, w, h))
 
     def _write_packet(self, sample: CodedMediaSample) -> None:
@@ -486,13 +482,28 @@ class FFmpegVideoEncoder(Tx):
         _header, frames, self._carry = containers.parse_ivf(self._carry)
         out = []
         for _ivf_pts, payload in frames:
+            if self._config is None and self.fmt != MediaFormat.vp8:
+                # vpcC / av1C from the first keyframe: RTMP publish needs
+                # a config record for the E-RTMP SequenceStart packet
+                # (inter frames raise and are skipped; vp8 has no RTMP
+                # representation and no record format)
+                try:
+                    self._config = (
+                        containers.make_vpcc(payload)
+                        if self.fmt == MediaFormat.vp9
+                        else containers.make_av1c(payload))
+                except (ValueError, IndexError):
+                    pass
+            side = ({"config": self._config}
+                    if self._config is not None else {})
             pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
             out.append(CodedMediaSample(
                 buffer=payload, pts_value=pts, dts_value=pts,
                 media_type=MediaType.video, media_format=self.fmt,
                 id_asset=sample.asset_id(),
                 id_workspace=sample.workspace_id(),
-                time_point=sample.time(), event_info=sample.info()))
+                time_point=sample.time(), side=side,
+                event_info=sample.info()))
         return out
 
     def _impl(self, sample: PictureSample) -> EventBox:

@@ -180,23 +180,20 @@ def basic_media_description(sample: CodedMediaSample):
         record = sample.side_data().get("config")
         if record is None:
             raise MediaDescriptionError("invalid metadata")
+        import struct
         from ..codec.containers import params_from_hvcc
         try:
             sps_list = params_from_hvcc(record).get(33) or ()
             if not sps_list:
                 raise ValueError("hvcC has no SPS")
             size = bitstream.h265_sps_frame_size(sps_list[0])
-        except ValueError as e:
+        except (ValueError, IndexError, struct.error) as e:
             raise MediaDescriptionError(str(e)) from e
         return BasicVideoDescription(size=size)
-    if sample.media_format in (MediaFormat.vp8, MediaFormat.vp9,
-                               MediaFormat.av1):
-        parse = {MediaFormat.vp8: bitstream.vp8_frame_size,
-                 MediaFormat.vp9: bitstream.vp9_frame_size,
-                 MediaFormat.av1: bitstream.av1_frame_size}[
-                     sample.media_format]
+    if sample.media_format.name in bitstream.IVF_FRAME_SIZE:
         try:
-            size = parse(sample.data())
+            size = bitstream.IVF_FRAME_SIZE[sample.media_format.name](
+                sample.data())
         except (ValueError, IndexError) as e:
             raise MediaDescriptionError(str(e)) from e
         return BasicVideoDescription(size=size)

@@ -128,12 +128,14 @@ class MediaSerializer:
         self._prev_dts: Dict[int, int] = {}
 
     def serialize(self, sample: CodedMediaSample) -> Optional[bytes]:
-        """Returns chunk bytes, or None when the sample is gated out."""
+        """Returns chunk bytes, or None when the sample is gated out or
+        has no RTMP representation (e.g. vp8)."""
         cur = sample.side_data().get("config")
         prev = self._prev_config.get(sample.media_type)
         if cur is not None and prev == cur:
             return serialize_media(sample, self.serializer,
-                                   self.msg_stream_id, self._prev_dts)
+                                   self.msg_stream_id,
+                                   self._prev_dts) or None
         if cur is not None:
             is_video = sample.media_type == MediaType.video
             if not is_video or self._sent_first_keyframe or is_keyframe(sample):
@@ -142,10 +144,15 @@ class MediaSerializer:
                                        send_config=True)
                 body = serialize_media(sample, self.serializer,
                                        self.msg_stream_id, self._prev_dts)
+                if not head and not body:
+                    # unrepresentable format: nothing reached the wire, so
+                    # the first-keyframe gate stays shut and the config
+                    # stays unsent
+                    return None
                 if is_video:
                     self._sent_first_keyframe = True
                 self._prev_config[sample.media_type] = cur
                 return head + body
             return None
         return serialize_media(sample, self.serializer, self.msg_stream_id,
-                               self._prev_dts)
+                               self._prev_dts) or None

@@ -191,6 +191,8 @@ class RtmpSessionCore:
         if config is None or len(data) <= 5:
             return b"", []
         cts = (data[2] << 16) | (data[3] << 8) | data[4]
+        if cts >= 0x800000:            # FLV CompositionTime is SI24
+            cts -= 0x1000000
         sample = CodedMediaSample(
             buffer=data[5:],
             pts_value=TimePoint(chunk.timestamp + cts, 1000),
@@ -225,6 +227,8 @@ class RtmpSessionCore:
             if len(data) < 8:
                 return b"", []
             cts = (data[5] << 16) | (data[6] << 8) | data[7]
+            if cts >= 0x800000:        # E-RTMP composition time is SI24
+                cts -= 0x1000000
             off = 8
         if len(data) <= off:
             return b"", []

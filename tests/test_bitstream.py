@@ -127,14 +127,15 @@ def test_random_bytes():
 
 def make_h265_sps(width: int, height: int, crop=(0, 0, 0, 0),
                   chroma: int = 1, max_sub: int = 0,
-                  nal_header: bool = True) -> bytes:
+                  nal_header: bool = True, vps_id: int = 0,
+                  nesting: int = 1) -> bytes:
     """Assemble an HEVC SPS per H.265 §7.3.2.2.1 syntax."""
     w = _BitWriter()
     if nal_header:
         w.u(33 << 1, 8).u(1, 8)     # nal_unit_header (type 33, tid 0)
-    w.u(0, 4)                       # sps_video_parameter_set_id
+    w.u(vps_id, 4)                  # sps_video_parameter_set_id
     w.u(max_sub, 3)                 # sps_max_sub_layers_minus1
-    w.u(1, 1)                       # temporal_id_nesting
+    w.u(nesting, 1)                 # temporal_id_nesting
     # profile_tier_level(1, max_sub)
     w.u(0, 2).u(0, 1).u(1, 5)       # space / tier / profile_idc (Main)
     w.u(0x60000000, 32)             # compatibility flags
@@ -160,6 +161,20 @@ def make_h265_sps(width: int, height: int, crop=(0, 0, 0, 0),
         w.u(0, 1)
     w.u(1, 1)                      # rbsp stop bit (parse never reaches it)
     return w.bytes()
+
+
+def test_h265_sps_raw_payload_mimicking_header():
+    """A header-less SPS whose first two bytes look like a NAL header
+    (vps_id=4, one sub-layer, nesting=0 -> 0x42; profile_idc=1 -> 0x01)
+    must still parse: the autodetect falls back to the raw
+    interpretation when the header-stripped parse fails."""
+    sps = make_h265_sps(1280, 720, vps_id=4, max_sub=1, nesting=0,
+                        nal_header=False)
+    assert sps[:2] == b"\x42\x01"    # genuinely ambiguous prefix
+    assert bitstream.h265_sps_frame_size(sps) == (1280, 720)
+    # and the honest with-header form of the same SPS still parses
+    hdr = make_h265_sps(1280, 720, vps_id=4, max_sub=1, nesting=0)
+    assert bitstream.h265_sps_frame_size(hdr) == (1280, 720)
 
 
 def test_h265_sps_1080p_with_crop():

@@ -172,7 +172,8 @@ class _BitWriter:
         return bytes(out)
 
 
-def test_vp9_frame_size():
+def make_vp9_keyframe(w, h, *, color_space=3, full_range=0):
+    """Minimal profile-0 VP9 keyframe uncompressed header (spec §6.2)."""
     bw = _BitWriter()
     bw.put(2, 2)        # frame marker
     bw.put(0, 1)        # profile low
@@ -182,11 +183,39 @@ def test_vp9_frame_size():
     bw.put(1, 1)        # show_frame
     bw.put(0, 1)        # error_resilient
     bw.put(0x498342, 24)  # sync code
-    bw.put(3, 3)        # color_space
-    bw.put(0, 1)        # color_range
-    bw.put(1279, 16)    # width - 1
-    bw.put(719, 16)     # height - 1
-    assert bitstream.vp9_frame_size(bw.bytes()) == (1280, 720)
+    bw.put(color_space, 3)
+    bw.put(full_range, 1)  # color_range
+    bw.put(w - 1, 16)
+    bw.put(h - 1, 16)
+    return bw.bytes()
+
+
+def test_vp9_frame_size():
+    assert bitstream.vp9_frame_size(make_vp9_keyframe(1280, 720)) \
+        == (1280, 720)
+
+
+def test_vp9_keyframe_info():
+    info = bitstream.vp9_keyframe_info(
+        make_vp9_keyframe(640, 360, color_space=1, full_range=0))
+    assert info == {"profile": 0, "bit_depth": 8, "subsampling_x": 1,
+                    "subsampling_y": 1, "full_range": 0, "color_space": 1,
+                    "width": 640, "height": 360}
+
+
+def test_vpcc_record_roundtrip():
+    rec = containers.make_vpcc(make_vp9_keyframe(1920, 1080, color_space=1))
+    got = containers.parse_vpcc(rec)
+    assert got["profile"] == 0 and got["bit_depth"] == 8
+    assert got["chroma_subsampling"] == 1           # 4:2:0 colocated
+    assert got["level"] == 40                       # 1920*1080 fits level 4.0
+    assert (got["colour_primaries"], got["transfer_characteristics"],
+            got["matrix_coefficients"]) == (6, 6, 6)   # BT.601
+    assert got["codec_initialization_data"] == b""
+    with pytest.raises(ValueError):
+        containers.parse_vpcc(rec[:4])
+    with pytest.raises(ValueError):                 # inter frame: no header
+        containers.make_vpcc(b"\x84" + b"\x00" * 12)
 
 
 def make_av1_seq_obu(w, h, *, reduced=False, wbits=11, hbits=11):
@@ -242,13 +271,50 @@ def test_av1_leb128():
         bitstream.leb128(b"\xff" * 9, 0)           # too long
 
 
+def av1_frame_obu(first_byte, *, header_only=False):
+    """OBU_FRAME (6) or OBU_FRAME_HEADER (3) with a chosen first
+    payload byte (show_existing_frame f(1), frame_type f(2), ...)."""
+    obu_type = 3 if header_only else 6
+    payload = bytes([first_byte]) + b"xy"
+    return bytes([(obu_type << 3) | 0x02, len(payload)]) + payload
+
+
 def test_av1_keyframe_detection():
     from swiftvideo_tpu.codec.bitstream import av1_is_keyframe
     td = bytes([0x12, 0x00])
-    frame_obu = bytes([0x32, 0x03]) + b"xyz"
-    assert av1_is_keyframe(make_av1_seq_obu(64, 64) + frame_obu)
-    assert not av1_is_keyframe(td + frame_obu)     # inter TU
+    seq = make_av1_seq_obu(64, 64)
+    key = av1_frame_obu(0x00)        # show_existing=0, frame_type=KEY
+    inter = av1_frame_obu(0x20)      # frame_type=INTER
+    shown = av1_frame_obu(0x80)      # show_existing_frame=1
+    assert av1_is_keyframe(seq + key)
+    assert not av1_is_keyframe(td + inter)                # inter TU
+    # repeat-headers stream: seq header on EVERY TU must not flag the
+    # inter frames as keyframes (a bare presence check did)
+    assert not av1_is_keyframe(seq + inter)
+    assert not av1_is_keyframe(seq + shown)
+    assert av1_is_keyframe(td + av1_frame_obu(0x00, header_only=True))
+    # reduced_still_picture_header streams are keyframes by definition
+    assert av1_is_keyframe(make_av1_seq_obu(64, 64, reduced=True) + b"\x01")
     assert not av1_is_keyframe(b"\x80bogus")       # forbidden bit
+    # seq header seen before the bytes go bad: still a RAP
+    assert av1_is_keyframe(seq + b"\x80garbage")
+
+
+def test_av1c_record_roundtrip():
+    tu = make_av1_seq_obu(1920, 1080) + av1_frame_obu(0x00)
+    rec = containers.make_av1c(tu)
+    got = containers.parse_av1c(rec)
+    assert got["profile"] == 0 and got["level"] == 8 and got["tier"] == 0
+    assert (got["chroma_subsampling_x"], got["chroma_subsampling_y"]) \
+        == (1, 1)
+    assert got["high_bitdepth"] == 0 and got["monochrome"] == 0
+    # configOBUs carries the sequence header verbatim and re-parses
+    assert got["config_obus"] == make_av1_seq_obu(1920, 1080)
+    assert bitstream.av1_frame_size(got["config_obus"]) == (1920, 1080)
+    with pytest.raises(ValueError):
+        containers.parse_av1c(b"\x01\x00\x00\x00")   # bad marker
+    with pytest.raises(ValueError):                  # inter TU: no header
+        containers.make_av1c(av1_frame_obu(0x20))
 
 
 # --- ASC -------------------------------------------------------------------------

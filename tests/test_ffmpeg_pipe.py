@@ -357,6 +357,14 @@ def test_mock_video_encode_decode_roundtrip(fmt, mock_ffmpeg):
     assert [c.pts() for c in coded] == [TimePoint(i, 30) for i in range(n)]
     if fmt in (MediaFormat.avc, MediaFormat.hevc):
         assert all("config" in c.side_data() for c in coded)
+    if fmt in (MediaFormat.vp9, MediaFormat.av1):
+        # vpcC / av1C built from the first keyframe so the RTMP
+        # publisher can emit an E-RTMP SequenceStart
+        from swiftvideo_tpu.codec import containers
+        parse = (containers.parse_vpcc if fmt == MediaFormat.vp9
+                 else containers.parse_av1c)
+        assert all(parse(c.side_data()["config"])["profile"] == 0
+                   for c in coded)
     assert len(pics) == n
     assert [p.pts() for p in pics] == [TimePoint(i, 30) for i in range(n)]
     # the mock codec is stored-raw: content roundtrips bit-exactly

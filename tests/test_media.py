@@ -1,6 +1,7 @@
 """Media sample type tests: plane geometry, copy-on-modify, wire roundtrip."""
 
 import numpy as np
+import pytest
 
 from swiftvideo_tpu.core import TimePoint
 from swiftvideo_tpu.media import (AudioFormat, BufferType, CodedMediaSample,
@@ -201,13 +202,27 @@ def test_keyframe_hevc_vp8_vp9():
     assert is_keyframe(coded(MediaFormat.vp9, b"\x80..."))
     assert not is_keyframe(coded(MediaFormat.vp9, b"\x84..."))  # interframe
     assert not is_keyframe(coded(MediaFormat.vp9, b"\x88..."))  # show_existing
-    # av1: keyframe TUs carry a sequence header OBU; inter TUs don't
-    from tests.test_containers import make_av1_seq_obu
-    frame_obu = bytes([0x32, 0x03]) + b"xyz"
+    # av1: frame_type read from the frame header OBU
+    from tests.test_containers import av1_frame_obu, make_av1_seq_obu
     assert is_keyframe(coded(MediaFormat.av1,
-                             make_av1_seq_obu(64, 64) + frame_obu))
+                             make_av1_seq_obu(64, 64) + av1_frame_obu(0x00)))
     assert not is_keyframe(coded(MediaFormat.av1,
-                                 bytes([0x12, 0x00]) + frame_obu))
+                                 bytes([0x12, 0x00]) + av1_frame_obu(0x20)))
+
+
+def test_media_description_hevc_malformed_hvcc():
+    """A crafted hvcC that passes the length/version check but declares
+    more arrays than it carries must surface as MediaDescriptionError,
+    not IndexError (review finding: remote publishers control this)."""
+    from swiftvideo_tpu.media.coded import (MediaDescriptionError,
+                                            basic_media_description)
+    bad = b"\x01" + b"\x00" * 21 + b"\xff"
+    s = CodedMediaSample(
+        buffer=b"\x00\x00\x00\x02\x26\x01", pts_value=TimePoint(0, 1),
+        dts_value=TimePoint(0, 1), media_type=MediaType.video,
+        media_format=MediaFormat.hevc, side={"config": bad})
+    with pytest.raises(MediaDescriptionError):
+        basic_media_description(s)
 
 
 def test_media_description_av1():

@@ -417,6 +417,87 @@ def test_enhanced_rtmp_fourcc_roundtrip():
     assert roundtrip([coded(MediaFormat.vp8, b"\x00" + b"v" * 10, 0)]) == []
 
 
+def test_enhanced_rtmp_sequence_start_configs():
+    """vp9/av1 publish with a codec config record emits an E-RTMP
+    PacketTypeSequenceStart (vpcC / av1C payload) ahead of CodedFrames —
+    compliant receivers require it — and the receiver re-attaches the
+    record to every sample; hvc1 SI24 composition time sign-extends."""
+    from swiftvideo_tpu.codec import containers
+    from swiftvideo_tpu.net.rtmp.media import MediaSerializer
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+    from tests.test_containers import (av1_frame_obu, make_av1_seq_obu,
+                                       make_vp9_keyframe)
+    from tests.test_bitstream import make_h265_sps
+
+    clock = StepClock(TimePoint(16, 1000))
+
+    def coded(fmt, data, pts_ms, dts_ms=None, side=None):
+        dts_ms = pts_ms if dts_ms is None else dts_ms
+        return CodedMediaSample(
+            buffer=data, pts_value=TimePoint(pts_ms, 1000),
+            dts_value=TimePoint(dts_ms, 1000), media_type=MediaType.video,
+            media_format=fmt, id_asset="a", id_workspace="w",
+            side=side or {})
+
+    def roundtrip(samples):
+        tx_core = RtmpSessionCore(is_server=False, asset_id="a", clock=clock)
+        rx_core = RtmpSessionCore(is_server=True, asset_id="a", clock=clock)
+        rx_core._hs_state = "established"
+        media = MediaSerializer(tx_core.serializer, 1)
+        received = []
+        for s in samples:
+            blob = media.serialize(s)
+            if blob:
+                _, out = rx_core.feed(blob)
+                received.extend(out)
+        return received, media
+
+    # vp9 with vpcC: config precedes media and survives the wire
+    key = make_vp9_keyframe(1280, 720, color_space=1)
+    vpcc = containers.make_vpcc(key)
+    got, _ = roundtrip([coded(MediaFormat.vp9, key, 0,
+                              side={"config": vpcc}),
+                        coded(MediaFormat.vp9, b"\x84" + b"p" * 9, 16,
+                              side={"config": vpcc})])
+    assert [s.media_format for s in got] == [MediaFormat.vp9] * 2
+    assert got[0].side_data()["config"] == vpcc
+    assert got[1].side_data()["config"] == vpcc
+    assert containers.parse_vpcc(got[0].side_data()["config"])["level"] == 31
+    assert got[0].data() == key
+
+    # av1 with av1C
+    tu = make_av1_seq_obu(640, 360) + av1_frame_obu(0x00)
+    av1c = containers.make_av1c(tu)
+    got, _ = roundtrip([coded(MediaFormat.av1, tu, 0,
+                              side={"config": av1c})])
+    assert got[0].media_format == MediaFormat.av1
+    assert got[0].side_data()["config"] == av1c
+    assert containers.parse_av1c(
+        got[0].side_data()["config"])["config_obus"] \
+        == make_av1_seq_obu(640, 360)
+
+    # hvc1: negative composition offset (B-frame leading picture)
+    rec = containers.make_hvcc(b"\x40\x01", make_h265_sps(640, 360),
+                               b"\x44\x01")
+
+    def nal(t):
+        body = bytes([t << 1, 1]) + b"\x00" * 20
+        return len(body).to_bytes(4, "big") + body
+
+    got, _ = roundtrip([
+        coded(MediaFormat.hevc, nal(19), 2, 0, side={"config": rec}),
+        coded(MediaFormat.hevc, nal(1), 14, 16, side={"config": rec}),
+    ])
+    assert (got[1].pts() - got[1].dts()).value == -2
+
+    # vp8 carrying a config blob: nothing reaches the wire and the
+    # first-keyframe gate must NOT open (regression: it used to)
+    got, media = roundtrip([coded(MediaFormat.vp8, b"\x00v", 0,
+                                  side={"config": b"cfg"})])
+    assert got == [] and not media._sent_first_keyframe
+    assert MediaType.video not in media._prev_config
+
+
 def test_enhanced_rtmp_metadata_codec_ids():
     """onMetaData advertises the real codec ids (hvc1/Opus) instead of
     hardcoded avc1/mp4a."""
