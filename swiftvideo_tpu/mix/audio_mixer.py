@@ -19,8 +19,11 @@ Reference semantics: ``/root/reference/Sources/SwiftVideo/mix.audio.swift``
 * **constituent provenance** (:189-199) for every asset that contributed.
 
 The int16 hot loop is ops.audio.apply_mix_s16 (vectorized numpy with exact
-truncation/saturation semantics); a device fold (ops.audio.mix_s16_device)
-exists for wall-scale batched mixing (parallel.wall).
+truncation/saturation semantics); device folds cover both the aligned tick
+(ops.audio.mix_s16_device, also used for wall-scale batched mixing in
+parallel.wall) and offset/partial-window ticks
+(ops.audio.mix_s16_device_windowed), so a TPU-backed mixer never needs the
+host loop.
 """
 
 from __future__ import annotations
@@ -53,10 +56,10 @@ class AudioMixer(Source):
         super().__init__()
         self.clock = clock
         # device mixing (resurrected snd_s16i_s16i, kernels.cl.swift:534-562)
-        # engages when a device compute context is wired AND the tick's
-        # contributions are all full-window aligned (the Composer
-        # steady-state with an SRC in front); any offset/partial sample
-        # falls back to the host loop, which is the exact same algebra.
+        # engages when a device compute context is wired: full-window
+        # aligned ticks (the Composer steady-state with an SRC in front)
+        # take the plain fold, offset/partial contributions the windowed
+        # fold — both integer-equal to the host loop's algebra.
         # device_min_elems gates on total mixed elements: a typical
         # Composer tick (a few sources x ~2k int16) is microseconds of
         # numpy but a full device dispatch + two host<->device copies —
@@ -127,7 +130,8 @@ class AudioMixer(Source):
         """Fold ``contribs`` into ``backing`` in order.  Device path: one
         ``mix_s16_device`` call (exact snd_s16i_s16i fold algebra — integer
         equality with apply_mix_s16) when every contribution is
-        full-window aligned; otherwise the host loop."""
+        full-window aligned, or one ``mix_s16_device_windowed`` call for
+        offset/partial-window ticks; the host loop is the CPU fallback."""
         # drop no-op contributions (bad offsets; apply_mix_s16 returns -1
         # without mixing) so edge ticks don't knock out the device gate
         contribs = [c for c in contribs
@@ -137,17 +141,30 @@ class AudioMixer(Source):
         ctx = self.compute_context
         device_ok = (ctx is not None
                      and getattr(ctx, "backend", None) in ("jax", "pallas")
-                     and len(contribs) * backing.size >= self.device_min_elems
-                     and all(b_off == 0 and i_off == 0
-                             and data.size == backing.size
-                             for data, _g, b_off, i_off in contribs))
+                     and len(contribs) * backing.size >= self.device_min_elems)
         if device_ok:
-            from ..ops.audio import mix_s16_device
-            inputs = np.stack([data for data, _g, _b, _i in contribs])
             gains = np.stack([np.asarray(g, np.float32)
                               for _d, g, _b, _i in contribs])
+            if all(b_off == 0 and i_off == 0
+                   and data.size == backing.size
+                   for data, _g, b_off, i_off in contribs):
+                from ..ops.audio import mix_s16_device
+                inputs = np.stack([data for data, _g, _b, _i in contribs])
+                backing[:] = np.asarray(
+                    mix_s16_device(inputs, gains, base=backing))
+                return
+            from ..ops.audio import mix_s16_device_windowed
+            s, size = len(contribs), backing.size
+            inputs = np.zeros((s, size), np.int16)
+            starts = np.zeros(s, np.int32)
+            ends = np.zeros(s, np.int32)
+            for k, (data, _g, b_off, i_off) in enumerate(contribs):
+                n = min(size - b_off, data.size - i_off)
+                inputs[k, b_off:b_off + n] = data[i_off:i_off + n]
+                starts[k], ends[k] = b_off, b_off + n
             backing[:] = np.asarray(
-                mix_s16_device(inputs, gains, base=backing))
+                mix_s16_device_windowed(inputs, gains, starts, ends,
+                                        base=backing))
             return
         for data, gains, b_off, i_off in contribs:
             apply_mix_s16(data, gains, backing,

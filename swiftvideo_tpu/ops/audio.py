@@ -124,6 +124,51 @@ def mix_s16_device(inputs, gains, base=None):
     return _mix_program(s, n, c, False)(inputs, gains, base)
 
 
+@lru_cache(maxsize=32)
+def _mix_windowed_program(num_sources: int, length: int, channels: int):
+    """Windowed variant of :func:`_mix_program`: each source mixes only
+    inside its own [start, end) span of the backing buffer with the gain
+    phase anchored at ``start`` — exactly ``apply_mix_s16``'s
+    ``idx % ch`` over the contribution range.  Positions outside the
+    span add 0 before the clamp; the accumulator is already inside
+    [-32768, 32767] there, so the clamp is a no-op and the fold stays
+    integer-equal to the sequential host loop."""
+
+    def run(inputs, gains, starts, ends, base):
+        idx = jnp.arange(length, dtype=jnp.int32)
+
+        def body(acc, sg):
+            src, g, lo, hi = sg
+            phase = jnp.mod(idx - lo, channels)
+            contrib = jnp.trunc(src.astype(jnp.float32)
+                                * g[phase]).astype(jnp.int32)
+            contrib = jnp.where((idx >= lo) & (idx < hi), contrib, 0)
+            return jnp.clip(acc + contrib, -32768, 32767), None
+
+        acc, _ = jax.lax.scan(body, base.astype(jnp.int32),
+                              (inputs, gains, starts, ends),
+                              unroll=min(num_sources, 64))
+        return acc.astype(jnp.int16)
+
+    return jax.jit(run)
+
+
+def mix_s16_device_windowed(inputs, gains, starts, ends, base=None):
+    """Mix [S, L] int16 buffers (zero-padded into backing alignment) with
+    [S, C] gains, each source active on [starts[k], ends[k]) of the
+    backing.  Covers the offset/partial-window contributions the aligned
+    :func:`mix_s16_device` fast path cannot."""
+    inputs = jnp.asarray(inputs)
+    gains = jnp.asarray(gains, dtype=jnp.float32)
+    s, n = inputs.shape
+    c = gains.shape[-1]
+    if base is None:
+        base = jnp.zeros((n,), jnp.int16)
+    return _mix_windowed_program(s, n, c)(
+        inputs, gains, jnp.asarray(starts, jnp.int32),
+        jnp.asarray(ends, jnp.int32), base)
+
+
 def mix_s16_device_batched(inputs, gains, base=None):
     """Batched over a leading stream axis: [B, S, n] x [B, S, C] -> [B, n]."""
     inputs = jnp.asarray(inputs)

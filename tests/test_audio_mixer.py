@@ -278,10 +278,22 @@ def test_device_mix_parity_exact():
     assert len(dev) == len(host)
     for d, h in zip(dev, host):
         assert np.array_equal(d, h)
-    # unaligned 1024 packets: device gate declines, host loop used (no
-    # crash, identical output with and without a context)
-    dev2 = run(ctx, 1024)
+    # unaligned 1024 packets: offset/partial contributions route through
+    # the WINDOWED device kernel (no host loop) and stay integer-exact
+    wcalls = []
+    real_w = audio_ops.mix_s16_device_windowed
+
+    def wspy(inputs, gains, starts, ends, base=None):
+        wcalls.append(inputs.shape)
+        return real_w(inputs, gains, starts, ends, base)
+
+    with mock.patch.object(am_mod, "apply_mix_s16",
+                           side_effect=apply_host_fail):
+        with mock.patch.object(audio_ops, "mix_s16_device_windowed", wspy):
+            dev2 = run(ctx, 1024)
     host2 = run(None, 1024)
+    assert wcalls, "windowed device path never engaged"
+    assert len(dev2) == len(host2)
     for d, h in zip(dev2, host2):
         assert np.array_equal(d, h)
 

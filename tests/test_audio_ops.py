@@ -51,6 +51,45 @@ def test_device_mix_matches_host():
     assert np.array_equal(host, dev)
 
 
+def test_device_mix_windowed_matches_host():
+    """Offset/partial-window contributions (the cases the aligned fast
+    path can't take) mix with exact integer equality vs the sequential
+    host loop — including saturation interleaving and odd backing
+    offsets that shift the gain phase."""
+    rng = np.random.default_rng(11)
+    window = 960 * 2
+    for trial in range(12):
+        n_src = int(rng.integers(1, 6))
+        host = rng.integers(-32768, 32767, window, np.int64).astype(np.int16)
+        contribs = []
+        for _ in range(n_src):
+            size = int(rng.integers(8, 2400))
+            data = (rng.integers(-32768, 32767, size, np.int64)
+                    .astype(np.int16))
+            # near-saturation sources in half the trials
+            if trial % 2:
+                data = (data.astype(np.int32) | 0x4000).astype(np.int16)
+            g = rng.uniform(0.0, 1.5, 2).astype(np.float32)
+            b_off = int(rng.integers(0, window - 1))
+            i_off = int(rng.integers(0, size - 1))
+            contribs.append((data, g, b_off, i_off))
+        expect = host.copy()
+        for data, g, b_off, i_off in contribs:
+            aud.apply_mix_s16(data, g, expect,
+                              backing_start=b_off, input_start=i_off)
+        inputs = np.zeros((n_src, window), np.int16)
+        starts = np.zeros(n_src, np.int32)
+        ends = np.zeros(n_src, np.int32)
+        gains = np.stack([g for _d, g, _b, _i in contribs])
+        for k, (data, _g, b_off, i_off) in enumerate(contribs):
+            n = min(window - b_off, data.size - i_off)
+            inputs[k, b_off:b_off + n] = data[i_off:i_off + n]
+            starts[k], ends[k] = b_off, b_off + n
+        dev = np.asarray(aud.mix_s16_device_windowed(
+            inputs, gains, starts, ends, base=host))
+        assert np.array_equal(expect, dev), f"trial {trial}"
+
+
 def test_device_mix_batched():
     rng = np.random.default_rng(8)
     sources = rng.integers(-1000, 1000, (3, 2, 64), np.int64).astype(np.int16)
