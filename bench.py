@@ -437,6 +437,21 @@ def main() -> None:
             f"{dt6g*1e3:.3f} ms/frame = {1/dt6g:.1f} fps")
     except Exception as exc:  # noqa: BLE001
         log("config6 grouped ssd motion failed:", exc)
+    try:
+        from swiftvideo_tpu.ops import motion
+        prog_p = motion._me_pyramid_program(1080, 1920, 16, 64, 2, "ssd")
+
+        def me_body_p(i, carry):
+            c, r, _prev = carry
+            out = prog_p(c, r)
+            return (c.at[0, 0].set(out[0, 0, 0]), r, out)
+
+        dt6p = time_device_loop(me_body_p, (curd, refd, prog_p(curd, refd)),
+                                iters=20)
+        log(f"config6 1080p ME 16/64 (pyramid, production mode): "
+            f"{dt6p*1e3:.3f} ms/frame = {1/dt6p:.1f} fps")
+    except Exception as exc:  # noqa: BLE001
+        log("config6 pyramid motion failed:", exc)
 
     # ---- config 7 (host): RTMP loopback realtime multiple ----------------
     # the reference's only printed perf figure (rtmpTests.swift:100-106):

@@ -115,7 +115,10 @@ def _mv_rgba(mvx, mvy, search: int, xp):
 
 
 @lru_cache(maxsize=16)
-def _me_program(h: int, w: int, block: int, search: int):
+def _me_program(h: int, w: int, block: int, search: int,
+                raw: bool = False):
+    """``raw``: return (mvx, mvy) f32 fields instead of the RGBA
+    normalization (consumed by the pyramid refine stage)."""
     import jax
     import jax.numpy as jnp
 
@@ -173,6 +176,8 @@ def _me_program(h: int, w: int, block: int, search: int):
                 jnp.zeros((hb, wb), jnp.float32),
                 jnp.zeros((hb, wb), jnp.float32))
         (score, mvx, mvy), _ = jax.lax.scan(step, init, jnp.asarray(cand))
+        if raw:
+            return mvx, mvy
         return _mv_rgba(mvx, mvy, search, jnp)
 
     return jax.jit(run)
@@ -525,7 +530,8 @@ def me_ssd_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
 
 @lru_cache(maxsize=16)
 def _me_mxu_program(h: int, w: int, block: int, search: int,
-                    grouped: bool = False, unroll: int = 0):
+                    grouped: bool = False, unroll: int = 0,
+                    raw: bool = False):
     """``grouped``: block-column groups + ``feature_group_count`` conv —
     each group of ``gs`` blocks convolves only its own x-segment
     (16*(gs-1) + n_d positions instead of all of W), cutting the dense
@@ -551,7 +557,7 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
         # the zero MV everywhere.  The SAD scan program reduces over an
         # empty candidate list and produces exactly that; the SSD
         # formulation below would build zero-width conv segments instead.
-        return _me_program(h, w, block, search)
+        return _me_program(h, w, block, search, raw)
     strips, wb = h // block, w // block
     if not unroll:
         unroll = min(strips, 80)
@@ -707,6 +713,8 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
             (wins, filt, jnp.asarray(nvy), jnp.asarray(jgbase),
              jnp.asarray(ylo), jnp.asarray(oy)),
             unroll=unroll)
+        if raw:
+            return mvx, mvy
         return _mv_rgba(mvx, mvy, search, jnp)
 
     cx_tab = jnp.asarray(cx_tab)
@@ -882,3 +890,129 @@ def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64,
                                        search)(cur, jnp.asarray(ref))
     return _me_mxu_program(h, w, block, search,
                            grouped)(cur, jnp.asarray(ref))
+
+
+# --- hierarchical (pyramid) production mode ---------------------------------
+
+@lru_cache(maxsize=8)
+def _me_pyramid_program(h: int, w: int, block: int, search: int,
+                        refine: int, metric: str):
+    import jax
+    import jax.numpy as jnp
+
+    hb, wb = h // block, w // block
+    h2, w2 = h // 2, w // 2
+    win = block + 2 * refine
+    oy = np.arange(hb, dtype=np.int32) * block
+    ox = np.arange(wb, dtype=np.int32) * block
+
+    def vb(o, size):
+        left = np.clip(o + block // 2 - search // 2, 0, size)
+        right = np.clip(left + search, 0, size)
+        return left, right - block
+
+    xlo, xhi = vb(ox, w)
+    ylo, yhi = vb(oy, h)
+
+    # candidate offsets in the golden tie order: tx-major, then ty
+    offs = [(ddx, ddy) for ddx in range(2 * refine + 1)
+            for ddy in range(2 * refine + 1)]
+
+    # f32 cost tables built in f64 on host (same values as the oracles)
+    dmax = search
+    dvals = np.arange(-dmax, dmax + 1, dtype=np.float64)
+    if metric == "ssd":
+        ax_tab = jnp.asarray(_axis_cost(dvals).astype(np.float32))
+    else:
+        cost2d = jnp.asarray(np.float32(
+            delta_cost2(dvals[:, None], dvals[None, :])))
+
+    # coarse stage is ALWAYS the SSD-grouped program (the fast MXU path);
+    # the refine stage re-scores at full resolution with the requested
+    # metric, so metric="sad" refines SSD-guided candidates with SAD
+    coarse = _me_mxu_program(h2, w2, block // 2, search // 2, True,
+                             raw=True)
+
+    def down2(x):
+        s = (x[0::2, 0::2].astype(jnp.uint16) + x[1::2, 0::2]
+             + x[0::2, 1::2] + x[1::2, 1::2])
+        return ((s + 2) >> 2).astype(jnp.uint8)
+
+    def run(cur_u8, ref_u8):
+        mvx2, mvy2 = coarse(down2(cur_u8), down2(ref_u8))  # [hb, wb] f32
+        # full-res candidate center t = o - 2*coarse_mv
+        tcy = oy[:, None] - 2 * mvy2.astype(jnp.int32)
+        tcx = ox[None, :] - 2 * mvx2.astype(jnp.int32)
+        gy0 = jnp.clip(tcy - refine, 0, h - win)
+        gx0 = jnp.clip(tcx - refine, 0, w - win)
+        ii = jnp.arange(win)
+        patch = ref_u8[gy0[..., None, None] + ii[None, None, :, None],
+                       gx0[..., None, None] + ii[None, None, None, :]] \
+            .astype(jnp.int32)                        # [hb, wb, win, win]
+        cb = (cur_u8[:hb * block, :wb * block]
+              .reshape(hb, block, wb, block).transpose(0, 2, 1, 3)
+              .astype(jnp.int32))                     # [hb, wb, B, B]
+        best_s = jnp.full((hb, wb), jnp.inf, jnp.float32)
+        best_x = jnp.zeros((hb, wb), jnp.float32)
+        best_y = jnp.zeros((hb, wb), jnp.float32)
+        for ddx, ddy in offs:
+            rb = patch[:, :, ddy:ddy + block, ddx:ddx + block]
+            ty = gy0 + ddy
+            tx = gx0 + ddx
+            valid = ((ty >= ylo[:, None]) & (ty < yhi[:, None])
+                     & (tx >= xlo[None, :]) & (tx < xhi[None, :]))
+            dyi = oy[:, None] - ty      # = mvy candidate
+            dxi = ox[None, :] - tx
+            if metric == "ssd":
+                partial = ((rb * rb).sum((2, 3))
+                           - 2 * (cb * rb).sum((2, 3)))
+                cy = ax_tab[dyi + dmax]
+                cx = ax_tab[dxi + dmax]
+                score = (partial.astype(jnp.float32) * _SCALE2 + cy) + cx
+            else:
+                sad = jnp.abs(cb - rb).sum((2, 3))
+                cost = cost2d[dxi + dmax, dyi + dmax]
+                score = cost + sad.astype(jnp.float32) * _SCALE
+            score = jnp.where(valid, score, jnp.inf)
+            better = score < best_s
+            best_s = jnp.where(better, score, best_s)
+            best_x = jnp.where(better, dxi.astype(jnp.float32), best_x)
+            best_y = jnp.where(better, dyi.astype(jnp.float32), best_y)
+        return _mv_rgba(best_x, best_y, search, jnp)
+
+    return jax.jit(run)
+
+
+def me_fullsearch_pyramid(cur, ref, block: int = 16, search: int = 64,
+                          refine: int = 2, metric: str = "ssd"):
+    """Two-level hierarchical motion estimation — the production speed
+    mode (beyond the reference, whose Metal kernel is exhaustive-only).
+
+    Full search runs at half resolution (block/2, search/2) on the MXU
+    SSD path, then each block is re-scored at full resolution over
+    ``2*coarse_mv +- refine`` with the requested ``metric``'s exact
+    scoring (same cost tables, tie order, and f32 arithmetic as the
+    oracles).  The candidate displacement grid of the coarse stage maps
+    to [2*d_lo, 2*d_hi'] = [d_lo, d_hi - 1] of the full-resolution
+    range, so coverage matches full search up to the +-refine margin.
+
+    NOT exhaustive (documented deviation): content whose true motion is
+    not representable as (2 * half-res optimum) +- refine — e.g. heavily
+    aliased textures where half-resolution SSD is misleading — may pick
+    a worse candidate than ``me_fullsearch_device``.  On smooth or
+    natural content the result is typically identical; the tests assert
+    exact agreement under global translation.
+
+    Falls back to the exhaustive device path for geometries the pyramid
+    cannot express (odd sizes, tiny blocks, degenerate windows).
+    """
+    import jax.numpy as jnp
+    cur = jnp.asarray(cur)
+    h, w = cur.shape
+    if (h % 2 or w % 2 or block % 2 or search % 2 or block < 8
+            or search <= block or search // 2 <= block // 2
+            or w % block or h < block + 2 * refine
+            or w < block + 2 * refine):
+        return me_fullsearch_device(cur, ref, block, search, metric=metric)
+    return _me_pyramid_program(h, w, block, search, refine,
+                               metric)(cur, jnp.asarray(ref))

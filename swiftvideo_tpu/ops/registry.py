@@ -73,7 +73,8 @@ def default_compute_kernel_from_string(name: str) -> ComputeKernel:
         elif parts[1] not in _NAME_FMTS or parts[2] not in _NAME_FMTS:
             raise ComputeError(f"invalid kernel {name}")
         return ComputeKernel(name)
-    if name in ("snd_s16i_s16i", "me_fullsearch", "me_fullsearch_ssd"):
+    if name in ("snd_s16i_s16i", "me_fullsearch", "me_fullsearch_ssd",
+                "me_fullsearch_pyramid"):
         return ComputeKernel(name)
     raise ComputeError(f"invalid kernel {name}")
 
@@ -153,20 +154,27 @@ def run_compute_kernel(ctx: ComputeContext, images, target: PictureSample,
         else:
             planes = composite.clear_device(fmt, target.size())
         return target.with_(img=target.img.with_buffers(planes))
-    if name in ("me_fullsearch", "me_fullsearch_ssd"):
+    if name in ("me_fullsearch", "me_fullsearch_ssd",
+                "me_fullsearch_pyramid"):
         # motion estimation: images = [current, reference] luma samples;
         # emits an RGBA MV map at block resolution (kernels.metal:206-267).
         # The _ssd variant runs the MXU formulation (documented metric
-        # deviation, ops/motion.py module notes; ~2x the fps on TPU).
+        # deviation, ops/motion.py module notes; ~2x the fps on TPU);
+        # _pyramid is the hierarchical production speed mode (coarse
+        # SSD at half resolution + exact local refine).
         from ..media.picture import ImageBuffer
         from ..media.pixel import planes_for_format
         from . import motion
         if len(images) < 2:
             raise ComputeError("badInputData")
         cur, ref = images[0], images[1]
-        mv = motion.me_fullsearch_device(
-            cur.planes()[0], ref.planes()[0],
-            metric="ssd" if name.endswith("_ssd") else "sad")
+        if name.endswith("_pyramid"):
+            mv = motion.me_fullsearch_pyramid(cur.planes()[0],
+                                              ref.planes()[0])
+        else:
+            mv = motion.me_fullsearch_device(
+                cur.planes()[0], ref.planes()[0],
+                metric="ssd" if name.endswith("_ssd") else "sad")
         h, w = mv.shape[:2]
         img = ImageBuffer(pixel_format=PixelFormat.RGBA,
                           buffer_type=BufferType.gpu, size=(w, h),

@@ -322,3 +322,58 @@ def test_motion_mxu_ssd_grouped_matches_golden(geom):
     grp = np.asarray(motion.me_fullsearch_mxu(cur, ref, 16, search,
                                               grouped=True))
     assert np.array_equal(gold, grp)
+
+
+# --- hierarchical (pyramid) motion mode ------------------------------------
+
+def test_motion_pyramid_matches_golden_even_shift():
+    """Even global translation survives 2x decimation exactly, so the
+    pyramid (coarse SSD + exact refine) must agree with the exhaustive
+    oracle on every interior block, for both refine metrics."""
+    rng = np.random.default_rng(33)
+    ref = rng.integers(0, 255, (96, 128), np.uint8)
+    cur = np.roll(ref, (6, 4), axis=(0, 1))
+    gold_ssd = motion.me_ssd_golden(cur, ref, 16, 64)
+    pyr_ssd = np.asarray(motion.me_fullsearch_pyramid(cur, ref, 16, 64))
+    assert np.array_equal(gold_ssd[1:-1, 1:-1], pyr_ssd[1:-1, 1:-1])
+    gold_sad = motion.me_fullsearch_golden(cur, ref, 16, 64)
+    pyr_sad = np.asarray(motion.me_fullsearch_pyramid(cur, ref, 16, 64,
+                                                      metric="sad"))
+    assert np.array_equal(gold_sad[1:-1, 1:-1], pyr_sad[1:-1, 1:-1])
+
+
+def test_motion_pyramid_odd_shift_smooth_content():
+    """Odd shifts don't decimate cleanly; on smooth content the coarse
+    stage still lands within the refine margin, so interior blocks
+    recover the exact MV."""
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float64)
+    ref = ((np.sin(yy / 9.0) + np.cos(xx / 7.0) + 2.0) * 60.0) \
+        .astype(np.uint8)
+    cur = np.roll(ref, (5, 3), axis=(0, 1))
+    gold = motion.me_ssd_golden(cur, ref, 16, 64)
+    pyr = np.asarray(motion.me_fullsearch_pyramid(cur, ref, 16, 64))
+    assert np.array_equal(gold[1:-1, 1:-1], pyr[1:-1, 1:-1])
+
+
+def test_motion_pyramid_fallback_geometries():
+    """Geometries the pyramid cannot express route to the exhaustive
+    device path (identical output, no crash)."""
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 255, (65, 96), np.uint8)     # odd height
+    cur = np.roll(ref, 2, axis=1)
+    dev = np.asarray(motion.me_fullsearch_device(cur, ref, 16, 32,
+                                                 metric="ssd"))
+    pyr = np.asarray(motion.me_fullsearch_pyramid(cur, ref, 16, 32))
+    assert np.array_equal(dev, pyr)
+    # degenerate window (search <= block) likewise
+    z = np.zeros((64, 64), np.uint8)
+    assert np.asarray(motion.me_fullsearch_pyramid(z, z, 16, 16)).shape \
+        == (4, 4, 4)
+
+
+def test_motion_pyramid_registry_kernel():
+    """me_fullsearch_pyramid is a named compute kernel."""
+    from swiftvideo_tpu.ops.registry import \
+        default_compute_kernel_from_string
+    assert default_compute_kernel_from_string(
+        "me_fullsearch_pyramid").name == "me_fullsearch_pyramid"
