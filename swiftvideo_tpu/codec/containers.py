@@ -392,14 +392,19 @@ def make_hvcc(vps: bytes, sps: bytes, pps: bytes) -> bytes:
 # VP9 level by max luma picture size (VP9 spec Annex A levels table) —
 # first level whose picture-size budget fits; good enough for a config
 # record (rate-based constraints need stream stats we don't track).
-_VP9_LEVELS = [(36864, 10), (73728, 11), (163840, 21), (552960, 30),
-               (983040, 31), (2228224, 40), (8912896, 50), (35651584, 60)]
+_VP9_LEVELS = [(36864, 10), (73728, 11), (122880, 20), (245760, 21),
+               (552960, 30), (983040, 31), (2228224, 40), (8912896, 50),
+               (35651584, 60)]
 
 # (colourPrimaries, transferCharacteristics, matrixCoefficients) per
-# VP9 color_space value; unlisted spaces map to "unspecified" (2,2,2).
+# VP9 color_space value (spec §7.2.2: 1=601, 2=709, 3=SMPTE170,
+# 4=SMPTE240, 5=BT2020, 7=sRGB); unlisted map to "unspecified" (2,2,2).
 _VP9_CICP = {1: (6, 6, 6),             # CS_BT_601 -> SMPTE 170M
              2: (1, 1, 1),             # CS_BT_709
-             4: (9, 14, 9)}            # CS_BT_2020 (10-bit transfer)
+             3: (6, 6, 6),             # CS_SMPTE_170
+             4: (7, 7, 7),             # CS_SMPTE_240
+             5: (9, 14, 9),            # CS_BT_2020 (10-bit transfer)
+             7: (1, 13, 0)}            # CS_RGB -> sRGB, identity matrix
 
 
 def make_vpcc(keyframe: bytes) -> bytes:
@@ -440,9 +445,10 @@ def make_av1c(temporal_unit: bytes) -> bytes:
     ``av01`` SequenceStart payload) from a temporal unit carrying a
     sequence header OBU.  configOBUs carries the sequence header
     verbatim — the authoritative source decoders actually parse; the
-    color-config summary bits are fixed at this pipeline's 8-bit 4:2:0
-    operating point (parsing them exactly would need the full
-    color_config walk past the frame-id/superblock flags)."""
+    color-config summary bits use the profile-implied chroma layout
+    (profile 0 -> 4:2:0, profile 1 -> 4:4:4, profile 2 -> 4:2:2) at
+    8 bits (parsing the true bit depth would need the full color_config
+    walk past the frame-id/superblock flags)."""
     from . import bitstream
     info = bitstream.av1_seq_header_info(temporal_unit)
     seq_obu = b""
@@ -458,10 +464,12 @@ def make_av1c(temporal_unit: bytes) -> bytes:
                     break
             seq_obu = bytes([0x0A]) + bytes(size) + payload
             break
+    csx, csy = {0: (1, 1), 1: (0, 0), 2: (1, 0)}.get(
+        info["profile"], (1, 1))
     return bytes([0x81,                           # marker=1, version=1
                   (info["profile"] << 5) | info["level"],
-                  (info["tier"] << 7) | (1 << 3) | (1 << 2),  # csx=csy=1
-                  0]) + seq_obu                   # 8-bit 4:2:0, no delay
+                  (info["tier"] << 7) | (csx << 3) | (csy << 2),
+                  0]) + seq_obu                   # 8-bit, no delay
 
 
 def parse_av1c(record: bytes) -> dict:

@@ -1010,7 +1010,7 @@ def me_fullsearch_pyramid(cur, ref, block: int = 16, search: int = 64,
     cur = jnp.asarray(cur)
     h, w = cur.shape
     if (h % 2 or w % 2 or block % 2 or search % 2 or block < 8
-            or search <= block or search // 2 <= block // 2
+            or search <= block
             or w % block or h < block + 2 * refine
             or w < block + 2 * refine):
         return me_fullsearch_device(cur, ref, block, search, metric=metric)

@@ -212,6 +212,14 @@ def test_vpcc_record_roundtrip():
     assert (got["colour_primaries"], got["transfer_characteristics"],
             got["matrix_coefficients"]) == (6, 6, 6)   # BT.601
     assert got["codec_initialization_data"] == b""
+    # VP9 Annex A level boundaries + CICP (spec §7.2.2 color_space)
+    got2 = containers.parse_vpcc(containers.make_vpcc(
+        make_vp9_keyframe(352, 288, color_space=5)))    # CS_BT_2020
+    assert got2["level"] == 20                          # 101376 <= 122880
+    assert (got2["colour_primaries"], got2["transfer_characteristics"],
+            got2["matrix_coefficients"]) == (9, 14, 9)
+    assert containers.parse_vpcc(containers.make_vpcc(
+        make_vp9_keyframe(640, 360)))["level"] == 21    # 230400 <= 245760
     with pytest.raises(ValueError):
         containers.parse_vpcc(rec[:4])
     with pytest.raises(ValueError):                 # inter frame: no header
