@@ -330,3 +330,46 @@ def test_packed_422_composite_hardware():
         err = np.abs(np.asarray(dev[0]).astype(int)
                      - ref[0].astype(int)).max()
         assert err <= 1, (fmt, err)
+
+
+def test_motion_pyramid_hardware():
+    """Pyramid production mode on the chip: coarse raw-MV path + the
+    refine gather/re-score lowering must reproduce the exhaustive
+    oracle on interior blocks under even global translation (same
+    contract as the CPU test; the gather and i32 products are
+    hardware-specific lowerings)."""
+    from swiftvideo_tpu.ops import motion
+    rng = np.random.default_rng(33)
+    ref = rng.integers(0, 255, (96, 128), np.uint8)
+    cur = np.roll(ref, (6, 4), axis=(0, 1))
+    gold = motion.me_ssd_golden(cur, ref, 16, 64)
+    pyr = np.asarray(motion.me_fullsearch_pyramid(cur, ref, 16, 64))
+    assert np.array_equal(gold[1:-1, 1:-1], pyr[1:-1, 1:-1])
+
+
+def test_audio_device_mix_windowed_exact_hardware():
+    """Windowed device fold (offset/partial AudioMixer ticks) == host
+    loop with exact integer equality on the chip."""
+    from swiftvideo_tpu.ops.audio import (apply_mix_s16,
+                                          mix_s16_device_windowed)
+    rng = np.random.default_rng(13)
+    n, s = 1920, 5
+    host = rng.integers(-30000, 30000, n).astype(np.int16)
+    inputs = np.zeros((s, n), np.int16)
+    starts = np.zeros(s, np.int32)
+    ends = np.zeros(s, np.int32)
+    gains = rng.uniform(0.1, 1.6, (s, 2)).astype(np.float32)
+    expect = host.copy()
+    for k in range(s):
+        size = int(rng.integers(400, 2400))
+        data = rng.integers(-32768, 32767, size).astype(np.int16)
+        b_off = int(rng.integers(0, n - 100))
+        i_off = int(rng.integers(0, size - 100))
+        apply_mix_s16(data, gains[k], expect,
+                      backing_start=b_off, input_start=i_off)
+        m = min(n - b_off, size - i_off)
+        inputs[k, b_off:b_off + m] = data[i_off:i_off + m]
+        starts[k], ends[k] = b_off, b_off + m
+    dev = np.asarray(mix_s16_device_windowed(inputs, gains, starts, ends,
+                                             base=host))
+    assert np.array_equal(expect, dev)
