@@ -497,6 +497,19 @@ def test_enhanced_rtmp_sequence_start_configs():
     assert got == [] and not media._sent_first_keyframe
     assert MediaType.video not in media._prev_config
 
+    # mid-stream config change (rtmp.swift:562-609 resend semantics):
+    # a new hvcC triggers a fresh SequenceStart and downstream samples
+    # re-attach the NEW record
+    rec2 = containers.make_hvcc(b"\x40\x01", make_h265_sps(1280, 720),
+                                b"\x44\x01")
+    got, _ = roundtrip([
+        coded(MediaFormat.hevc, nal(19), 0, 0, side={"config": rec}),
+        coded(MediaFormat.hevc, nal(1), 16, 16, side={"config": rec}),
+        coded(MediaFormat.hevc, nal(19), 32, 32, side={"config": rec2}),
+        coded(MediaFormat.hevc, nal(1), 48, 48, side={"config": rec2}),
+    ])
+    assert [s.side_data()["config"] for s in got] == [rec, rec, rec2, rec2]
+
 
 def test_enhanced_rtmp_metadata_codec_ids():
     """onMetaData advertises the real codec ids (hvc1/Opus) instead of
