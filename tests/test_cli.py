@@ -84,6 +84,23 @@ def test_transcode_video_and_audio(tmp_path, mock_ffmpeg):
     assert len(packets) > 2
 
 
+def test_transcode_av1_ivf(tmp_path, mock_ffmpeg):
+    """CLI AV1 transcode end-to-end through real subprocess pipes: AV01
+    IVF out, temporal units parse, keyframes flagged."""
+    from swiftvideo_tpu.codec import bitstream
+    src = tmp_path / "clip.mockav"
+    _write_mockav(src)
+    vout = tmp_path / "out.ivf"
+    rc = cli.main(["transcode", str(src), "--video-out", str(vout),
+                   "--vcodec", "av1"])
+    assert rc == 0
+    header, frames, rest = containers.parse_ivf(vout.read_bytes())
+    assert header["codec"] == b"AV01"
+    assert header["n_frames"] == len(frames) == 5 and not rest
+    assert bitstream.av1_frame_size(frames[0][1]) == (32, 16)
+    assert bitstream.av1_is_keyframe(frames[0][1])
+
+
 def test_transcode_annexb_h264(tmp_path, mock_ffmpeg):
     src = tmp_path / "clip.mockav"
     _write_mockav(src)
