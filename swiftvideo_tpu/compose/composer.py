@@ -78,7 +78,10 @@ class Composer:
         self._scenes: Dict[str, Scene] = {s.name: s for s in composition.scenes}
         self._elements: Dict[str, Tuple[Element, PictureAnimator,
                                         SoundAnimator]] = {}
-        self._bindings: Dict[str, Tuple[str, object, object]] = {}
+        # keyed per (asset, element) like the reference's per-element
+        # connectElement (composer.swift:203-224): one asset may feed
+        # several elements (e.g. picture-in-picture of the same camera)
+        self._bindings: Dict[Tuple[str, str], Tuple[object, object]] = {}
         if composition.initial_scene:
             self.set_scene(composition.initial_scene)
 
@@ -152,13 +155,23 @@ class Composer:
                                          self.composition.channel_count,
                                          AudioFormat.s16i)
             >> soun_anim >> self.audio_mixer)
-        self._bindings[asset_id] = (element_id, pic_chain, soun_chain)
+        self._bindings[(asset_id, element_id)] = (pic_chain, soun_chain)
+        # connectElement(setInitialState: true) resets BOTH animators
+        # (composer.swift:219-222)
         pic_anim.set_state(element.initial_state, TimePoint(0, 1000))
+        soun_anim.set_state(element.initial_state, TimePoint(0, 1000))
 
-    def unbind(self, asset_id: str) -> None:
-        # dropping the chains unsubscribes them (weak bus observers)
-        binding = self._bindings.pop(asset_id, None)
-        if binding is not None:
+    def unbind(self, asset_id: str,
+               element_id: Optional[str] = None) -> None:
+        # dropping the chains unsubscribes them (weak bus observers);
+        # element_id narrows to one binding, default removes the asset
+        # everywhere
+        keys = [k for k in self._bindings
+                if k[0] == asset_id and (element_id is None
+                                         or k[1] == element_id)]
+        for k in keys:
+            self._bindings.pop(k, None)
+        if keys and not any(k[0] == asset_id for k in self._bindings):
             self.audio_mixer.remove_asset(asset_id)
 
     # --- command trees (composer.swift:141-183) ---------------------------
@@ -189,7 +202,18 @@ class Composer:
             fut = self.set_state(command.set_state.element,
                                  command.set_state.state,
                                  command.set_state.duration)
-            fut.add_done_callback(run_after)
+
+            def forward(f):
+                # a failed set_state must fail the command and skip the
+                # `after` continuations, not silently resolve True
+                exc = f.exception()
+                if exc is not None:
+                    if not done.done():
+                        done.set_exception(exc)
+                    return
+                run_after()
+
+            fut.add_done_callback(forward)
         elif command.bind is not None:
             self.bind(command.bind.asset_id, command.bind.element)
             run_after()
@@ -223,8 +247,8 @@ class Composer:
             "states": {name: enc(asdict(entry[1].current_state))
                        for name, entry in self._elements.items()
                        if entry[1].current_state is not None},
-            "bindings": {asset: binding[0]
-                         for asset, binding in self._bindings.items()},
+            "bindings": [[asset, element]
+                         for (asset, element) in self._bindings],
         }
 
     def restore(self, snap: dict) -> None:
@@ -245,8 +269,11 @@ class Composer:
             return o
 
         # bindings first: bind() resets elements to their initial state
-        for asset, element in snap.get("bindings", {}).items():
-            if asset not in self._bindings and element in self._elements:
+        raw_b = snap.get("bindings", [])
+        pairs = raw_b.items() if isinstance(raw_b, dict) else raw_b
+        for asset, element in pairs:
+            if ((asset, element) not in self._bindings
+                    and element in self._elements):
                 self.bind(asset, element)
         for name, raw in snap.get("states", {}).items():
             if name in self._elements:

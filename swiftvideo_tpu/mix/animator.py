@@ -23,7 +23,7 @@ import numpy as np
 
 from ..scene import (AspectMode, ElementState, PicOrigin,
                                 PictureAnchor)
-from ..core import Clock, EventBox, TimePoint, Tx, seconds
+from ..core import Clock, EventBox, TimePoint, Tx, rescale, seconds
 from ..media.audio import AudioSample
 from ..media.picture import PictureSample
 from ..utils import matrix as m4
@@ -197,6 +197,7 @@ class PictureAnimator(Tx):
         self.initial_parent_state: Optional[ComputedPictureState] = None
         self.anchors = list(parent_anchors)
         self.z_index = z_index
+        self._transition_gen = 0
         super().__init__(self._impl)
 
     def set_parent(self, parent: Optional["PictureAnimator"]) -> None:
@@ -206,6 +207,8 @@ class PictureAnimator(Tx):
         """animator.pic.swift:54-80: immediate when no current state or zero
         duration, otherwise a clock-scheduled transition."""
         fut: Future = Future()
+        self._transition_gen += 1
+        gen = self._transition_gen
         if self.current_state is None or duration.value <= 0:
             self.current_state = state
             self.next_state = None
@@ -217,11 +220,22 @@ class PictureAnimator(Tx):
             fut.set_result(True)
         else:
             now = self.clock.current()
+            # `now + duration` adopts duration's SCALE (clock.swift:250-253
+            # semantics), so a coarse duration (e.g. whole seconds) would
+            # truncate `now` and fire the deadline early; normalize to the
+            # finer scale first (the Repeater does the same at init)
+            duration = rescale(duration, max(now.scale, duration.scale))
             self.current_start_time = now
             self.next_state = state
             self.transition_duration = duration
 
             def complete(_event):
+                if self._transition_gen != gen:
+                    # superseded by a later set_state: the stale
+                    # deadline must not truncate the new transition
+                    if not fut.done():
+                        fut.set_result(True)
+                    return
                 self.anchors = (list(self.next_state.parent_anchor)
                                 if self.next_state and self.next_state.parent_anchor
                                 else [PictureAnchor.anchorTopLeft])
@@ -284,6 +298,7 @@ class SoundAnimator(Tx):
         self.transition_duration: Optional[TimePoint] = None
         self.current_start_time: Optional[TimePoint] = None
         self.parent = parent
+        self._transition_gen = 0
         super().__init__(self._impl)
 
     def set_parent(self, parent: Optional["SoundAnimator"]) -> None:
@@ -291,16 +306,32 @@ class SoundAnimator(Tx):
 
     def set_state(self, state: ElementState, duration: TimePoint) -> Future:
         fut: Future = Future()
+        self._transition_gen += 1
+        gen = self._transition_gen
         if self.current_state is None or duration.value <= 0:
             self.current_state = state
+            # an immediate state change cancels any pending transition
+            # (mirrors PictureAnimator: stale next_state would keep
+            # interpolating toward the superseded target)
+            self.next_state = None
+            self.current_start_time = None
+            self.transition_duration = None
             fut.set_result(True)
         else:
             now = self.clock.current()
+            # see PictureAnimator.set_state: keep the finer scale so the
+            # deadline is not truncated to the duration's coarse scale
+            duration = rescale(duration, max(now.scale, duration.scale))
             self.current_start_time = now
             self.next_state = state
             self.transition_duration = duration
 
             def complete(_event):
+                if self._transition_gen != gen:
+                    # superseded by a later set_state
+                    if not fut.done():
+                        fut.set_result(True)
+                    return
                 if self.next_state is not None:
                     self.current_state = self.next_state
                 self.next_state = None

@@ -85,6 +85,11 @@ class AudioMixer(Source):
         self._closed = False
 
         def digest(sample: AudioSample) -> EventBox:
+            if self._closed:
+                # the tick drain stopped with close(); accepting more
+                # samples would accumulate without bound while upstream
+                # chains stay subscribed
+                return EventBox.gone()
             if sample.asset_id() != self.id_asset:
                 with self._lock:
                     self._samples.setdefault(sample.asset_id(), []).append(sample)
@@ -198,7 +203,16 @@ class AudioMixer(Source):
         contributions: List[List] = [[] for _ in range(num_buffers)]
         for asset_id, queued in assets.items():
             offset = offsets.get(asset_id)
-            if offset is None or not queued:
+            if offset is None:
+                # un-anchored leftovers (a discontinuity popped the
+                # offset and the source never re-appeared): drop them —
+                # the reference rebuilds self.samples wholesale each
+                # tick, which discards offset-less assets
+                # (mix.audio.swift:135-210); a fresh sample re-anchors
+                # in the digest before it is ever queued
+                result[asset_id] = []
+                continue
+            if not queued:
                 continue
             covered = (mix_ts + self.frame_duration, mix_ts)
             unused: List[AudioSample] = []
@@ -254,6 +268,9 @@ class AudioMixer(Source):
             self._run_mix(contribs, buffers[idx])
         with self._lock:
             for asset_id, unused in result.items():
+                if asset_id not in self._samples:
+                    # remove_asset() raced this tick: stay removed
+                    continue
                 # keep samples that arrived during the mix
                 arrived = self._samples.get(asset_id, [])
                 new_tail = arrived[len(assets.get(asset_id, [])):]

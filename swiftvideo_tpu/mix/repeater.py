@@ -44,5 +44,14 @@ class Repeater(AsyncTx):
             if due:
                 self._last_emit = evt.time()
         if due:
-            self.emit(sample)
+            result = self.emit(sample)
+            if result.is_gone():
+                # downstream chain dropped (repeater.swift holds self
+                # weakly and dies with the chain): go dormant instead of
+                # re-arming forever — the clock.schedule closure would
+                # otherwise keep this object and one callback per
+                # interval alive for the life of the session
+                with self._lock:
+                    self._sample = None
+                return
             self._run()

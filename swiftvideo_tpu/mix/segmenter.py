@@ -14,7 +14,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..core import EventBox, TimePoint, Tx, rescale
-from ..media.audio import AudioSample, bytes_per_sample, number_of_buffers
+from ..media.audio import (AudioSample, bytes_per_sample, dtype_for_format,
+                           number_of_buffers)
 
 
 def _split(duration: TimePoint, pts: TimePoint,
@@ -35,8 +36,11 @@ def _split(duration: TimePoint, pts: TimePoint,
         first = in_samples[0]
         sample_count = rescale(duration, first.sample_rate()).value
         sample_bytes = bytes_per_sample(first.format, first.number_channels())
-        units_per_sample = sample_bytes // 2 if first.format.startswith("s16") \
-            else sample_bytes // 4
+        # array units per sample period = buffer bytes / element width
+        # (1 for planar, channel count for interleaved — including the
+        # 8-byte f64/s64 formats)
+        units_per_sample = sample_bytes // dtype_for_format(
+            first.format).itemsize
         buf_units = int(sample_count) * units_per_sample
         nbuf = number_of_buffers(first.format, first.number_channels())
         dtype = np.asarray(first.data()[0]).dtype

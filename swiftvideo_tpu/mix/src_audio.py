@@ -77,7 +77,14 @@ class AudioSampleRateConversion(Tx):
         x = map_channels(x, self.out_channels)
         if sample.sample_rate() != self.out_frequency:
             # the resampler (and its flush()-drained filter history) exists
-            # only when an actual rate conversion ran
+            # only when an actual rate conversion ran; a MID-STREAM input
+            # rate change (codec reconfiguration) rebuilds it — reusing
+            # the old L/M ratio would resample at the wrong speed.  The
+            # stale filter history belongs to the old rate's timeline, so
+            # it is dropped rather than flushed into the new one.
+            if (self._resampler is not None
+                    and self._resampler.in_rate != sample.sample_rate()):
+                self._resampler = None
             if self._resampler is None:
                 self._resampler = PolyphaseResampler(
                     sample.sample_rate(), self.out_frequency,

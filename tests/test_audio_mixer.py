@@ -300,3 +300,75 @@ def test_device_mix_parity_exact():
 
 def apply_host_fail(*a, **k):
     raise AssertionError("host loop used on an aligned tick")
+
+
+def _asample(pts, count=960, asset="src"):
+    mono = np.ones(count, np.int16) * 100
+    return AudioSample(buffers=(interleave_stereo(mono),), frequency=SR,
+                       channels=2, format=AudioFormat.s16i,
+                       sample_count=count, id_asset=asset,
+                       id_workspace="t", pts_value=pts)
+
+
+def test_closed_mixer_drops_incoming():
+    """After close() the digest must refuse samples (gone) — live
+    upstream chains would otherwise accumulate into _samples without
+    bound while nothing drains."""
+    clock = StepClock(step_size=FRAME)
+    mixer = AudioMixer(clock, workspace_id="t", frame_duration=FRAME,
+                       sample_rate=SR, channel_count=2)
+    box = mixer.apply(EventBox.just(_asample(TimePoint(0, SR))))
+    assert not box.is_gone()
+    mixer.close()
+    for i in range(5):
+        box = mixer.apply(EventBox.just(
+            _asample(TimePoint(960 * (i + 1), SR))))
+        assert box.is_gone()
+    with mixer._lock:
+        assert sum(len(q) for q in mixer._samples.values()) == 1
+
+
+def test_unanchored_leftovers_dropped():
+    """Samples whose offset was popped by a discontinuity (source never
+    re-appeared) must not stay pinned in _samples forever; the reference
+    rebuilds the queue map wholesale each tick, dropping them."""
+    clock = StepClock(step_size=FRAME)
+    mixer = AudioMixer(clock, workspace_id="t", frame_duration=FRAME,
+                       sample_rate=SR, channel_count=2)
+    mixer.apply(EventBox.just(_asample(TimePoint(0, SR))))
+    # future samples the mix window won't consume yet
+    mixer.apply(EventBox.just(_asample(TimePoint(960 * 50, SR))))
+    mixer.discontinuity("src")              # offset gone, samples queued
+    clock.step()                            # one tick: leftovers dropped
+    with mixer._lock:
+        assert sum(len(q) for q in mixer._samples.values()) == 0
+    # a fresh sample re-anchors and mixes normally again
+    outs = []
+    chain = mixer >> Tx(lambda s: (outs.append(s), EventBox.just(s))[1])
+    mixer.apply(EventBox.just(_asample(clock.current() + FRAME * 2)))
+    for _ in range(6):
+        clock.step()
+    assert any(s.constituents() for s in outs)
+    mixer.close()
+    del chain
+
+
+def test_remove_asset_racing_tick_stays_removed():
+    """remove_asset() landing between a tick's snapshot and its
+    write-back must not be resurrected by the write-back."""
+    clock = StepClock(step_size=FRAME)
+    mixer = AudioMixer(clock, workspace_id="t", frame_duration=FRAME,
+                       sample_rate=SR, channel_count=2)
+    mixer.apply(EventBox.just(_asample(TimePoint(0, SR))))
+    mixer.apply(EventBox.just(_asample(TimePoint(960 * 50, SR))))
+    real_run_mix = mixer._run_mix
+
+    def race(contribs, backing):
+        mixer.remove_asset("src")           # lands mid-tick
+        return real_run_mix(contribs, backing)
+
+    mixer._run_mix = race
+    clock.step()
+    with mixer._lock:
+        assert "src" not in mixer._samples
+    mixer.close()

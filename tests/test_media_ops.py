@@ -173,3 +173,118 @@ def test_hidden_and_muted_swallow_samples():
     sanim = SoundAnimator(clock)
     sanim.set_state(ElementState(muted=True), TimePoint(0, 1000))
     assert sanim(_sample(np.zeros(4, np.int16), TimePoint(0, 48000))).is_nothing()
+
+
+def test_repeater_goes_dormant_after_chain_drop():
+    """A dropped downstream chain must stop the repeater's clock
+    rescheduling (repeater.swift holds self weakly and dies with the
+    chain); before the fix every bind/unbind leaked a Repeater plus one
+    scheduled callback per interval forever."""
+    import gc
+    clock = StepClock(TimePoint(1000, 30000))
+    rep = Repeater(clock, TimePoint(1000, 30000))
+    got = []
+    chain = rep >> Tx(lambda s: (got.append(s), EventBox.just(s))[1])
+    chain("frame0")
+    clock.step()
+    assert got == ["frame0", "frame0"]
+    del chain
+    gc.collect()
+    for _ in range(6):
+        clock.step()
+    # emit() returned gone -> repeater went dormant: no further
+    # callbacks pending on the clock
+    assert len(clock._scheduled) == 0
+    assert got == ["frame0", "frame0"]
+
+
+def test_picture_animator_overlapping_transitions():
+    """A second set_state supersedes the first; the FIRST transition's
+    deadline callback must not truncate the second (stale complete)."""
+    clock = StepClock(TimePoint(1, 10))
+    anim = PictureAnimator(clock, canvas_size=(100, 100))
+    anim.set_state(ElementState(pic_pos=(0, 0), size=(10, 10)),
+                   TimePoint(0, 1000))
+    f1 = anim.set_state(ElementState(pic_pos=(10, 10), size=(10, 10)),
+                        TimePoint(1, 1))       # 1 s
+    for _ in range(5):
+        clock.step()                            # t = 0.5
+    target_c = ElementState(pic_pos=(50, 50), size=(10, 10))
+    f2 = anim.set_state(target_c, TimePoint(1, 1))   # new 1 s transition
+    for _ in range(6):
+        clock.step()                            # t = 1.1: f1 deadline passed
+    # the stale deadline resolved f1 but did NOT promote/truncate
+    assert f1.done()
+    assert not f2.done()
+    assert anim.next_state == target_c          # still transitioning to C
+    for _ in range(5):
+        clock.step()                            # t = 1.6: f2 completes
+    assert f2.done() and anim.next_state is None
+    assert anim.current_state == target_c
+
+
+def test_sound_animator_immediate_cancels_transition():
+    """An immediate set_state (duration 0) cancels a pending transition —
+    stale next_state must not keep interpolating toward the superseded
+    target nor be promoted by the old deadline callback."""
+    clock = StepClock(TimePoint(1, 10))
+    anim = SoundAnimator(clock)
+    anim.set_state(ElementState(audio_gain=1.0), TimePoint(0, 1000))
+    anim.set_state(ElementState(audio_gain=0.0), TimePoint(1, 1))  # 1 s fade
+    clock.step()
+    final = ElementState(audio_gain=0.5)
+    anim.set_state(final, TimePoint(0, 1000))   # immediate
+    assert anim.next_state is None and anim.transition_duration is None
+    for _ in range(12):
+        clock.step()                            # old deadline passes
+    assert anim.current_state == final          # not promoted to the fade
+
+
+def test_src_mid_stream_rate_change():
+    """A mid-stream input rate change rebuilds the polyphase filter with
+    the new L/M ratio instead of resampling at the wrong speed."""
+    src = AudioSampleRateConversion(48000, 1, AudioFormat.f32p)
+    pts = TimePoint(0, 44100)
+    n1 = 0
+    for i in range(20):
+        buf = np.zeros(441, np.float32)
+        box = src(_sample(buf, pts, rate=44100, channels=1,
+                          fmt=AudioFormat.f32p, count=441))
+        if box.is_just():
+            n1 += sum(s.number_samples() for s in [box.value()])
+        pts = pts + TimePoint(441, 44100)
+    assert abs(n1 - 20 * 480) < 1000            # 44.1k -> 48k ratio
+    # rate change: 32 kHz packets must now produce 1.5x samples
+    n2 = 0
+    pts = TimePoint(0, 32000)
+    for i in range(20):
+        buf = np.zeros(320, np.float32)
+        box = src(_sample(buf, pts, rate=32000, channels=1,
+                          fmt=AudioFormat.f32p, count=320))
+        if box.is_just():
+            n2 += box.value().number_samples()
+    assert src._resampler.in_rate == 32000
+    assert abs(n2 - 20 * 480) < 1000            # 32k -> 48k ratio
+
+
+def test_segmenter_f64_planar():
+    """8-byte formats (f64/s64) were allocated at 2 units per sample
+    instead of 1 per planar buffer; a ramp must survive re-chunking."""
+    seg = AudioPacketSegmenter(TimePoint(960, 48000))
+    ramp = np.arange(1024 * 8, dtype=np.float64)
+    out = []
+    pts = TimePoint(0, 48000)
+    for i in range(8):
+        chunk = ramp[i * 1024:(i + 1) * 1024]
+        s = AudioSample(buffers=(chunk, chunk.copy()), frequency=48000,
+                        channels=2, format=AudioFormat.f64p,
+                        sample_count=1024, pts_value=pts,
+                        id_asset="a", id_workspace="w")
+        box = seg(s)
+        if box.is_just():
+            out.extend(box.value())
+        pts = pts + TimePoint(1024, 48000)
+    assert out and all(s.number_samples() == 960 for s in out)
+    assert all(np.asarray(s.data()[0]).size == 960 for s in out)
+    cat = np.concatenate([np.asarray(s.data()[0]) for s in out])
+    assert np.array_equal(cat, ramp[:cat.size])

@@ -143,7 +143,7 @@ def test_soak_composer_join_leave_stall():
         assert "camB" not in composer.audio_mixer._samples
     assert final_depth <= max(sizes_at_checkpoint, 8), \
         f"queues grew {sizes_at_checkpoint} -> {final_depth}"
-    assert set(composer._bindings) == {"camA", "camC"}
+    assert {a for a, _e in composer._bindings} == {"camA", "camC"}
     # two-generation video map holds at most one frame per live revision
     with composer.video_mixer._lock:
         assert all(len(g) <= len(feeders) for g in

@@ -172,7 +172,7 @@ def test_composer_run_command_tree():
     fut = composer.run_command(cmd)
     assert fut.done() and fut.result() is True
     assert composer.get_element_state("e2").size == (20, 20)
-    assert "cam" in composer._bindings
+    assert any(a == "cam" for a, _e in composer._bindings)
     composer.close()
 
 
@@ -279,7 +279,7 @@ def test_composer_snapshot_restore():
     st = c2.get_element_state("e1")
     assert st.size == (48, 20) and st.pic_pos == (4, 6)
     assert abs(st.transparency - 0.25) < 1e-6
-    assert "cam" in c2._bindings
+    assert any(a == "cam" for a, _e in c2._bindings)
     c2.close()
 
 
@@ -396,3 +396,87 @@ def test_mixer_rotated_source_takes_warp_path():
     y = np.asarray(frames[0].planes()[0])
     assert y.shape == (64, 64) and y.max() > 0   # something composited
     mixer.close()
+
+
+def test_composer_same_asset_two_elements():
+    """One asset bound to TWO elements (picture-in-picture of the same
+    camera): bindings are keyed per (asset, element) like the
+    reference's per-element connectElement, so the second bind must not
+    silently drop the first element's chains."""
+    clock = StepClock(TimePoint(480, 48000))
+    audio_bus = Bus(clock)
+    picture_bus = Bus(clock)
+    comp = Composition(
+        name="comp", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        sample_rate=48000, channel_count=2,
+        scenes=(Scene(name="main", elements=(
+            Element(name="main", initial_state=ElementState(
+                pic_pos=(0, 0), size=(32, 64))),
+            Element(name="pip", initial_state=ElementState(
+                pic_pos=(32, 0), size=(32, 64)), z_index=1),
+        )),),
+        initial_scene="main")
+    from swiftvideo_tpu.compose import Composer
+    composer = Composer(clock, workspace_id="w", composition=comp,
+                        audio_bus=audio_bus, picture_bus=picture_bus,
+                        compute_context=make_compute_context("golden"))
+    got = []
+    sub = picture_bus.subscribe(Tx(
+        lambda s: (got.append(s), EventBox.just(s))[1]
+        if s.asset_id() == "comp" else EventBox.nothing(None)))
+    composer.bind("cam", "main")
+    composer.bind("cam", "pip")
+    assert len(composer._bindings) == 2
+    picture_bus.append(EventBox.just(_source(200, asset="cam")))
+    for _ in range(100):
+        clock.step()
+    mixed = [s for s in got if s.asset_id() == "comp"]
+    assert mixed
+    y = np.asarray(mixed[-1].planes()[0])
+    assert abs(int(y[32, 8]) - 200) <= 1    # first element still live
+    assert abs(int(y[32, 48]) - 200) <= 1   # second element live too
+    # narrow unbind removes one element; the asset stays mixed elsewhere
+    composer.unbind("cam", "pip")
+    assert list(composer._bindings) == [("cam", "main")]
+    composer.unbind("cam")
+    assert not composer._bindings
+    composer.close()
+    del sub
+
+
+def test_composer_run_command_set_state_failure():
+    """A failed set_state fails the command future and skips the after
+    continuations instead of silently resolving True."""
+    clock = StepClock(TimePoint(480, 48000))
+    comp = Composition(
+        name="comp", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        sample_rate=48000, channel_count=2,
+        scenes=(Scene(name="main", elements=(
+            Element(name="e1", initial_state=ElementState(
+                pic_pos=(0, 0), size=(32, 32))),
+        )),),
+        initial_scene="main")
+    from swiftvideo_tpu.compose import Composer, ComposerError
+    from swiftvideo_tpu.scene import ComposerCommand, SetStateCommand
+    composer = Composer(clock, workspace_id="w", composition=comp,
+                        audio_bus=Bus(clock), picture_bus=Bus(clock),
+                        compute_context=make_compute_context("golden"))
+    ran_after = []
+    cmd = ComposerCommand(
+        set_state=SetStateCommand(element="no-such-element",
+                                  state=ElementState(size=(1, 1))),
+        after=(ComposerCommand(
+            set_state=SetStateCommand(element="e1",
+                                      state=ElementState(size=(9, 9)))),))
+    fut = composer.run_command(cmd)
+    assert fut.done()
+    import pytest as _pytest
+    with _pytest.raises(ComposerError):
+        fut.result()
+    # the after-command did NOT run
+    assert composer.get_element_state("e1").size == (32, 32)
+    composer.close()
