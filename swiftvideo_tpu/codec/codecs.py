@@ -284,7 +284,6 @@ class AudioEncoder(Tx):
 
     def __init__(self, fmt: MediaFormat = MediaFormat.uncompressed,
                  frame_size: int = 1024, **ffmpeg_kwargs):
-        from ..mix.segmenter import AudioPacketSegmenter
         self.fmt = fmt
         self._segmenter: Optional[object] = None
         self.frame_size = frame_size
@@ -310,18 +309,24 @@ class AudioEncoder(Tx):
         box = self._segmenter(sample)
         if not box.is_just():
             return box
-        out = []
-        for seg in box.value():
-            out.append(CodedMediaSample(
-                buffer=pack_uncompressed_audio(seg), pts_value=seg.pts(),
-                dts_value=seg.pts(), media_type=MediaType.audio,
-                media_format=self.fmt, id_asset=seg.asset_id(),
-                id_workspace=seg.workspace_id(), time_point=seg.time(),
-                event_info=seg.info()))
-        return EventBox.just(out)
+        return EventBox.just([self._pack(seg) for seg in box.value()])
+
+    def _pack(self, seg) -> CodedMediaSample:
+        return CodedMediaSample(
+            buffer=pack_uncompressed_audio(seg), pts_value=seg.pts(),
+            dts_value=seg.pts(), media_type=MediaType.audio,
+            media_format=self.fmt, id_asset=seg.asset_id(),
+            id_workspace=seg.workspace_id(), time_point=seg.time(),
+            event_info=seg.info())
 
     def flush(self):
-        return self._ffmpeg.flush() if self._ffmpeg is not None else []
+        if self._ffmpeg is not None:
+            return self._ffmpeg.flush()
+        if self._segmenter is not None:
+            # uncompressed path: drain the segmenter's sub-frame tail
+            # (up to frame_size-1 samples) instead of truncating it
+            return [self._pack(seg) for seg in self._segmenter.flush()]
+        return []
 
     def close(self) -> None:
         if self._ffmpeg is not None:

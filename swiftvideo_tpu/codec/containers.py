@@ -136,6 +136,7 @@ class OggPacketReader:
     def __init__(self):
         self._buf = bytearray()
         self._partial = bytearray()
+        self._broken = False     # a dropped page orphaned _partial
         self._out: List[Tuple[bytes, int]] = []
 
     def feed(self, data: bytes) -> None:
@@ -165,16 +166,31 @@ class OggPacketReader:
             check = bytearray(page)
             check[22:26] = b"\x00\x00\x00\x00"
             if ogg_crc(bytes(check)) != struct.unpack_from("<I", page, 22)[0]:
+                # dropped page: any packet spanning it is unrecoverable —
+                # orphan the partial so a LATER continued page is not
+                # spliced onto stale data (missing-middle corruption)
+                self._partial.clear()
+                self._broken = True
                 continue  # resync on next OggS
             granule = struct.unpack_from("<q", page, 6)[0]
             continued = page[5] & 1
             if not continued:
                 self._partial.clear()
+                self._broken = False
             pos = header_len
             done: List[bytes] = []
+            # after a dropped page, discard the continuation tail of the
+            # corrupt packet (segments up to the first terminator)
+            skipping = self._broken and bool(continued)
             for i, seg in enumerate(lacing):
-                self._partial += page[pos:pos + seg]
+                chunk = page[pos:pos + seg]
                 pos += seg
+                if skipping:
+                    if seg < 255:
+                        skipping = False
+                        self._broken = False
+                    continue
+                self._partial += chunk
                 if seg < 255:
                     done.append(bytes(self._partial))
                     self._partial.clear()

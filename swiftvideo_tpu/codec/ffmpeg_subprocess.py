@@ -269,22 +269,33 @@ class FFmpegVideoDecoder(Tx):
             raise RuntimeError("ffmpeg binary not available")
         fmt = self._FORMATS[sample.media_format]
         self._y4m = containers.Y4MReader()
-        self._proc = _PipeProcess([
+        proc = _PipeProcess([
             "-f", fmt, "-i", "pipe:0",
             "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p", "pipe:1"])
-        config = sample.side_data().get("config", b"")
-        if sample.media_format == MediaFormat.avc:
-            sps_list, pps_list = sps_pps_from_avcdcr(config)
-            self._proc.write(b"".join(b"\x00\x00\x00\x01" + n
-                                      for n in sps_list + pps_list))
-        elif sample.media_format == MediaFormat.hevc:
-            params = containers.params_from_hvcc(config)
-            nals = params.get(32, []) + params.get(33, []) + params.get(34, [])
-            self._proc.write(b"".join(b"\x00\x00\x00\x01" + n for n in nals))
-        else:  # vp8/vp9/av1: IVF header sized from the first keyframe
-            codec = sample.media_format.name
-            w, h = bitstream.IVF_FRAME_SIZE[codec](sample.data())
-            self._proc.write(containers.ivf_header(codec, w, h))
+        try:
+            config = sample.side_data().get("config", b"")
+            if sample.media_format == MediaFormat.avc:
+                sps_list, pps_list = sps_pps_from_avcdcr(config)
+                proc.write(b"".join(b"\x00\x00\x00\x01" + n
+                                    for n in sps_list + pps_list))
+            elif sample.media_format == MediaFormat.hevc:
+                params = containers.params_from_hvcc(config)
+                nals = (params.get(32, []) + params.get(33, [])
+                        + params.get(34, []))
+                proc.write(b"".join(b"\x00\x00\x00\x01" + n for n in nals))
+            else:  # vp8/vp9/av1: IVF header sized from the first keyframe
+                codec = sample.media_format.name
+                w, h = bitstream.IVF_FRAME_SIZE[codec](sample.data())
+                proc.write(containers.ivf_header(codec, w, h))
+        except BaseException:
+            # a failed header (e.g. the first sample is an inter frame
+            # when joining mid-GOP) must not leave a half-initialized
+            # decoder: with self._proc set, every later call would skip
+            # _ensure and pipe headerless packets into ffmpeg, decoding
+            # nothing forever without an error
+            proc.close()
+            raise
+        self._proc = proc
 
     def _write_packet(self, sample: CodedMediaSample) -> None:
         if sample.media_format in (MediaFormat.avc, MediaFormat.hevc):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import threading
 import time as _time
+import weakref
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -79,10 +80,25 @@ class StatsReport:
         self._last_computed = now
         self._samples = [_Samples() for _ in range(_NUM_BUCKETS)]
         self._results: Optional[StatsResult] = None
-        clock.schedule(now + period, self._on_tick)
+        self._closed = False
+        self._schedule_tick(now + period)
 
-    def _on_tick(self, event) -> None:
-        self._recompute(event.time())
+    def _schedule_tick(self, at: TimePoint) -> None:
+        # the clock callback holds the report WEAKLY: reports are created
+        # per connection / per merging() call, and a strong bound-method
+        # ref would make every one an immortal self-rescheduling timer
+        ref = weakref.ref(self)
+
+        def tick(event):
+            report = ref()
+            if report is not None and not report._closed:
+                report._recompute(event.time())
+
+        self._clock.schedule(at, tick)
+
+    def close(self) -> None:
+        """Stop the periodic recompute (the pending tick no-ops)."""
+        self._closed = True
 
     # --- construction helpers (stats.swift:86-109) -----------------------
     def merging(self, other: "StatsReport") -> "StatsReport":
@@ -161,7 +177,8 @@ class StatsReport:
                 bucket.clear()
         finally:
             self._last_computed = now
-            self._clock.schedule(now + self._period, self._on_tick)
+            if not self._closed:
+                self._schedule_tick(now + self._period)
 
     # window filter shared by all three compute variants (stats.swift:235-241)
     @staticmethod

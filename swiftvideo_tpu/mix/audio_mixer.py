@@ -129,6 +129,7 @@ class AudioMixer(Source):
 
     def close(self) -> None:
         self._closed = True
+        self.stats.close()
 
     # --- mix execution ----------------------------------------------------
     def _run_mix(self, contribs, backing: np.ndarray) -> None:

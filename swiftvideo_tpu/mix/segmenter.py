@@ -90,3 +90,20 @@ class AudioPacketSegmenter(Tx):
         self._pts = new_pts
         self._incoming = remaining
         return EventBox.just(produced)
+
+    def flush(self) -> List[AudioSample]:
+        """End of stream: emit the buffered tail (shorter than one
+        segment) as one final sample instead of silently dropping up to
+        duration-1 samples."""
+        if not self._incoming:
+            return []
+        pts = self._pts if self._pts is not None else self._incoming[0].pts()
+        total = TimePoint(0, self._duration.scale)
+        for s in self._incoming:
+            total = total + s.duration()
+        tail = total - (pts - self._incoming[0].pts())
+        pending, self._incoming, self._pts = self._incoming, [], None
+        if not (tail.value > 0):
+            return []
+        _pts2, _rem, produced = _split(tail, pts, pending, [])
+        return produced

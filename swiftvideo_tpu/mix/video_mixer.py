@@ -91,6 +91,7 @@ class VideoMixer(Source):
 
     def close(self) -> None:
         self._closed = True
+        self.stats.close()
 
     # --- tick (mix.video.swift:95-131) -----------------------------------
     def _mix(self, at: ClockTickEvent) -> None:

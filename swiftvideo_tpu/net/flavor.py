@@ -159,6 +159,10 @@ def decode_value(tag: str, body: bytes, _depth: int = 0):
 
 # --- codec FourCC mapping (flavor.md Codecs) -------------------------------
 
+# largest atom a peer may declare: media atoms carry one coded sample
+# (a 4K intra frame is ~2 MB); anything past this is hostile or corrupt
+MAX_ATOM_SIZE = 1 << 26
+
 FOURCC_TO_FORMAT = {
     "AVC1": MediaFormat.avc, "HVC1": MediaFormat.hevc,
     "VP80": MediaFormat.vp8, "VP90": MediaFormat.vp9,
@@ -326,7 +330,11 @@ class FlavorSessionCore:
         samples: List[CodedMediaSample] = []
         while n - pos >= 8:
             size = struct.unpack_from("<I", buf, pos)[0]
-            if size < 8:
+            if size < 8 or size > MAX_ATOM_SIZE:
+                # a hostile/corrupt size up to 4 GiB would otherwise make
+                # the session buffer every incoming byte forever waiting
+                # for an atom that never completes; treat it like any
+                # other malformed atom (record + drop the backlog)
                 self.errors.append(f"bad atom size {size}")
                 pos = n
                 break
@@ -505,6 +513,13 @@ class FlavorPublisher(Terminal):
         super().__init__(self._handle)
 
     def _handle(self, sample: CodedMediaSample) -> EventBox:
+        # backpressure parity with RtmpPublisher: a stalled peer drops
+        # media frames instead of buffering the transport without bound
+        if not getattr(self.conn, "writable", True):
+            info = sample.info()
+            if info is not None:
+                info.add_sample("net.flavor.dropped", 1)
+            return EventBox.nothing(info)
         track = self._format_tracks.get(sample.media_format)
         if track is None:
             fourcc = FORMAT_TO_FOURCC.get(sample.media_format)
@@ -671,5 +686,9 @@ class Flavor:
         # anchor the receive chain to the connection: emit chains are weak
         # and this helper's locals die on return (see Connection.retain)
         conn.retain(conn >> Tx(on_bytes))
-        await asyncio.wait_for(done, timeout=timeout)
+        try:
+            await asyncio.wait_for(done, timeout=timeout)
+        except BaseException:
+            conn.close()        # failed attempt: don't leak the socket
+            raise
         return endpoint.get("pub") or endpoint.get("sub")

@@ -31,13 +31,6 @@ class AmfError(Exception):
     pass
 
 
-def _put_string_body(s: str) -> bytes:
-    raw = s.encode("utf-8")
-    if len(raw) > 0xFFFF:
-        return struct.pack(">I", len(raw)) + raw
-    return struct.pack(">H", len(raw)) + raw
-
-
 def serialize_one(value: Any) -> bytes:
     if isinstance(value, bool):
         return bytes([_BOOL, 1 if value else 0])

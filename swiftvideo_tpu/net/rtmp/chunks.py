@@ -9,7 +9,10 @@ and ``deserialize.swift``:
   or 2 s since the last type 0 (serialize.swift:92-129).
 * serial-number timestamp arithmetic (RFC1982-style) so uint32 rollover
   reconstructs monotonically increasing absolute timestamps
-  (deserialize.swift:92-101).
+  (deserialize.swift:92-101).  Documented deviation: the reference wraps
+  at ``% 0xffffffff`` (2^32 - 1), skewing 1 ms per rollover against
+  spec-conformant peers; this implementation uses the RTMP u32 space
+  modulus 2^32.
 * extended timestamps (>= 0xFFFFFF) in headers and type-3 continuations.
 * payload re-chunking every ``out_chunk_size`` bytes with type-3 headers
   (serialize.swift:149-177).
@@ -76,10 +79,10 @@ class ChunkSerializer:
     # --- header type selection (serialize.swift:92-129) -------------------
     def serialize(self, chunk: Chunk) -> bytes:
         prev = self._prev.get(chunk.chunk_stream_id)
-        serial_cur = chunk.timestamp % 0xFFFFFFFF
+        serial_cur = chunk.timestamp % 0x100000000
         rollover = False
         if prev is not None:
-            serial_prev = prev.timestamp % 0xFFFFFFFF
+            serial_prev = prev.timestamp % 0x100000000
             rollover = serial_prev > serial_cur and \
                 (serial_prev - serial_cur) > 0x7FFFFFFF
         last0 = self._last_chunk0.get(chunk.chunk_stream_id)
@@ -137,7 +140,7 @@ class ChunkSerializer:
             self._last_chunk0[chunk.chunk_stream_id] = chunk.timestamp
 
     def _ts_parts(self, value: int) -> Tuple[bytes, int, bool]:
-        serial = value % 0xFFFFFFFF
+        serial = value % 0x100000000
         if serial >= 0xFFFFFF:
             return _be24(0xFFFFFF), serial, True
         return _be24(serial), serial, False
@@ -176,7 +179,7 @@ class ChunkSerializer:
         prev = self._prev[chunk.chunk_stream_id]
         ext = prev.extended
         header = _basic_header(chunk.chunk_stream_id, 3)
-        ts_full = chunk.timestamp % 0xFFFFFFFF
+        ts_full = chunk.timestamp % 0x100000000
         if ext:
             header += struct.pack(">I", ts_full)
         self._store(chunk, False, ext)
@@ -320,9 +323,10 @@ class ChunkDeserializer:
             return None
         # RFC1982 serial arithmetic (deserialize.swift:92-101)
         if prev is not None:
-            prev_serial = prev.timestamp % 0xFFFFFFFF
+            prev_serial = prev.timestamp % 0x100000000
             if prev_serial > serial_ts and (prev_serial - serial_ts) > 0x7FFFFFFF:
-                timestamp = prev.timestamp + serial_ts + (0xFFFFFFFF - prev_serial)
+                timestamp = prev.timestamp + serial_ts \
+                    + (0x100000000 - prev_serial)
             else:
                 timestamp = prev.timestamp + (serial_ts - prev_serial)
         else:

@@ -174,6 +174,7 @@ class RtmpSubscriber(Source):
             self.emit(sample.with_(event_info=self.stats))
 
     def close(self) -> None:
+        self.stats.close()
         self.conn.close()
 
 
@@ -203,7 +204,13 @@ class Rtmp:
                 if out:
                     conn.write(out)
                 endpoint = state["endpoint"]
-                if endpoint is None and core.started:
+                if (endpoint is None and core.started
+                        and not state.get("establishing")):
+                    # flag SYNCHRONOUSLY: more bytes can arrive before the
+                    # task runs, and each would otherwise spawn another
+                    # _establish (duplicate endpoints + permission hooks +
+                    # NetStream.Start writes, media lost to the last one)
+                    state["establishing"] = True
                     asyncio.get_running_loop().create_task(
                         self._establish(conn, core, state))
                 if samples and isinstance(state["endpoint"], RtmpSubscriber):
@@ -316,6 +323,12 @@ class Rtmp:
         # the receive chain must outlive this helper: emit chains are weak,
         # so anchor it to the connection (see Connection.retain)
         conn.retain(conn >> Tx(on_bytes))
-        conn.write(core.start_bytes())
-        await asyncio.wait_for(done, timeout=30.0)
+        try:
+            conn.write(core.start_bytes())
+            await asyncio.wait_for(done, timeout=30.0)
+        except BaseException:
+            # a failed/timed-out attempt must not leak the socket (the
+            # reconnect loop makes up to 30 of them) or its retained chain
+            conn.close()
+            raise
         return endpoint_box.get("pub"), endpoint_box.get("sub")

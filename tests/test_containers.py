@@ -386,3 +386,35 @@ def test_ogg_opus_writer_multi_packet_page():
     got = reader.packets()
     assert [p[:8] for p, _ in got[:2]] == [b"OpusHead", b"OpusTags"]
     assert [g for _, g in got[2:]] == [-1, -1, 2880]
+
+
+def test_ogg_reader_dropped_page_orphans_partial():
+    """A CRC-failed page that carried the middle of a spanning packet
+    must invalidate the continuation: the tail on the NEXT continued
+    page is discarded instead of being spliced onto stale data."""
+    import struct as _st
+
+    def raw_page(lacing, body, *, continued=False, seq=0, granule=-1):
+        hdr = (b"OggS\x00" + bytes([1 if continued else 0])
+               + _st.pack("<q", granule) + _st.pack("<I", 7)
+               + _st.pack("<I", seq) + b"\x00\x00\x00\x00"
+               + bytes([len(lacing)]) + bytes(lacing))
+        page = bytearray(hdr + body)
+        page[22:26] = _st.pack("<I", containers.ogg_crc(bytes(page)))
+        return bytes(page)
+
+    head = b"A" * 510                      # spans pages (lacing 255,255)
+    mid = b"B" * 255
+    tail = b"C" * 40
+    ok1, ok2 = b"fine1", b"fine2"
+    p1 = raw_page([255, 255], head, seq=0)            # unterminated
+    p2 = bytearray(raw_page([255], mid, continued=True, seq=1))
+    p2[-1] ^= 0xFF                                    # CRC-corrupt middle
+    p3 = raw_page([40, 5], tail + ok1, continued=True, seq=2, granule=100)
+    p4 = raw_page([5], ok2, seq=3, granule=200)
+    r = containers.OggPacketReader()
+    r.feed(p1 + bytes(p2) + p3 + p4)
+    pkts = [p for p, _g in r.packets()]
+    assert head + mid + tail not in pkts   # complete packet impossible
+    assert head + tail not in pkts         # and NOT spliced without mid
+    assert pkts == [ok1, ok2]

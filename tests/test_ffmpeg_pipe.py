@@ -661,3 +661,47 @@ def test_mock_full_transcode_pipeline(tmp_path, mock_ffmpeg):
     venc.close()
     assert len(pics) == n_frames
     assert np.all(np.asarray(pics[3].planes()[0]) == 20 * 3 + 9)
+
+
+def test_decoder_header_failure_not_half_initialized(mock_ffmpeg):
+    """A first sample whose header parse fails (joining a VP9 stream
+    mid-GOP) must not leave a half-initialized decoder: the next
+    keyframe re-runs _ensure and decodes normally (before the fix,
+    self._proc was set first, so every later packet was piped headerless
+    into a decoder that produced nothing forever)."""
+    dec = FFmpegVideoDecoder()
+    inter = CodedMediaSample(
+        buffer=b"\x84" + b"\x00" * 20, pts_value=TimePoint(0, 30),
+        dts_value=TimePoint(0, 30), media_type=MediaType.video,
+        media_format=MediaFormat.vp9, id_asset="cam", id_workspace="ws")
+    box = dec(inter)
+    assert box.is_error()
+    assert dec._proc is None              # no half-initialized process
+    # a real keyframe-led stream now initializes and decodes
+    coded, pics = _video_roundtrip(MediaFormat.vp9, 3)
+    assert len(pics) == 3
+    dec.close()
+
+
+def test_audio_encoder_uncompressed_flush_tail():
+    """Uncompressed AudioEncoder.flush drains the segmenter's sub-frame
+    tail instead of truncating up to frame_size-1 samples."""
+    import numpy as np
+    from swiftvideo_tpu.codec.codecs import (AudioEncoder,
+                                             unpack_uncompressed_audio)
+    from swiftvideo_tpu.media.audio import AudioFormat, AudioSample
+    enc = AudioEncoder(MediaFormat.uncompressed, frame_size=1024)
+    total = 1000                           # < one frame
+    pcm = np.arange(total * 2, dtype=np.int16)
+    box = enc(AudioSample(
+        buffers=(pcm,), frequency=48000, channels=2,
+        format=AudioFormat.s16i, sample_count=total,
+        pts_value=TimePoint(0, 48000), id_asset="a", id_workspace="w"))
+    assert box.is_just() and box.value() == []   # nothing complete yet
+    tail = enc.flush()
+    assert len(tail) == 1
+    a = unpack_uncompressed_audio(tail[0].data(), asset_id="a",
+                                  workspace_id="w")
+    assert a.number_samples() == total
+    assert np.array_equal(np.asarray(a.data()[0]), pcm)
+    assert enc.flush() == []               # drained exactly once

@@ -174,3 +174,56 @@ def test_flavor_pull_flow():
     assert len(received) == 20
     assert received[3].data() == bytes([3]) * 100
     assert received[3].pts() == TimePoint(3 * 20020, 600600)
+
+
+def test_oversize_atom_rejected():
+    """A hostile u32 atom size (up to 4 GiB) must not make the session
+    buffer all incoming bytes forever; it is treated as a malformed atom
+    (error recorded, backlog dropped, later atoms parse)."""
+    import struct
+    core = fl.FlavorSessionCore(is_server=True, asset_id="s")
+    core.feed(struct.pack("<I", 0x7FFFFFFF) + b"evil")
+    assert core.errors and "size" in core.errors[-1]
+    assert len(core._buffer) < 64
+    # the session still parses sane atoms afterwards
+    out, _ = core.feed(fl.serialize_atom("ping", b""))
+    assert core.errors is not None   # no crash; ping handling proceeds
+
+
+def test_publisher_drops_when_backpressured():
+    """FlavorPublisher mirrors RtmpPublisher's backpressure: a stalled
+    peer drops media frames instead of buffering the transport without
+    bound."""
+    from swiftvideo_tpu.core import EventBox, TimePoint
+    from swiftvideo_tpu.media.coded import (CodedMediaSample, MediaFormat,
+                                            MediaType)
+    from swiftvideo_tpu.net.tcp import Connection
+
+    conn = Connection()
+
+    class FakeTransport:
+        def __init__(self):
+            self.sent = []
+
+        def write(self, data):
+            self.sent.append(data)
+
+        def close(self):
+            pass
+
+    conn.transport = FakeTransport()
+    core = fl.FlavorSessionCore(is_server=False, asset_id="c")
+    pub = fl.FlavorPublisher(conn, core, stream_id=1)
+    sample = CodedMediaSample(
+        buffer=b"\x00\x00\x00\x02\x65x", pts_value=TimePoint(0, 1000),
+        dts_value=TimePoint(0, 1000), media_type=MediaType.video,
+        media_format=MediaFormat.avc, id_asset="c",
+        side={"config": bytes(8)})
+    assert pub.apply(EventBox.just(sample)).is_just()
+    n = len(conn.transport.sent)
+    conn.pause_writing()
+    assert pub.apply(EventBox.just(sample)).is_nothing()
+    assert len(conn.transport.sent) == n
+    conn.resume_writing()
+    assert pub.apply(EventBox.just(sample)).is_just()
+    assert len(conn.transport.sent) > n

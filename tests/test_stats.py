@@ -37,3 +37,30 @@ def test_timer_roundtrip():
     assert rep is not None
     assert any(k.startswith("op.") for k in rep.results)
     assert '"type": "time"' in rep.results["op.5.00"]
+
+
+def test_stats_report_collectable_and_closable():
+    """Reports are created per connection and per merging() call; the
+    clock tick must hold them WEAKLY (a strong bound-method ref made
+    every report an immortal self-rescheduling timer) and close() stops
+    the cadence."""
+    import gc
+    import weakref
+    from swiftvideo_tpu.core import StatsReport, StepClock, TimePoint
+    clock = StepClock(TimePoint(1000, 1000))
+    report = StatsReport(asset_id="a", period=TimePoint(2000, 1000),
+                         clock=clock)
+    ref = weakref.ref(report)
+    del report
+    gc.collect()
+    assert ref() is None                  # collectable despite the tick
+    for _ in range(4):
+        clock.step()                      # dead tick no-ops and drains
+    assert len(clock._scheduled) == 0
+    # close() stops rescheduling for a live report
+    report2 = StatsReport(asset_id="b", period=TimePoint(2000, 1000),
+                          clock=clock)
+    report2.close()
+    for _ in range(6):
+        clock.step()
+    assert len(clock._scheduled) == 0
