@@ -88,7 +88,11 @@ def cmd_mix(args: argparse.Namespace) -> int:
     scene = next(s for s in comp.scenes
                  if s.name == (comp.initial_scene or comp.scenes[0].name))
     for i, element in enumerate(scene.elements):
-        size = element.initial_state.size or comp.canvas_size
+        size = element.initial_state.size
+        if not (size and size[0] and size[1]):
+            # ElementState defaults to (0.0, 0.0), which is truthy as a
+            # tuple: elements with no explicit size fill the canvas
+            size = comp.canvas_size
         size = (max(int(size[0]), 2) // 2 * 2, max(int(size[1]), 2) // 2 * 2)
         pict = create_picture_sample(size, PixelFormat.y420p,
                                      asset_id=element.name,
@@ -188,13 +192,25 @@ class _VideoFileWriter:
 
         if self.fmt in (self._mf.avc, self._mf.hevc):
             if not self._header_done:
-                self.fh.write(self._params_annexb(sample))
-                self._header_done = True
+                params = self._params_annexb(sample)
+                # only latch once parameter sets were actually written: a
+                # sample without codec config (late E-RTMP SequenceStart,
+                # receiver re-attach) must not leave the file permanently
+                # headerless
+                if params:
+                    self.fh.write(params)
+                    self._header_done = True
             self.fh.write(avcc_to_annexb(sample.data()))
         elif self.fmt in (self._mf.vp8, self._mf.vp9, self._mf.av1):
             if not self._header_done:
                 codec = self.fmt.name
-                w, h = bitstream.IVF_FRAME_SIZE[codec](sample.data())
+                try:
+                    w, h = bitstream.IVF_FRAME_SIZE[codec](sample.data())
+                except (ValueError, IndexError):
+                    # joined mid-GOP: drop frames until the first
+                    # keyframe sizes the IVF header (an interframe-led
+                    # file would be undecodable anyway)
+                    return
                 scale = max(sample.pts().scale, 1)
                 self.fh.write(containers.ivf_header(
                     codec, w, h, timebase=(1, scale), n_frames=0))
@@ -390,7 +406,10 @@ def cmd_transcode(args: argparse.Namespace) -> int:
         for pic in vdec.flush():
             box = venc(pic)
             if box.is_just():
-                for s in box.value():
+                v = box.value()
+                # uncompressed encode returns a SINGLE sample; the live
+                # chain normalizes via flat(), the tail path must too
+                for s in (v if isinstance(v, list) else [v]):
                     wv_tx(s)
         for s in venc.flush():
             wv_tx(s)

@@ -45,9 +45,15 @@ def _record(tag: int, payload: bytes) -> bytes:
 
 
 def _iter_records(data: bytes, offset: int = 0):
-    while offset + 5 <= len(data):
+    while offset < len(data):
+        if offset + 5 > len(data):
+            raise ValueError("truncated record header")
         tag, length = struct.unpack_from("<BI", data, offset)
         offset += 5
+        if offset + length > len(data):
+            # a short read must surface as a parse error, not a silently
+            # short payload (the format is self-describing by contract)
+            raise ValueError("truncated record payload")
         yield tag, data[offset:offset + length]
         offset += length
 
@@ -116,7 +122,9 @@ def deserialize(data: bytes) -> CodedMediaSample:
     side: Dict[str, bytes] = {}
     constituents = []
     extra = {}
+    seen = set()
     for tag, payload in _iter_records(data, 4):
+        seen.add(tag)
         if tag == _T_PTS:
             kwargs["pts_value"] = _unpack_tp(payload)
         elif tag == _T_DTS:
@@ -144,5 +152,10 @@ def deserialize(data: bytes) -> CodedMediaSample:
             side[recs[1].decode()] = recs[2]
         elif tag == _T_CONSTITUENT:
             constituents.append(unpack_constituent(payload))
+    missing = {_T_PTS, _T_MEDIATYPE, _T_MEDIAFORMAT} - seen
+    if missing:
+        # required fields must be present, not silently defaulted (a
+        # truncated stream otherwise yields a wrong-codec sample)
+        raise ValueError(f"missing required records {sorted(missing)}")
     return CodedMediaSample(side=side, constituents_value=tuple(constituents),
                             **kwargs, **extra)

@@ -179,29 +179,36 @@ def command_to_json(cmd: ComposerCommand) -> str:
     return json.dumps(_encode(cmd))
 
 
-def command_from_json(text: str) -> ComposerCommand:
-    def dec(o):
-        if isinstance(o, dict):
-            if "__tp__" in o:
-                return TimePoint(*o["__tp__"])
-            if "__enum__" in o:
-                name, member = o["__enum__"]
-                return _ENUMS[name][member]
-            return {k: dec(v) for k, v in o.items()}
-        if isinstance(o, list):
-            return [dec(v) for v in o]
-        return o
+def _dec(o):
+    """JSON -> TimePoint/enum-aware structure (shared by both decoders)."""
+    if isinstance(o, dict):
+        if "__tp__" in o:
+            return TimePoint(*o["__tp__"])
+        if "__enum__" in o:
+            name, member = o["__enum__"]
+            return _ENUMS[name][member]
+        return {k: _dec(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_dec(v) for v in o]
+    return o
 
-    def mk_state(d) -> ElementState:
-        d = dict(d)
-        for key in ("pic_pos", "size", "texture_offset", "border_size",
-                    "audio_pos"):
-            if d.get(key) is not None:
-                d[key] = tuple(d[key])
-        if d.get("fill_color") is not None:
-            d["fill_color"] = tuple(d["fill_color"])
-        d["parent_anchor"] = tuple(d.get("parent_anchor", ()))
-        return ElementState(**d)
+
+def _mk_state(d) -> ElementState:
+    """dict -> ElementState with every sequence field re-tupled (lists
+    would make states unequal to the originals and unhashable)."""
+    d = dict(d)
+    for key in ("pic_pos", "size", "texture_offset", "border_size",
+                "audio_pos"):
+        if d.get(key) is not None:
+            d[key] = tuple(d[key])
+    if d.get("fill_color") is not None:
+        d["fill_color"] = tuple(d["fill_color"])
+    d["parent_anchor"] = tuple(d.get("parent_anchor", ()) or ())
+    return ElementState(**d)
+
+
+def command_from_json(text: str) -> ComposerCommand:
+    dec, mk_state = _dec, _mk_state
 
     def mk(raw) -> ComposerCommand:
         return ComposerCommand(
@@ -220,29 +227,8 @@ def command_from_json(text: str) -> ComposerCommand:
 
 
 def composition_from_json(text: str) -> Composition:
-    def dec(o):
-        if isinstance(o, dict):
-            if "__tp__" in o:
-                return TimePoint(*o["__tp__"])
-            if "__enum__" in o:
-                name, member = o["__enum__"]
-                return _ENUMS[name][member]
-            return {k: dec(v) for k, v in o.items()}
-        if isinstance(o, list):
-            return [dec(v) for v in o]
-        return o
-
-    raw = dec(json.loads(text))
-
-    def mk_state(d) -> ElementState:
-        d = dict(d)
-        for key in ("pic_pos", "size", "texture_offset", "border_size",
-                    "audio_pos"):
-            if key in d and d[key] is not None:
-                d[key] = tuple(d[key])
-        if d.get("fill_color") is not None:
-            d["fill_color"] = tuple(d["fill_color"])
-        return ElementState(**d)
+    raw = _dec(json.loads(text))
+    mk_state = _mk_state
 
     scenes = tuple(
         Scene(name=s["name"], elements=tuple(

@@ -101,6 +101,21 @@ def test_transcode_av1_ivf(tmp_path, mock_ffmpeg):
     assert bitstream.av1_is_keyframe(frames[0][1])
 
 
+def test_transcode_uncompressed_y4m_flush_tail(tmp_path, mock_ffmpeg):
+    """--vcodec uncompressed: VideoEncoder returns SINGLE samples; the
+    flush-tail path must normalize them like the live chain's flat()
+    (it used to raise TypeError iterating a CodedMediaSample)."""
+    src = tmp_path / "clip.mockav"
+    _write_mockav(src)
+    vout = tmp_path / "out.y4m"
+    rc = cli.main(["transcode", str(src), "--video-out", str(vout),
+                   "--vcodec", "uncompressed"])
+    assert rc == 0
+    data = vout.read_bytes()
+    assert data.startswith(b"YUV4MPEG2")
+    assert data.count(b"FRAME") == 5       # every decoded frame written
+
+
 def test_transcode_annexb_h264(tmp_path, mock_ffmpeg):
     src = tmp_path / "clip.mockav"
     _write_mockav(src)

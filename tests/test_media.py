@@ -234,3 +234,54 @@ def test_media_description_av1():
         dts_value=TimePoint(0, 1), media_type=MediaType.video,
         media_format=MediaFormat.av1)
     assert basic_media_description(s).size == (1280, 720)
+
+
+def test_wire_truncation_raises():
+    """A truncated wire blob must raise, not silently default required
+    fields (wrong-codec samples defeat the self-describing format)."""
+    from swiftvideo_tpu.media.wire import deserialize, serialize
+    s = CodedMediaSample(
+        buffer=b"payload", pts_value=TimePoint(5, 1000),
+        dts_value=TimePoint(5, 1000), media_type=MediaType.video,
+        media_format=MediaFormat.vp9, id_asset="a", id_workspace="w")
+    blob = serialize(s)
+    assert deserialize(blob).media_format == MediaFormat.vp9
+    with pytest.raises(ValueError):
+        deserialize(blob[:-3])            # truncated payload
+    with pytest.raises(ValueError):
+        deserialize(blob[:-(len(blob) - 6)])  # header fragment only
+    # drop the final record entirely: required-field check fires
+    import struct as _st
+    tag, length = _st.unpack_from("<BI", blob, 4)
+    pos = 4
+    records = []
+    while pos < len(blob):
+        t, ln = _st.unpack_from("<BI", blob, pos)
+        records.append((t, blob[pos:pos + 5 + ln]))
+        pos += 5 + ln
+    no_fmt = blob[:4] + b"".join(r for t, r in records if t != 10)
+    with pytest.raises(ValueError):
+        deserialize(no_fmt)
+
+
+def test_scene_composition_roundtrip_tuples():
+    """composition_from_json re-tuples every sequence field (a list
+    parent_anchor made round-tripped states unequal and unhashable)."""
+    from swiftvideo_tpu.scene import (Composition, Element, ElementState,
+                                      PictureAnchor, Scene,
+                                      composition_from_json,
+                                      composition_to_json)
+    st = ElementState(pic_pos=(1.0, 2.0), size=(10.0, 10.0),
+                      parent_anchor=(PictureAnchor.anchorTopLeft,))
+    comp = Composition(
+        name="c", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        sample_rate=48000, channel_count=2,
+        scenes=(Scene(name="s", elements=(
+            Element(name="e", initial_state=st),)),),
+        initial_scene="s")
+    back = composition_from_json(composition_to_json(comp))
+    got = back.scenes[0].elements[0].initial_state
+    assert got == st
+    hash(got)                              # frozen dataclass stays hashable
