@@ -162,28 +162,23 @@ class _VideoFileWriter:
 
     def _params_annexb(self, sample) -> bytes:
         from .codec import containers
-        from .media.coded import sps_from_avcdcr
+        from .codec.ffmpeg_subprocess import sps_pps_from_avcdcr
 
         config = sample.side_data().get("config")
         if not config:
             return b""
-        if self.fmt == self._mf.hevc:
-            params = containers.params_from_hvcc(config)
+        # a corrupt config record behaves like "no config yet": the header
+        # stays unlatched and a later good SequenceStart can still size it
+        try:
+            if self.fmt == self._mf.hevc:
+                params = containers.params_from_hvcc(config)
+                return b"".join(b"\x00\x00\x00\x01" + nal
+                                for nals in params.values() for nal in nals)
+            sps_list, pps_list = sps_pps_from_avcdcr(config)
             return b"".join(b"\x00\x00\x00\x01" + nal
-                            for nals in params.values() for nal in nals)
-        sps = sps_from_avcdcr(sample)
-        # PPS follows the SPS block in the AVCDecoderConfigurationRecord
-        off = 8 + len(sps)
-        out = b"\x00\x00\x00\x01" + sps
-        if len(config) > off + 3:
-            n_pps = config[off]
-            off += 1
-            for _ in range(n_pps):
-                size = (config[off] << 8) | config[off + 1]
-                off += 2
-                out += b"\x00\x00\x00\x01" + bytes(config[off:off + size])
-                off += size
-        return out
+                            for nal in sps_list + pps_list)
+        except ValueError:
+            return b""
 
     def write(self, sample) -> None:
         from .codec import bitstream, containers

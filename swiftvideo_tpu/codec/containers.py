@@ -219,6 +219,8 @@ def make_opus_head(channels: int, *, pre_skip: int = 312,
 def parse_opus_head(data: bytes) -> dict:
     if data[:8] != b"OpusHead":
         raise ValueError("not an OpusHead packet")
+    if len(data) < 18:
+        raise ValueError("truncated OpusHead packet")
     pre_skip, rate, gain = struct.unpack_from("<HIh", data, 10)
     return {"channels": data[9], "pre_skip": pre_skip, "input_rate": rate,
             "gain": gain}
@@ -353,7 +355,10 @@ _HEVC_NAL_VPS, _HEVC_NAL_SPS, _HEVC_NAL_PPS = 32, 33, 34
 
 
 def params_from_hvcc(record: bytes) -> Dict[int, List[bytes]]:
-    """Parameter-set NALs keyed by NAL type (32=VPS, 33=SPS, 34=PPS)."""
+    """Parameter-set NALs keyed by NAL type (32=VPS, 33=SPS, 34=PPS).
+
+    Raises ValueError on truncated/hostile records (never IndexError or
+    struct.error — config records arrive from the network)."""
     if len(record) < 23 or record[0] != 1:
         raise ValueError("bad hvcC record")
     pos = 22
@@ -361,12 +366,18 @@ def params_from_hvcc(record: bytes) -> Dict[int, List[bytes]]:
     pos += 1
     out: Dict[int, List[bytes]] = {}
     for _ in range(n_arrays):
+        if pos + 3 > len(record):
+            raise ValueError("truncated hvcC array header")
         nal_type = record[pos] & 0x3F
         n_nalus = struct.unpack_from(">H", record, pos + 1)[0]
         pos += 3
         for _ in range(n_nalus):
+            if pos + 2 > len(record):
+                raise ValueError("truncated hvcC nalu length")
             n = struct.unpack_from(">H", record, pos)[0]
             pos += 2
+            if pos + n > len(record):
+                raise ValueError("truncated hvcC nalu payload")
             out.setdefault(nal_type, []).append(record[pos:pos + n])
             pos += n
     return out

@@ -100,26 +100,37 @@ def split_annexb(data: bytes) -> List[bytes]:
 
 
 def sps_pps_from_avcdcr(record: bytes) -> Tuple[List[bytes], List[bytes]]:
-    """Parameter sets from an AVCDecoderConfigurationRecord (ISO 14496-15)."""
+    """Parameter sets from an AVCDecoderConfigurationRecord (ISO 14496-15).
+
+    Raises ValueError on truncated/hostile records (never IndexError or
+    struct.error — config records arrive from the network)."""
     if len(record) < 7:
         raise ValueError("short AVCDCR")
     pos = 5
     num_sps = record[pos] & 0x1F
     pos += 1
     sps = []
-    for _ in range(num_sps):
+
+    def nal(pos):
+        if pos + 2 > len(record):
+            raise ValueError("truncated AVCDCR nalu length")
         n = struct.unpack_from(">H", record, pos)[0]
         pos += 2
-        sps.append(record[pos:pos + n])
-        pos += n
+        if pos + n > len(record):
+            raise ValueError("truncated AVCDCR nalu payload")
+        return record[pos:pos + n], pos + n
+
+    for _ in range(num_sps):
+        s, pos = nal(pos)
+        sps.append(s)
+    if pos >= len(record):
+        raise ValueError("truncated AVCDCR pps count")
     num_pps = record[pos]
     pos += 1
     pps = []
     for _ in range(num_pps):
-        n = struct.unpack_from(">H", record, pos)[0]
-        pos += 2
-        pps.append(record[pos:pos + n])
-        pos += n
+        p, pos = nal(pos)
+        pps.append(p)
     return sps, pps
 
 

@@ -185,6 +185,31 @@ def test_containers_garbage():
     _survives(containers.params_from_hvcc, (_rand(n) for n in (0, 22, 90)))
 
 
+def test_config_records_truncated():
+    """Config records that PASS the magic/version checks but truncate or
+    mutate mid-structure (random bytes almost never reach those paths:
+    the version byte gates them) — network-facing parsers must raise
+    controlled errors, not IndexError/struct.error."""
+    from swiftvideo_tpu.codec.ffmpeg_subprocess import (make_avcdcr,
+                                                        sps_pps_from_avcdcr)
+    hvcc = containers.make_hvcc(b"\x40\x01" + _rand(12),
+                                b"\x42\x01" + _rand(20),
+                                b"\x44\x01" + _rand(4))
+    _survives(containers.params_from_hvcc,
+              (hvcc[:cut] for cut in range(len(hvcc))))
+    _survives(containers.params_from_hvcc, _mutations(hvcc))
+
+    avcdcr = make_avcdcr(b"\x67" + _rand(15), b"\x68" + _rand(3))
+    _survives(sps_pps_from_avcdcr,
+              (avcdcr[:cut] for cut in range(len(avcdcr))))
+    _survives(sps_pps_from_avcdcr, _mutations(avcdcr))
+
+    head = containers.make_opus_head(2)
+    _survives(containers.parse_opus_head,
+              (head[:cut] for cut in range(len(head))))
+    _survives(containers.parse_opus_head, _mutations(head))
+
+
 def test_bitstream_parsers_garbage():
     _survives(bitstream.h264_sps_frame_size,
               (_rand(n) for n in (0, 1, 4, 20, 64)))
