@@ -212,8 +212,16 @@ class ChunkDeserializer:
     bytearrays — ``Chunk`` objects materialize once per complete
     message, not once per 128-byte wire chunk."""
 
-    def __init__(self, in_chunk_size: int = DEFAULT_CHUNK_SIZE):
+    #: pending-byte cap: parse stalls (e.g. a type-1/2/3 chunk on a chunk
+    #: stream with no prior type-0 — the reference also waits forever,
+    #: deserialize.swift getChunk1-3 guard) must not grow the buffer
+    #: unboundedly; 32 MB = 2x the largest declarable message (be24)
+    MAX_PENDING = 1 << 25
+
+    def __init__(self, in_chunk_size: int = DEFAULT_CHUNK_SIZE,
+                 max_pending: int = MAX_PENDING):
         self.in_chunk_size = in_chunk_size
+        self.max_pending = max_pending
         self._partial: Dict[int, _Partial] = {}
         self._buffer = bytearray()
         self._pos = 0
@@ -249,6 +257,11 @@ class ChunkDeserializer:
                 if self._pos:
                     del self._buffer[:self._pos]
                     self._pos = 0
+                if len(self._buffer) > self.max_pending:
+                    raise ValueError(
+                        f"rtmp inbound buffer exceeded {self.max_pending} "
+                        "bytes without a parseable chunk (protocol "
+                        "violation or desync)")
                 return None
             self._pos += consumed
             if chunk is not None:

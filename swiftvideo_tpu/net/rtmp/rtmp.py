@@ -203,6 +203,10 @@ class Rtmp:
                 out, samples = core.feed(event.data())
                 if out:
                     conn.write(out)
+                if core.fatal:
+                    # unrecoverable byte-stream desync: drop the client
+                    conn.close()
+                    return EventBox.nothing(None)
                 endpoint = state["endpoint"]
                 if (endpoint is None and core.started
                         and not state.get("establishing")):
@@ -306,6 +310,8 @@ class Rtmp:
             out, samples = core.feed(event.data())
             if out:
                 conn.write(out)
+            if core.fatal:
+                conn.close()
             if core.errors and not done.done():
                 done.set_exception(ConnectionError(core.errors[-1]))
                 return EventBox.nothing(None)

@@ -89,6 +89,10 @@ class RtmpSessionCore:
         self._hs_buf = b""
         self._responders: Dict[int, Callable] = {}
         self.errors: List[str] = []
+        #: set when the inbound byte stream is unrecoverable (chunk-stream
+        #: desync past the deserializer's pending cap); owners should close
+        #: the connection
+        self.fatal: Optional[str] = None
 
     # --- public API -------------------------------------------------------
     @property
@@ -114,7 +118,12 @@ class RtmpSessionCore:
         # (set-chunk-size) must apply before the next parse
         self.deserializer.append(data)
         while True:
-            chunk = self.deserializer.poll()
+            try:
+                chunk = self.deserializer.poll()
+            except ValueError as exc:     # pending-cap overflow: desync
+                self.fatal = str(exc)
+                self.errors.append(self.fatal)
+                break
             if chunk is None:
                 break
             try:

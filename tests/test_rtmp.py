@@ -118,6 +118,31 @@ def test_chunk_large_message_rechunked():
     assert len(got) == 1 and got[0].data == payload
 
 
+def test_chunk_desync_pending_cap():
+    """A stalled parse (type-3 chunk on an unknown chunk stream) must not
+    grow the inbound buffer unboundedly: past max_pending the deserializer
+    raises and the session core flags fatal (the reference waits forever
+    but NIO's transport backpressure bounds it; here the cap is explicit)."""
+    des = ChunkDeserializer(max_pending=1 << 16)
+    # format 3 on csid 9 with no prior type-0: permanently unparseable
+    stall = bytes([0xC9]) + b"\x00" * 4000
+    des.feed(stall)
+    with pytest.raises(ValueError, match="inbound buffer exceeded"):
+        for _ in range(64):
+            des.feed(b"\x00" * 4096)
+
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+    core = RtmpSessionCore(is_server=True, asset_id="a")
+    core._hs_state = "established"      # skip handshake for the byte feed
+    core.deserializer = ChunkDeserializer(max_pending=1 << 16)
+    core.feed(stall)
+    for _ in range(64):
+        out, samples = core.feed(b"\x00" * 4096)
+        if core.fatal:
+            break
+    assert core.fatal and "inbound buffer exceeded" in core.fatal
+
+
 # --- full loopback over sockets -------------------------------------------
 
 PRIMES = [1009, 2087, 1447, 2221, 2503, 3001, 4999, 2857, 9973, 8191, 7331,
