@@ -48,7 +48,6 @@ class SyntheticSource(Source):
         self.id_workspace = workspace_id
         self.loop = loop
         self._index = 0
-        self._ts_base = TimePoint(0, frame_duration.scale)
         self._next_pts = TimePoint(0, frame_duration.scale)
         self._epoch: Optional[TimePoint] = None
         self._playing = False
@@ -85,8 +84,9 @@ class SyntheticSource(Source):
                 if not self.loop:
                     self._playing = False
                     return
-                # loop: rebase timestamps (reset, file.ffmpeg.swift:101-113)
-                self._ts_base = self._next_pts
+                # loop: restart the pull; timestamps rebase implicitly
+                # because _next_pts keeps advancing (reset,
+                # file.ffmpeg.swift:101-113)
                 self._index = 0
                 sample = self.puller(0)
                 if sample is None:

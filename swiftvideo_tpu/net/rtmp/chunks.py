@@ -350,7 +350,10 @@ class ChunkDeserializer:
         prev.msg_type = msg_type
         prev.timestamp = timestamp
         prev.timestamp_delta = 0
-        prev.extended = serial_ts >= 0xFFFFFF
+        # track what the WIRE said, not a re-derivation from the value:
+        # type-3 continuations carry an extended field iff this header did,
+        # and a peer may use extended encoding for values < 0xFFFFFF
+        prev.extended = ext
         prev.data = bytearray(buf[pos0 + body_pos:pos0 + body_pos + take])
         return prev, body_pos + take
 
@@ -372,7 +375,7 @@ class ChunkDeserializer:
         prev.msg_type = msg_type
         prev.timestamp += delta
         prev.timestamp_delta = delta
-        prev.extended = delta >= 0xFFFFFF
+        prev.extended = ext           # wire encoding, not value-derived
         prev.data = bytearray(buf[pos0 + body_pos:pos0 + body_pos + take])
         return prev, body_pos + take
 
@@ -389,7 +392,7 @@ class ChunkDeserializer:
             return None
         prev.timestamp += delta
         prev.timestamp_delta = delta
-        prev.extended = delta >= 0xFFFFFF
+        prev.extended = ext           # wire encoding, not value-derived
         prev.data = bytearray(buf[pos0 + body_pos:pos0 + body_pos + take])
         return prev, body_pos + take
 

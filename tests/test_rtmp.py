@@ -118,6 +118,29 @@ def test_chunk_large_message_rechunked():
     assert len(got) == 1 and got[0].data == payload
 
 
+def test_chunk_extended_flag_tracks_wire_not_value():
+    """A peer may use the extended-timestamp encoding for values below
+    0xFFFFFF (sloppy but seen in the wild); type-3 continuations then
+    carry a 4-byte extended field that the parser must skip.  The
+    extended flag must reflect the WIRE encoding, not `value >= 0xFFFFFF`
+    re-derivation (which would desync every continuation chunk)."""
+    des = ChunkDeserializer(128)
+    payload = bytes(range(200)) * 2           # 400 bytes -> 4 chunks @128
+    ts = 1234                                  # < 0xFFFFFF, sent extended
+    header = (bytes([0x06])                    # fmt 0, csid 6
+              + b"\xff\xff\xff"                # ts field says "extended"
+              + len(payload).to_bytes(3, "big") + bytes([0x9])
+              + (1).to_bytes(4, "little")
+              + ts.to_bytes(4, "big"))         # extended value < 0xFFFFFF
+    cont = bytes([0xC6]) + ts.to_bytes(4, "big")  # type 3 with extended
+    blob = (header + payload[:128] + cont + payload[128:256]
+            + cont + payload[256:384] + cont + payload[384:])
+    got = des.feed(blob)
+    assert len(got) == 1
+    assert got[0].data == payload
+    assert got[0].timestamp == ts and got[0].extended
+
+
 def test_chunk_desync_pending_cap():
     """A stalled parse (type-3 chunk on an unknown chunk stream) must not
     grow the inbound buffer unboundedly: past max_pending the deserializer
