@@ -465,6 +465,40 @@ def test_enhanced_rtmp_fourcc_roundtrip():
     assert roundtrip([coded(MediaFormat.vp8, b"\x00" + b"v" * 10, 0)]) == []
 
 
+def test_legacy_aac_tag_roundtrip():
+    """Legacy FLV AAC audio tags (0xAF: sequence header + raw) — the
+    reference's core audio path (serialize.swift:24-55 audio branch,
+    states.swift handleAudio:224-248): ASC config rides the sequence
+    header and re-attaches to every received sample; pts survives."""
+    from swiftvideo_tpu.net.rtmp.media import MediaSerializer
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+
+    clock = StepClock(TimePoint(16, 1000))
+    tx_core = RtmpSessionCore(is_server=False, asset_id="a", clock=clock)
+    rx_core = RtmpSessionCore(is_server=True, asset_id="a", clock=clock)
+    rx_core._hs_state = "established"
+    media = MediaSerializer(tx_core.serializer, 1)
+    asc = bytes([0x12, 0x10])                 # AAC-LC 44.1k stereo
+    received = []
+    for i in range(3):
+        s = CodedMediaSample(
+            buffer=bytes([0x21, i]) + b"a" * 50,
+            pts_value=TimePoint(i * 21, 1000),
+            dts_value=TimePoint(i * 21, 1000),
+            media_type=MediaType.audio, media_format=MediaFormat.aac,
+            id_asset="a", id_workspace="w", side={"config": asc})
+        blob = media.serialize(s)
+        if blob:
+            _, out = rx_core.feed(blob)
+            received.extend(out)
+    assert len(received) == 3
+    assert all(s.media_format == MediaFormat.aac for s in received)
+    assert all(s.media_type == MediaType.audio for s in received)
+    assert received[0].side_data()["config"] == asc
+    assert [s.pts().value for s in received] == [0, 21, 42]
+    assert received[2].data() == bytes([0x21, 2]) + b"a" * 50
+
+
 def test_enhanced_rtmp_sequence_start_configs():
     """vp9/av1 publish with a codec config record emits an E-RTMP
     PacketTypeSequenceStart (vpcC / av1C payload) ahead of CodedFrames —
