@@ -16,12 +16,14 @@ import socket
 import numpy as np
 import pytest
 
-from swiftvideo_tpu.codec.codecs import VideoDecoder, VideoEncoder
+from swiftvideo_tpu.codec.codecs import (AudioDecoder, AudioEncoder,
+                                         VideoDecoder, VideoEncoder)
 from swiftvideo_tpu.codec.transcode import flat
 from swiftvideo_tpu.compose import Composer
 from swiftvideo_tpu.core import Bus, EventBox, StepClock, TimePoint, Tx
-from swiftvideo_tpu.media import (MediaFormat, PixelFormat,
+from swiftvideo_tpu.media import (MediaFormat, MediaType, PixelFormat,
                                   create_picture_sample)
+from swiftvideo_tpu.media.audio import AudioFormat, AudioSample
 from swiftvideo_tpu.scene import Composition, Element, ElementState, Scene
 
 MOCK_FFMPEG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -57,6 +59,27 @@ def _encode_cam(luma: int, asset: str, n: int = 12):
     return coded
 
 
+def _encode_cam_audio(amp: int, asset: str, n: int = 60):
+    """Constant-amplitude 1024-sample stereo AAC packets via the mock."""
+    enc = AudioEncoder(MediaFormat.aac, frame_size=1024)
+    coded = []
+    for i in range(n):
+        pcm = np.full(1024 * 2, amp, np.int16)
+        box = enc(AudioSample(
+            buffers=(pcm,), frequency=48000, channels=2,
+            format=AudioFormat.s16i, sample_count=1024,
+            id_asset=asset, id_workspace="w",
+            pts_value=TimePoint(i * 1024, 48000)))
+        if box.is_just():
+            v = box.value()
+            coded.extend(v if isinstance(v, list) else [v])
+    for s in enc.flush():
+        coded.append(s)
+    enc.close()
+    assert len(coded) >= n - 2, f"{asset}: {len(coded)} coded audio packets"
+    return coded
+
+
 @pytest.fixture
 def mock_ffmpeg(monkeypatch):
     monkeypatch.setenv("SWIFTVIDEO_FFMPEG", MOCK_FFMPEG)
@@ -68,6 +91,8 @@ def test_live_station_rtmp_mix_rtmp(mock_ffmpeg):
 
     cam1 = _encode_cam(60, "cam1", 40)
     cam2 = _encode_cam(180, "cam2", 40)
+    cam1_a = _encode_cam_audio(1000, "cam1")
+    cam2_a = _encode_cam_audio(3000, "cam2")
 
     comp = Composition(
         name="program", canvas_size=(96, 56), frame_duration=FRAME,
@@ -92,19 +117,26 @@ def test_live_station_rtmp_mix_rtmp(mock_ffmpeg):
         keep = []            # anchor weak emit chains
         decoders = []
 
-        # --- ingest server: decode each publisher onto the picture bus ---
+        # --- ingest server: decode each publisher onto the A/V buses -----
         async def on_ingest(pub, sub):
             if sub is not None:
                 name = sub.play_path()           # "cam1" / "cam2"
-                dec = VideoDecoder()
-                decoders.append(dec)
+                vdec, adec = VideoDecoder(), AudioDecoder()
+                decoders.extend([vdec, adec])
 
-                def to_bus(pict, name=name):
-                    picture_bus.append(EventBox.just(
-                        pict.with_(asset_id=name)))
+                def route(s, name=name, vdec=vdec, adec=adec):
+                    if s.media_type == MediaType.audio:
+                        box, bus = adec(s), audio_bus
+                    else:
+                        box, bus = vdec(s), picture_bus
+                    if box.is_just():
+                        v = box.value()
+                        for item in (v if isinstance(v, list) else [v]):
+                            bus.append(EventBox.just(
+                                item.with_(asset_id=name)))
                     return EventBox.nothing(None)
 
-                keep.append(sub >> flat(dec) >> flat(Tx(to_bus)))
+                keep.append(sub >> Tx(route))
             return True
 
         ingest = Rtmp(clock, on_connection=on_ingest)
@@ -135,18 +167,22 @@ def test_live_station_rtmp_mix_rtmp(mock_ffmpeg):
         from swiftvideo_tpu.core import asset_filter
         keep.append(picture_bus.subscribe(
             asset_filter(comp.name) >> flat(out_enc) >> flat(Tx(to_egress))))
+        out_aenc = AudioEncoder(MediaFormat.aac, frame_size=1024)
+        keep.append(audio_bus.subscribe(
+            asset_filter(comp.name) >> flat(out_aenc) >> flat(Tx(to_egress))))
 
         composer.bind("cam1", "left")
         composer.bind("cam2", "right")
 
         # --- publishers: feed the pre-encoded cams into ingest ------------
         pubs = []
-        for name, coded in (("cam1", cam1), ("cam2", cam2)):
+        for name, coded, coded_a in (("cam1", cam1, cam1_a),
+                                     ("cam2", cam2, cam2_a)):
             client = Rtmp(clock)
             pub, _ = await client.connect(
                 f"rtmp://127.0.0.1:{port_in}/live/{name}",
                 publish_to_peer=True, max_attempts=3, retry_delay=0.2)
-            pubs.append((pub, coded))
+            pubs.append((pub, coded, coded_a, [0]))
 
         # publishers drop media until their 200 ms (clock-time) metadata
         # grace timer fires (live semantics) — step past it first
@@ -155,22 +191,36 @@ def test_live_station_rtmp_mix_rtmp(mock_ffmpeg):
             await asyncio.sleep(0)
 
         for i in range(40):
-            for pub, coded in pubs:
+            for pub, coded, coded_a, aidx in pubs:
                 pub.apply(EventBox.just(coded[i]))
+                # audio packets (1024 samples = 21.3 ms) keeping pace with
+                # the 33 ms video pts
+                while (aidx[0] < len(coded_a)
+                       and aidx[0] * 1024 * 1000 <= (i + 1) * 33 * 48000):
+                    pub.apply(EventBox.just(coded_a[aidx[0]]))
+                    aidx[0] += 1
             # ~3.3 clock ticks per 33 ms frame
             for _ in range(3):
                 clock.step()
                 await asyncio.sleep(0.002)
 
         # drain: decoder reader threads + mixer ticks + egress delivery
-        deadline = asyncio.get_event_loop().time() + 20.0
-        while (len(received) < 20
+        def n_video():
+            return sum(1 for s in received
+                       if s.media_type == MediaType.video)
+
+        def n_audio():
+            return sum(1 for s in received
+                       if s.media_type == MediaType.audio)
+
+        deadline = asyncio.get_event_loop().time() + 25.0
+        while ((n_video() < 20 or n_audio() < 10)
                and asyncio.get_event_loop().time() < deadline):
             clock.step()
             await asyncio.sleep(0.01)
 
         out_pub.close()
-        for pub, _ in pubs:
+        for pub, _c, _a, _i in pubs:
             pub.close()
         await ingest.close()
         await egress.close()
@@ -178,9 +228,14 @@ def test_live_station_rtmp_mix_rtmp(mock_ffmpeg):
         for d in decoders:
             d.close()
         out_enc.close()
+        out_aenc.close()
 
     asyncio.run(run())
-    assert len(received) >= 20, f"only {len(received)} mixed frames egressed"
+    vids = [s for s in received if s.media_type == MediaType.video]
+    auds = [s for s in received if s.media_type == MediaType.audio]
+    assert len(vids) >= 20, f"only {len(vids)} mixed frames egressed"
+    assert len(auds) >= 10, f"only {len(auds)} mixed audio packets egressed"
+    received = vids
 
     # decode the LAST mixed frame (both cams live by then) and check the
     # composited regions pixel-exactly (mock codec is lossless)
@@ -202,3 +257,28 @@ def test_live_station_rtmp_mix_rtmp(mock_ffmpeg):
     assert abs(int(y[42, 70]) - 180) <= 1, y[42, 70]     # cam2 in "right"
     assert int(y[10, 70]) <= 1                           # background clear
     assert int(y[42, 10]) <= 1
+
+    # decode the mixed audio: once both cams are live the saturating mix
+    # is exactly 1000 + 3000 (unity gains, centered pan on stereo)
+    adec = AudioDecoder()
+    pcm = []
+    for s in auds:
+        box = adec(s)
+        if box.is_just():
+            v = box.value()
+            pcm.extend(np.asarray(a.buffers[0]) for a in
+                       (v if isinstance(v, list) else [v]))
+    pcm.extend(np.asarray(a.buffers[0]) for a in adec.flush())
+    adec.close()
+    assert pcm, "egress audio did not decode"
+    allpcm = np.concatenate(pcm)
+    # steady state: both cams at unity gain mix to exactly 1000 + 3000.
+    # RTMP FLV tags quantize pts to MILLISECONDS, so 1024-sample packets
+    # (21.33 ms) re-time to 21 ms on the wire and periodically overlap by
+    # ~16 samples — the mixer mixes both (the reference's window-overlap
+    # semantics), producing brief doubled samples.  Assert the dominant
+    # level and bound the overlap artifact.
+    tail = allpcm[-4096:]
+    assert (tail == 4000).mean() > 0.9, (tail == 4000).mean()
+    assert set(np.unique(tail)) <= {0, 1000, 3000, 4000, 5000, 7000, 8000}, \
+        np.unique(tail)
