@@ -252,21 +252,8 @@ class Composer:
         }
 
     def restore(self, snap: dict) -> None:
-        from ..scene import AspectMode, PicOrigin, PictureAnchor
-
-        enums = {c.__name__: c for c in (AspectMode, PicOrigin, PictureAnchor)}
-
-        def dec(o):
-            if isinstance(o, dict):
-                if "__tp__" in o:
-                    return TimePoint(*o["__tp__"])
-                if "__enum__" in o:
-                    name, member = o["__enum__"]
-                    return enums[name][member]
-                return {k: dec(v) for k, v in o.items()}
-            if isinstance(o, list):
-                return [dec(v) for v in o]
-            return o
+        # shared scene-JSON decoders (TimePoint/enum revival + re-tupling)
+        from ..scene import _dec, _mk_state
 
         # bindings first: bind() resets elements to their initial state
         raw_b = snap.get("bindings", [])
@@ -277,15 +264,7 @@ class Composer:
                 self.bind(asset, element)
         for name, raw in snap.get("states", {}).items():
             if name in self._elements:
-                d = dec(raw)
-                for key in ("pic_pos", "size", "texture_offset",
-                            "border_size", "audio_pos"):
-                    if d.get(key) is not None:
-                        d[key] = tuple(d[key])
-                if d.get("fill_color") is not None:
-                    d["fill_color"] = tuple(d["fill_color"])
-                d["parent_anchor"] = tuple(d.get("parent_anchor", ()))
-                self.set_state(name, ElementState(**d))
+                self.set_state(name, _mk_state(_dec(raw)))
 
     def close(self) -> None:
         self.video_mixer.close()
