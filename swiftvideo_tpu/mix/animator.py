@@ -259,8 +259,14 @@ class PictureAnimator(Tx):
         pct = None
         if self.current_start_time is not None and \
                 self.transition_duration is not None:
-            pct = seconds(self.clock.current() - self.current_start_time) / \
-                seconds(self.transition_duration)
+            # clamp: a sample arriving between the logical deadline and the
+            # completion callback must hold AT the target, not extrapolate
+            # past it (the reference leaves this unclamped and relies on a
+            # prompt timer; at pct=1 interpolation equals the target, so
+            # clamping is behavior-identical in the timely case)
+            pct = min(1.0, seconds(self.clock.current()
+                                   - self.current_start_time)
+                      / seconds(self.transition_duration))
         return compute_picture_state(
             sample, parent_state.matrix if parent_state else None,
             self.current_state, self.next_state, pct, self.anchors,
@@ -350,8 +356,10 @@ class SoundAnimator(Tx):
         state = self.current_state
         if (self.next_state is not None and self.current_start_time is not None
                 and self.transition_duration is not None):
-            pct = seconds(self.clock.current() - self.current_start_time) / \
-                seconds(self.transition_duration)
+            # clamped for the same late-callback reason as PictureAnimator
+            pct = min(1.0, seconds(self.clock.current()
+                                   - self.current_start_time)
+                      / seconds(self.transition_duration))
             state = state.with_(
                 audio_gain=_lerp(state.audio_gain, self.next_state.audio_gain, pct),
                 audio_pos=_lerp(state.audio_pos, self.next_state.audio_pos, pct))

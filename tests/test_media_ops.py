@@ -134,6 +134,44 @@ def test_picture_animator_transition():
     assert np.allclose(p2[:2], [-0.8, -0.8], atol=1e-5)
 
 
+def test_picture_animator_no_overshoot_on_late_completion():
+    """A sample arriving after the transition deadline but before the
+    completion callback (late timer thread on a WallClock) must hold AT
+    the target, not extrapolate past it."""
+    class LateClock:
+        """current() advances; scheduled callbacks never fire."""
+
+        def __init__(self):
+            self.t = TimePoint(0, 1000)
+
+        def current(self):
+            return self.t
+
+        def schedule(self, at, fn):
+            pass
+
+    clock = LateClock()
+    anim = PictureAnimator(clock, canvas_size=(100, 100))
+    anim.set_state(ElementState(pic_pos=(0, 0), size=(10, 10)),
+                   TimePoint(0, 1000))
+    anim.set_state(ElementState(pic_pos=(50, 0), size=(10, 10)),
+                   TimePoint(100, 1000))
+    clock.t = TimePoint(250, 1000)          # 2.5x past the deadline
+    pic = create_picture_sample((8, 8), PixelFormat.y420p, asset_id="a",
+                                workspace_id="w")
+    m = anim(pic).value().matrix()
+    p0 = m @ np.array([0, 0, 0, 1], np.float32)
+    # ndc x of canvas 50 on a 100 canvas is 0.0 — NOT 1.5 (pos 125)
+    assert np.allclose(p0[0], 0.0, atol=1e-5), p0
+
+    sanim = SoundAnimator(clock)
+    sanim.set_state(ElementState(audio_gain=1.0), TimePoint(0, 1000))
+    sanim.set_state(ElementState(audio_gain=0.5), TimePoint(100, 1000))
+    clock.t = TimePoint(400, 1000)
+    g = sanim.computed_matrix()[0, 0]
+    assert np.isclose(g, 0.5), g             # not extrapolated to < 0.5
+
+
 def test_picture_animator_aspect_fit():
     """16:9 sample in a square element letterboxes vertically."""
     clock = StepClock(TimePoint(1, 30))
