@@ -160,6 +160,76 @@ def test_soak_composer_join_leave_stall():
     del sub_p, sub_a
 
 
+def test_soak_rtmp_loopback_sustained():
+    """2000 frames through real sockets: publish -> chunk -> TCP ->
+    deserialize -> subscribe without loss, and the session cores keep no
+    unbounded buffers (the deserializer's offset-walk buffer compacts)."""
+    import asyncio
+    import socket
+
+    from swiftvideo_tpu.media.coded import (CodedMediaSample, MediaFormat,
+                                            MediaType)
+    from swiftvideo_tpu.net.rtmp import Rtmp
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    async def run():
+        clock = StepClock(TimePoint(16, 1000))
+        received, keep = [], {}
+
+        async def on_connection(pub, sub):
+            if sub is not None:
+                keep["chain"] = sub >> Tx(
+                    lambda s: (received.append(s), EventBox.nothing(None))[1])
+            return True
+
+        server = Rtmp(clock, on_connection=on_connection)
+        await server.serve("127.0.0.1", port)
+        client = Rtmp(clock)
+        pub, _ = await client.connect(
+            f"rtmp://127.0.0.1:{port}/soak/stream",
+            publish_to_peer=True, max_attempts=3, retry_delay=0.2)
+        rng = np.random.default_rng(3)
+        data = bytearray(rng.integers(0, 256, 7993).astype(np.uint8)
+                         .tobytes())
+        data[4] = 0x65
+        payload = bytes(data)
+        for _ in range(14):                 # metadata grace (200 ms)
+            clock.step()
+            await asyncio.sleep(0)
+        ts = TimePoint(0, 1000)
+        n = 2000
+        for i in range(n):
+            pub.apply(EventBox.just(CodedMediaSample(
+                buffer=payload, pts_value=ts, dts_value=ts,
+                media_type=MediaType.video, media_format=MediaFormat.avc,
+                id_asset="soak", id_workspace="w",
+                side={"config": bytes(48)})))
+            ts = ts + TimePoint(16, 1000)
+            clock.step()
+            if i % 16 == 0:
+                await asyncio.sleep(0)
+        deadline = asyncio.get_event_loop().time() + 20.0
+        while (len(received) < n
+               and asyncio.get_event_loop().time() < deadline):
+            await asyncio.sleep(0)
+        # session-core buffers must be compacted, not the whole backlog
+        for state in server._sessions.values():
+            core = state["core"]
+            assert len(core.deserializer._buffer) < 1 << 20
+            assert not core.fatal
+        pub.close()
+        await server.close()
+        return received
+
+    received = asyncio.run(run())
+    assert len(received) == 2000
+    assert received[-1].pts().value == 1999 * 16
+    assert received[-1].data() == received[0].data()
+
+
 def test_soak_audio_mixer_drops_stale_backlog():
     """A source that floods 5 s of future audio then disappears: the
     mixer consumes the backlog tick by tick and its queue drains to
