@@ -463,6 +463,12 @@ def main() -> None:
             f"(120 frames @16ms, 20 KB avg)")
     except Exception as exc:  # noqa: BLE001
         log("config7 rtmp loopback failed:", exc)
+    try:
+        rate = _flavor_realtime_multiple()
+        log(f"config7b flavor loopback: {rate:.1f}x realtime "
+            f"(120 frames @16ms, 20 KB avg)")
+    except Exception as exc:  # noqa: BLE001
+        log("config7b flavor loopback failed:", exc)
 
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",
@@ -534,6 +540,59 @@ def _rtmp_realtime_multiple(count: int = 120, frame_ms: int = 16) -> float:
         wall = time.perf_counter() - t0
         await server.close()
         pub.close()
+        if len(received) < count:
+            raise RuntimeError(f"only {len(received)}/{count} arrived")
+        return (count * frame_ms / 1000.0) / wall
+
+    return asyncio.run(run())
+
+
+def _flavor_realtime_multiple(count: int = 120, frame_ms: int = 16) -> float:
+    """flavor push->TCP->subscribe loopback; media-time/wall-time (the
+    protocol peer of config 7 — same workload over the atom wire)."""
+    import asyncio
+
+    import numpy as np
+
+    from swiftvideo_tpu.core import EventBox, TimePoint, Tx
+    from swiftvideo_tpu.media.coded import (CodedMediaSample, MediaFormat,
+                                            MediaType)
+    from swiftvideo_tpu.net import flavor as fl
+
+    async def run() -> float:
+        received = []
+        keep = []
+
+        def on_subscriber(sub):
+            keep.append(sub)
+            keep.append(sub >> Tx(
+                lambda s: (received.append(s), EventBox.nothing(None))[1]))
+
+        server = fl.Flavor(on_subscriber=on_subscriber)
+        await server.serve("127.0.0.1", 15908)
+        client = fl.Flavor()
+        pub = await client.connect("flavor://127.0.0.1:15908/bench/stream",
+                                   push=True)
+        rng = np.random.default_rng(1)
+        bufs = [bytes(rng.integers(0, 256, 19997).astype(np.uint8))
+                for _ in range(4)]
+        ts = TimePoint(0, 1000)
+        t0 = time.perf_counter()
+        for i in range(count):
+            pub.apply(EventBox.just(CodedMediaSample(
+                buffer=bufs[i % 4], pts_value=ts, dts_value=ts,
+                media_type=MediaType.video, media_format=MediaFormat.avc,
+                id_asset="bench", id_workspace="bench",
+                side={"config": bytes(48)})))
+            ts = ts + TimePoint(frame_ms, 1000)
+            if i % 8 == 0:
+                await asyncio.sleep(0)
+        deadline = time.perf_counter() + 10.0
+        while len(received) < count and time.perf_counter() < deadline:
+            await asyncio.sleep(0)
+        wall = time.perf_counter() - t0
+        pub.close()
+        await server.close()
         if len(received) < count:
             raise RuntimeError(f"only {len(received)}/{count} arrived")
         return (count * frame_ms / 1000.0) / wall
