@@ -448,7 +448,7 @@ def main() -> None:
 
         dt6p = time_device_loop(me_body_p, (curd, refd, prog_p(curd, refd)),
                                 iters=20)
-        log(f"config6 1080p ME 16/64 (pyramid, production mode): "
+        log(f"config6 1080p ME 16/64 (pyramid two-stage, experimental): "
             f"{dt6p*1e3:.3f} ms/frame = {1/dt6p:.1f} fps")
     except Exception as exc:  # noqa: BLE001
         log("config6 pyramid motion failed:", exc)

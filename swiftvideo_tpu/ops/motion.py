@@ -531,7 +531,7 @@ def me_ssd_golden(cur: np.ndarray, ref: np.ndarray, block: int = 16,
 @lru_cache(maxsize=16)
 def _me_mxu_program(h: int, w: int, block: int, search: int,
                     grouped: bool = False, unroll: int = 0,
-                    raw: bool = False):
+                    raw: bool = False, stride: int = 1):
     """``grouped``: block-column groups + ``feature_group_count`` conv —
     each group of ``gs`` blocks convolves only its own x-segment
     (16*(gs-1) + n_d positions instead of all of W), cutting the dense
@@ -541,7 +541,14 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
     80).  Per-op fixed costs over 68 small-tensor scan iterations
     dominate this program: measured 17.1 / 14.8 / 13.9 / 10.8 / 10.3 ms
     at unroll 1 / 4 / 8 / 34 / 67 (full) for the grouped variant at
-    1080p/16/64."""
+    1080p/16/64.
+    ``stride``: candidate-grid subsampling (grouped path only) — scores
+    only every ``stride``-th dx (via the conv's ``window_strides``, so
+    the MXU work drops by 1/stride with unchanged conv shapes) and every
+    ``stride``-th dy (fewer batch rows).  The winner is the best
+    candidate ON THE SUBSAMPLED GRID, which is within stride-1 per axis
+    of the exhaustive optimum's position — the coarse stage of the
+    two-stage production mode (`me_fullsearch_pyramid`)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -564,7 +571,9 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
     d_lo = block // 2 - search // 2
     d_hi = search - block - 1
     n_d = d_hi - d_lo + 1
-    dxs = np.arange(d_lo, d_hi + 1, dtype=np.int32)
+    # candidate dx grid (subsampled by ``stride``; stride 1 == exhaustive)
+    dxs = np.arange(d_lo, d_hi + 1, stride, dtype=np.int32)
+    n_c = len(dxs)
     n_j = search - block                       # per-strip ty candidates
 
     # per-strip ty windows (see _search_bounds)
@@ -578,7 +587,7 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
     ox = np.arange(wb, dtype=np.int32) * block
     xlo = np.clip(ox + d_lo, 0, w)
     xhi = np.minimum(xlo + search, w) - block
-    txg = ox[:, None] + dxs[None, :]           # [wb, n_d] candidate tx
+    txg = ox[:, None] + dxs[None, :]           # [wb, n_c] candidate tx
     xmask = (txg >= xlo[:, None]) & (txg < xhi[:, None])
     txg = np.clip(txg, 0, w - block)
 
@@ -587,23 +596,30 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
         gs = next((g for g in (8, 6, 5, 4, 3, 2) if wb % g == 0), 0)
         if not gs:
             grouped = False
+    if stride != 1 and not grouped:
+        raise ValueError("candidate stride requires the grouped conv path")
     if grouped:
         n_groups = wb // gs
         seg_p = block * (gs - 1) + n_d         # positions per group
         seg_w = seg_p + block - 1              # conv input cols per group
         seg_x0 = (block * gs * np.arange(n_groups, dtype=np.int32)
                   + d_lo)                      # absolute first tx per group
-        # gather index into the dy-reduced [seg_p, wb] plane:
-        # p = 16*(f % gs) + dx - d_lo
-        pg = (block * (np.arange(wb, dtype=np.int32) % gs))[:, None] \
-            + (dxs - d_lo)[None, :]            # [wb, n_d]
+        # gather index into the dy-reduced [ceil(seg_p/stride), wb] plane:
+        # p = (16*(f % gs) + dx - d_lo) / stride — exact since block and
+        # (dx - d_lo) are both multiples of stride for stride in {1, 2}
+        if stride != 1 and block % stride:
+            raise ValueError("stride must divide the block size")
+        pg = ((block * (np.arange(wb, dtype=np.int32) % gs))[:, None]
+              + (dxs - d_lo)[None, :]) // stride    # [wb, n_c]
         pad_l = -d_lo
         pad_r = max(int(seg_x0[-1]) + seg_w - w, 0) + 8
 
-    # separable per-axis f32 MV-cost tables (see variant-score note)
-    dvals = (d_lo + np.arange(n_d)).astype(np.float64)
-    cx_tab = _axis_cost(-dvals).astype(np.float32)   # [n_d] by dx index
-    cy_tab = _axis_cost(-dvals).astype(np.float32)   # [n_d] by dy index
+    # separable per-axis f32 MV-cost tables (see variant-score note);
+    # cx is per candidate dx (subsampled grid), cy stays indexed by the
+    # FULL global dy index (j values remain actual offsets under stride)
+    dvals_full = (d_lo + np.arange(n_d)).astype(np.float64)
+    cx_tab = _axis_cost(-dxs.astype(np.float64)).astype(np.float32)
+    cy_tab = _axis_cost(-dvals_full).astype(np.float32)  # [n_d] by dy index
 
     big_key = np.int32(2 ** 30)
 
@@ -628,7 +644,7 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
         wins = jnp.take(refp, ylo[:, None] + np.arange(search)[None, :],
                         axis=0)                # [strips, search, wpad] u8
         iwb = jnp.arange(wb)[:, None]
-        j_iota = jnp.arange(n_j, dtype=jnp.int32)
+        j_iota = jnp.arange(0, n_j, stride, dtype=jnp.int32)
 
         def body(_, xs):
             win, f, nvy_s, jgb_s, ylo_s, oy_s = xs
@@ -637,26 +653,29 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
             # folding the 16 vertical taps into input CHANNELS makes it a
             # [kw=16, C_in=16, C_out=wb] 1D conv with a 256-deep MXU
             # contraction and j as the batch axis (measured ~30x faster)
-            v = jnp.stack([win[i:i + n_j] for i in range(block)],
-                          axis=-1).astype(jnp.bfloat16)  # [n_j, wpad, 16]
+            v = jnp.stack([win[i:i + n_j:stride] for i in range(block)],
+                          axis=-1).astype(jnp.bfloat16)  # [n_js, wpad, 16]
             rows = jnp.clip(ylo_s + j_iota, 0, h - block)
             if grouped:
                 # per-group x-segments as channel blocks: group g's gs
                 # blocks see only their own seg_w columns via
-                # feature_group_count (see docstring)
+                # feature_group_count (see docstring); candidate stride
+                # rides the conv's window_strides (output positions are
+                # every stride-th p, matching the pg gather index)
                 vseg = jnp.concatenate(
                     [v[:, int(s0) + pad_l:int(s0) + pad_l + seg_w, :]
-                     for s0 in seg_x0], axis=-1)  # [n_j, seg_w, G*16]
+                     for s0 in seg_x0], axis=-1)  # [n_js, seg_w, G*16]
                 cross = lax.conv_general_dilated(
-                    vseg, f, window_strides=(1,), padding="VALID",
+                    vseg, f, window_strides=(stride,), padding="VALID",
                     dimension_numbers=("NWC", "WIO", "NWC"),
                     feature_group_count=n_groups,
                     preferred_element_type=jnp.float32,
-                )                              # [n_j, seg_p, wb]
+                )                              # [n_js, ceil(seg_p/st), wb]
                 r2g = jnp.stack(
-                    [s2[rows][:, int(s0) + pad_l:int(s0) + pad_l + seg_p]
-                     for s0 in seg_x0], axis=2)   # [n_j, seg_p, G]
-                r2row = jnp.repeat(r2g, gs, axis=2)  # [n_j, seg_p, wb]
+                    [s2[rows][:, int(s0) + pad_l:
+                              int(s0) + pad_l + seg_p:stride]
+                     for s0 in seg_x0], axis=2)
+                r2row = jnp.repeat(r2g, gs, axis=2)
                 partial = r2row - 2 * cross.astype(jnp.int32)
                 gidx = pg_j
             else:
@@ -689,13 +708,13 @@ def _me_mxu_program(h: int, w: int, block: int, search: int,
                                 (jnp.float32(jnp.inf), big_key),
                                 lex_min, (0,))   # [wx, wb] each
             # outer stage: gather the dy-reduced plane per block (tiny)
-            tg = m1[gidx, iwb]                 # [wb, n_d]
+            tg = m1[gidx, iwb]                 # [wb, n_c]
             jg = k1[gidx, iwb]
             score = tg + cx_tab[None, :]
             score = jnp.where(xmask, score, jnp.inf)
             m = jnp.min(score, axis=1)         # [wb]
             km = jnp.min(jnp.where(score == m[:, None],
-                                   jnp.arange(n_d, dtype=jnp.int32)[None],
+                                   jnp.arange(n_c, dtype=jnp.int32)[None],
                                    big_key), axis=1)
             j_best = jg[jnp.arange(wb), km]
             # empty candidate window (all-inf scores: frame edge leaves no
@@ -892,17 +911,51 @@ def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64,
                            grouped)(cur, jnp.asarray(ref))
 
 
-# --- hierarchical (pyramid) production mode ---------------------------------
+# --- hierarchical (two-stage) production mode --------------------------------
+#
+# v1 of this mode ran the coarse search at HALF RESOLUTION and refined
+# with a per-block [hb, wb, win, win] advanced-indexing gather.  Measured
+# on the chip (1080p/16/64) every stage was pathological: the strided
+# down-2 decimation alone cost 68 ms (u8 stride-2 slices lower to scalar
+# code), the half-res SSD search 30 ms (block-8 conv shapes waste the
+# MXU's 256-deep contraction), the 4-D gather 57 ms (never fuses, the
+# exact pattern ops/pallas_frame.py warns about), and the 25-candidate
+# strided-slice re-score 25 ms — 98 ms/frame total, 6x SLOWER than the
+# exhaustive grouped search it was meant to accelerate.  v2 keeps the
+# two-stage structure but changes both stages:
+#
+#   * coarse = the SAME grouped-conv exhaustive program at FULL
+#     resolution with a stride-2 CANDIDATE grid (conv window_strides +
+#     subsampled dy rows): identical MXU-friendly shapes, 1/4 the work,
+#     and the winner is within 1 per axis of some grid point around the
+#     true optimum's basin;
+#   * refine = a strip-scanned re-score of (2*refine+1)^2 candidates
+#     around each block's coarse pick, with the patch gather expressed
+#     as a ROW take (fast: whole cache lines) followed by a one-hot
+#     COLUMN matmul (MXU; u8 values are exact in bf16), and the SSD
+#     cross/self terms as two small matmuls per strip (a static-index
+#     take builds the shifted-window view; ||r||^2 contracts against a
+#     static 0/1 window matrix).  No dynamic multi-axis gather anywhere.
 
 @lru_cache(maxsize=8)
-def _me_pyramid_program(h: int, w: int, block: int, search: int,
-                        refine: int, metric: str):
+def _me_refine_program(h: int, w: int, block: int, search: int,
+                       refine: int, metric: str, unroll: int = 8):
+    """Re-score ``(2*refine+1)**2`` candidates around per-block centers.
+
+    Takes the coarse (mvx, mvy) f32 fields and returns the RGBA MV map.
+    Scoring is bit-identical to the oracles (`me_ssd_golden` /
+    `me_fullsearch_golden`): same f32 cost tables built in f64, same
+    operation order, ties break to the earliest candidate in (tx, ty)
+    x-major order.  Candidates outside a block's clamped search window
+    are masked; if every candidate is masked the zero MV is emitted.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     hb, wb = h // block, w // block
-    h2, w2 = h // 2, w // 2
     win = block + 2 * refine
+    n_off = 2 * refine + 1
     oy = np.arange(hb, dtype=np.int32) * block
     ox = np.arange(wb, dtype=np.int32) * block
 
@@ -911,100 +964,193 @@ def _me_pyramid_program(h: int, w: int, block: int, search: int,
         right = np.clip(left + search, 0, size)
         return left, right - block
 
-    xlo, xhi = vb(ox, w)
-    ylo, yhi = vb(oy, h)
+    xlo, xhi = vb(ox, w)                       # [wb]
+    ylo, yhi = vb(oy, h)                       # [hb]
 
     # candidate offsets in the golden tie order: tx-major, then ty
-    offs = [(ddx, ddy) for ddx in range(2 * refine + 1)
-            for ddy in range(2 * refine + 1)]
+    offs = np.array([(ddx, ddy) for ddx in range(n_off)
+                     for ddy in range(n_off)], np.int32)
+    n_s = len(offs)
 
     # f32 cost tables built in f64 on host (same values as the oracles)
     dmax = search
     dvals = np.arange(-dmax, dmax + 1, dtype=np.float64)
     if metric == "ssd":
         ax_tab = jnp.asarray(_axis_cost(dvals).astype(np.float32))
+        # shifted-window index map: candidate s's block view of the
+        # flattened [win, win] patch (static, so the take lowers without
+        # a dynamic gather)
+        ii, jj = np.mgrid[0:block, 0:block]
+        idxmap = np.stack([((ddy + ii) * win + (ddx + jj)).ravel()
+                           for ddx, ddy in offs])          # [n_s, B*B]
+        idx_flat = jnp.asarray(idxmap.reshape(-1))
     else:
         cost2d = jnp.asarray(np.float32(
             delta_cost2(dvals[:, None], dvals[None, :])))
 
-    # coarse stage is ALWAYS the SSD-grouped program (the fast MXU path);
-    # the refine stage re-scores at full resolution with the requested
-    # metric, so metric="sad" refines SSD-guided candidates with SAD
-    coarse = _me_mxu_program(h2, w2, block // 2, search // 2, True,
-                             raw=True)
+    ddx_a = jnp.asarray(offs[:, 0])
+    ddy_a = jnp.asarray(offs[:, 1])
+    s_iota = jnp.arange(n_s, dtype=jnp.int32)
+    big_key = np.int32(2 ** 30)
 
-    def down2(x):
-        s = (x[0::2, 0::2].astype(jnp.uint16) + x[1::2, 0::2]
-             + x[0::2, 1::2] + x[1::2, 1::2])
-        return ((s + 2) >> 2).astype(jnp.uint8)
+    def run(cur_u8, ref_u8, mvx_c, mvy_c):
+        # candidate window origin per block: center t = o - coarse_mv,
+        # clamped so the win x win patch stays inside the frame (the
+        # candidate set shifts with the clamp, mirroring v1's semantics)
+        tcy = oy[:, None] - mvy_c.astype(jnp.int32)
+        tcx = ox[None, :] - mvx_c.astype(jnp.int32)
+        gy0 = jnp.clip(tcy - refine, 0, h - win)           # [hb, wb]
+        gx0 = jnp.clip(tcx - refine, 0, w - win)
+        cb = (cur_u8[:hb * block, :wb * block]
+              .reshape(hb, block, wb, block).transpose(0, 2, 1, 3))
+
+        iw = jnp.arange(win, dtype=jnp.int32)
+        lane = jnp.arange(w, dtype=jnp.int32)
+
+        def body(_, xs):
+            gy0r, gx0r, cbr, oy_s, ylo_s, yhi_s = xs
+            # patch gather: rows by take (contiguous W-wide lines), then
+            # columns by one-hot matmul on the MXU (exact: u8 in bf16,
+            # one 1 per output lane, f32 accumulation)
+            rows = jnp.take(ref_u8, gy0r[:, None] + iw[None, :], axis=0,
+                            mode="clip")                   # [wb, win, W]
+            ci = gx0r[:, None] + iw[None, :]               # [wb, win]
+            onehot = (lane[None, :, None]
+                      == ci[:, None, :]).astype(jnp.bfloat16)
+            patch = lax.dot_general(
+                rows.astype(jnp.bfloat16), onehot,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [wb, win, win]
+
+            ty = gy0r[:, None] + ddy_a[None, :]            # [wb, n_s]
+            tx = gx0r[:, None] + ddx_a[None, :]
+            valid = ((ty >= ylo_s) & (ty < yhi_s)
+                     & (tx >= xlo[:, None]) & (tx < xhi[:, None]))
+            dyi = oy_s - ty
+            dxi = ox[:, None] - tx
+            if metric == "ssd":
+                pf = patch.reshape(wb, win * win)
+                # ||r||^2 per candidate: block box sums of patch^2 —
+                # exact f32 adds (values <= 255^2, sums < 2^24); window
+                # position (ddy, ddx) reorders to the tx-major s index
+                r2w = lax.reduce_window(
+                    patch * patch, jnp.float32(0), lax.add,
+                    (1, block, block), (1, 1, 1),
+                    "valid")                   # [wb, n_off(dy), n_off(dx)]
+                r2 = r2w.transpose(0, 2, 1).reshape(wb, n_s)
+                # cross term: shifted-window views via a static-index
+                # take, then a batched matvec against the block
+                pg = jnp.take(pf, idx_flat, axis=1).reshape(
+                    wb, n_s, block * block)
+                cross = lax.dot_general(
+                    pg.astype(jnp.bfloat16),
+                    cbr.reshape(wb, block * block).astype(jnp.bfloat16),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)    # [wb, n_s]
+                partial = r2 - 2.0 * cross
+                cy = ax_tab[jnp.clip(dyi + dmax, 0, 2 * dmax)]
+                cx = ax_tab[jnp.clip(dxi + dmax, 0, 2 * dmax)]
+                score = (partial * _SCALE2 + cy) + cx
+            else:
+                # SAD is not bilinear, so it cannot ride the matmul
+                # trick; n_s static slices of the small per-strip patch
+                # volume stay cheap at strip granularity
+                rbs = jnp.stack(
+                    [patch[:, ddy:ddy + block, ddx:ddx + block]
+                     for ddx, ddy in offs], axis=1)        # [wb, n_s, B, B]
+                sad = jnp.abs(cbr[:, None].astype(jnp.float32)
+                              - rbs).sum((2, 3))
+                cost = cost2d[jnp.clip(dxi + dmax, 0, 2 * dmax),
+                              jnp.clip(dyi + dmax, 0, 2 * dmax)]
+                score = cost + sad * _SCALE
+            score = jnp.where(valid, score, jnp.inf)
+            m = jnp.min(score, axis=1)                     # [wb]
+            km = jnp.min(jnp.where(score == m[:, None], s_iota[None, :],
+                                   big_key), axis=1)
+            ok = jnp.isfinite(m)
+            mvx = jnp.where(
+                ok, jnp.take_along_axis(dxi, km[:, None], axis=1)[:, 0]
+                .astype(jnp.float32), 0.0)
+            mvy = jnp.where(
+                ok, jnp.take_along_axis(dyi, km[:, None], axis=1)[:, 0]
+                .astype(jnp.float32), 0.0)
+            return None, (mvx, mvy)
+
+        _, (mvx, mvy) = lax.scan(
+            body, None,
+            (gy0, gx0, cb, jnp.asarray(oy), jnp.asarray(ylo),
+             jnp.asarray(yhi)),
+            unroll=min(unroll, hb))
+        return _mv_rgba(mvx, mvy, search, jnp)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=8)
+def _me_pyramid_program(h: int, w: int, block: int, search: int,
+                        refine: int, metric: str):
+    import jax
+
+    wb = w // block
+    gs = next((g for g in (8, 6, 5, 4, 3, 2) if wb % g == 0), 0)
+    # coarse: the grouped-conv SSD program at full resolution with a
+    # stride-2 candidate grid (1/4 the exhaustive work, same MXU shapes);
+    # if no group size divides the block columns, fall back to the
+    # exhaustive dense coarse (rare geometry; refine is then a no-op
+    # quality-wise but keeps the output contract uniform)
+    coarse = _me_mxu_program(h, w, block, search, grouped=bool(gs),
+                             raw=True, stride=2 if gs else 1)
+    refine_p = _me_refine_program(h, w, block, search, refine, metric)
 
     def run(cur_u8, ref_u8):
-        mvx2, mvy2 = coarse(down2(cur_u8), down2(ref_u8))  # [hb, wb] f32
-        # full-res candidate center t = o - 2*coarse_mv
-        tcy = oy[:, None] - 2 * mvy2.astype(jnp.int32)
-        tcx = ox[None, :] - 2 * mvx2.astype(jnp.int32)
-        gy0 = jnp.clip(tcy - refine, 0, h - win)
-        gx0 = jnp.clip(tcx - refine, 0, w - win)
-        ii = jnp.arange(win)
-        patch = ref_u8[gy0[..., None, None] + ii[None, None, :, None],
-                       gx0[..., None, None] + ii[None, None, None, :]] \
-            .astype(jnp.int32)                        # [hb, wb, win, win]
-        cb = (cur_u8[:hb * block, :wb * block]
-              .reshape(hb, block, wb, block).transpose(0, 2, 1, 3)
-              .astype(jnp.int32))                     # [hb, wb, B, B]
-        best_s = jnp.full((hb, wb), jnp.inf, jnp.float32)
-        best_x = jnp.zeros((hb, wb), jnp.float32)
-        best_y = jnp.zeros((hb, wb), jnp.float32)
-        for ddx, ddy in offs:
-            rb = patch[:, :, ddy:ddy + block, ddx:ddx + block]
-            ty = gy0 + ddy
-            tx = gx0 + ddx
-            valid = ((ty >= ylo[:, None]) & (ty < yhi[:, None])
-                     & (tx >= xlo[None, :]) & (tx < xhi[None, :]))
-            dyi = oy[:, None] - ty      # = mvy candidate
-            dxi = ox[None, :] - tx
-            if metric == "ssd":
-                partial = ((rb * rb).sum((2, 3))
-                           - 2 * (cb * rb).sum((2, 3)))
-                cy = ax_tab[dyi + dmax]
-                cx = ax_tab[dxi + dmax]
-                score = (partial.astype(jnp.float32) * _SCALE2 + cy) + cx
-            else:
-                sad = jnp.abs(cb - rb).sum((2, 3))
-                cost = cost2d[dxi + dmax, dyi + dmax]
-                score = cost + sad.astype(jnp.float32) * _SCALE
-            score = jnp.where(valid, score, jnp.inf)
-            better = score < best_s
-            best_s = jnp.where(better, score, best_s)
-            best_x = jnp.where(better, dxi.astype(jnp.float32), best_x)
-            best_y = jnp.where(better, dyi.astype(jnp.float32), best_y)
-        return _mv_rgba(best_x, best_y, search, jnp)
+        mvx_c, mvy_c = coarse(cur_u8, ref_u8)              # [hb, wb] f32
+        return refine_p(cur_u8, ref_u8, mvx_c, mvy_c)
 
     return jax.jit(run)
 
 
 def me_fullsearch_pyramid(cur, ref, block: int = 16, search: int = 64,
                           refine: int = 2, metric: str = "ssd"):
-    """Two-level hierarchical motion estimation — the production speed
-    mode (beyond the reference, whose Metal kernel is exhaustive-only).
+    """Two-stage hierarchical motion estimation — EXPERIMENTAL, not the
+    production mode (beyond the reference, whose Metal kernel is
+    exhaustive-only; the production speed mode is the exhaustive
+    ``me_fullsearch_device(metric="ssd")`` grouped search).
 
-    Full search runs at half resolution (block/2, search/2) on the MXU
-    SSD path, then each block is re-scored at full resolution over
-    ``2*coarse_mv +- refine`` with the requested ``metric``'s exact
-    scoring (same cost tables, tie order, and f32 arithmetic as the
-    oracles).  The candidate displacement grid of the coarse stage maps
-    to [2*d_lo, 2*d_hi'] = [d_lo, d_hi - 1] of the full-resolution
-    range, so coverage matches full search up to the +-refine margin.
+    Stage 1 (coarse) runs the grouped-conv MXU SSD search at FULL
+    resolution over a stride-2 candidate grid — every grid point is
+    within 1 per axis of any exhaustive candidate, at 1/4 the conv
+    work.  Stage 2 re-scores ``coarse_pick +- refine`` per block with
+    the requested ``metric``'s exact scoring (same cost tables, tie
+    order, and f32 arithmetic as the oracles), gathering candidate
+    patches via row takes + one-hot column matmuls so no dynamic
+    multi-axis gather reaches the compiler (see the v1 post-mortem in
+    the section comment above).
 
-    NOT exhaustive (documented deviation): content whose true motion is
-    not representable as (2 * half-res optimum) +- refine — e.g. heavily
-    aliased textures where half-resolution SSD is misleading — may pick
-    a worse candidate than ``me_fullsearch_device``.  On smooth or
-    natural content the result is typically identical; the tests assert
-    exact agreement under global translation.
+    Measured on the chip (1080p/16/64, same contention window): v1
+    97.9 ms -> v2 ~42 ms vs exhaustive grouped ~41 ms.  Per-strip fixed
+    costs dominate this program family, so cutting conv FLOPs 4x buys
+    only ~20% on the coarse stage, and the refine stage costs as much
+    as another coarse pass — two-stage CANNOT beat one exhaustive pass
+    until the per-strip floor drops.  Hence: experimental, kept for the
+    structure (a cheaper coarse stage would slot in) and for metric=
+    "sad" refinement of SSD-guided candidates, which the exhaustive
+    MXU path cannot express.
 
-    Falls back to the exhaustive device path for geometries the pyramid
-    cannot express (odd sizes, tiny blocks, degenerate windows).
+    NOT exhaustive (documented deviation): content where the stride-2
+    SSD landscape is misleading beyond the +-refine margin — strongly
+    aliased 1-px textures, or very-low-gradient regions where the MV
+    cost term flattens the landscape — may pick a worse candidate than
+    ``me_fullsearch_device`` (measured ~1% of interior blocks at 1080p
+    on smooth sinusoid content under an odd global shift; 0% when the
+    shift lies on the stride grid).  When the true optimum's basin
+    contains the best grid candidate, ``refine >= 1`` recovers the
+    exhaustive answer exactly; the tests assert exact interior
+    agreement for grid-aligned translations and for smooth content at
+    small frame sizes.
+
+    Falls back to the exhaustive device path for geometries the
+    two-stage mode cannot express (odd sizes, tiny blocks, degenerate
+    windows).
     """
     import jax.numpy as jnp
     cur = jnp.asarray(cur)
