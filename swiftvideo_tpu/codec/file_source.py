@@ -52,6 +52,9 @@ class SyntheticSource(Source):
         self._epoch: Optional[TimePoint] = None
         self._playing = False
         self._lock = threading.RLock()
+        # fired once when a non-looping pull drains (EOS); the Composer's
+        # Load closeOnEnd semantics hang off this (Rpc.public.proto:58)
+        self.on_end: Optional[Callable[[], None]] = None
 
     def asset_id(self) -> str:
         return self.id_asset
@@ -83,6 +86,8 @@ class SyntheticSource(Source):
             if sample is None:
                 if not self.loop:
                     self._playing = False
+                    if self.on_end is not None:
+                        self.on_end()
                     return
                 # loop: restart the pull; timestamps rebase implicitly
                 # because _next_pts keeps advancing (reset,
@@ -91,6 +96,8 @@ class SyntheticSource(Source):
                 sample = self.puller(0)
                 if sample is None:
                     self._playing = False
+                    if self.on_end is not None:
+                        self.on_end()
                     return
             pts = self._next_pts
             out = sample.with_(pts=pts, dts=pts,

@@ -3,8 +3,10 @@
 from .composer import Composer, ComposerError
 from .manifest import (AspectMode, BindCommand, ComposerCommand, Composition,
                        EncodeConfig,
-                       Element, ElementState, PicOrigin, PictureAnchor, Scene,
-                       SetSceneCommand, SetStateCommand, UnbindCommand,
+                       Element, ElementState, LoadCommand, PicOrigin,
+                       PictureAnchor, PlayFileCommand, Scene, SetSceneCommand,
+                       SetStateCommand, SetTextCommand, StopFileCommand,
+                       UnbindCommand, command_from_json, command_to_json,
                        composition_from_json, composition_to_json)
 
 __all__ = [
@@ -12,6 +14,8 @@ __all__ = [
     "Composition", "Scene", "Element", "ElementState", "AspectMode",
     "EncodeConfig",
     "PicOrigin", "PictureAnchor", "ComposerCommand", "SetSceneCommand",
-    "SetStateCommand", "BindCommand", "UnbindCommand",
+    "SetStateCommand", "BindCommand", "UnbindCommand", "LoadCommand",
+    "PlayFileCommand", "StopFileCommand", "SetTextCommand",
+    "command_to_json", "command_from_json",
     "composition_to_json", "composition_from_json",
 ]

@@ -33,7 +33,7 @@ from ..mix.video_mixer import VideoMixer
 from ..ops.barriers import GPUBarrierUpload
 from ..ops.registry import ComputeContext, make_compute_context
 from ..scene import (ComposerCommand, Composition, Element, ElementState,
-                      Scene)
+                      LoadCommand, Scene, SetTextCommand)
 
 
 class ComposerError(Exception):
@@ -82,6 +82,16 @@ class Composer:
         # connectElement (composer.swift:203-224): one asset may feed
         # several elements (e.g. picture-in-picture of the same camera)
         self._bindings: Dict[Tuple[str, str], Tuple[object, object]] = {}
+        # named states per element for wire StateSet commands, which carry
+        # only a stateId (composer.swift:185-195 resolves
+        # element.states[stateId]); populate via register_states() with the
+        # extra_states mapping from proto.make_composition_from_pb
+        self.named_states: Dict[str, Dict[str, ElementState]] = {}
+        # media assets owned by built-in Load/SetText command handling:
+        # asset_id -> (sources, decode chains) / rendered text sample
+        self._file_assets: Dict[str, Tuple[Tuple[object, ...],
+                                           Tuple[object, ...]]] = {}
+        self._text_assets: Dict[str, object] = {}
         if composition.initial_scene:
             self.set_scene(composition.initial_scene)
 
@@ -139,6 +149,25 @@ class Composer:
         entry = self._elements.get(element_id)
         return entry[1].current_state if entry else None
 
+    def register_states(self, element_id: str,
+                        states: Dict[str, ElementState]) -> None:
+        """Register named states for wire StateSet commands (the extra
+        non-initial states a peer's Composition.proto Element carries;
+        feed the ``extra_states`` mapping from
+        ``proto.make_composition_from_pb`` through here)."""
+        self.named_states.setdefault(element_id, {}).update(states)
+
+    def set_state_by_id(self, element_id: str, state_id: str,
+                        duration: Optional[TimePoint] = None) -> Future:
+        """composer.swift:185-195 — resolve ``element.states[stateId]``."""
+        state = self.named_states.get(element_id, {}).get(state_id)
+        if state is None:
+            fut: Future = Future()
+            fut.set_exception(ComposerError(
+                f"unknown state {state_id!r} for element {element_id!r}"))
+            return fut
+        return self.set_state(element_id, state, duration)
+
     # --- binding (composer.swift:93-101, 203-224) -------------------------
     def bind(self, asset_id: str, element_id: str) -> None:
         entry = self._elements.get(element_id)
@@ -160,6 +189,13 @@ class Composer:
         # (composer.swift:219-222)
         pic_anim.set_state(element.initial_state, TimePoint(0, 1000))
         soun_anim.set_state(element.initial_state, TimePoint(0, 1000))
+        # a setText asset is a single static sample: (re-)publish it so
+        # the freshly-subscribed Repeater latches it regardless of
+        # setText/bind command order
+        text_sample = self._text_assets.get(asset_id)
+        if text_sample is not None:
+            from ..core import EventBox
+            self.picture_bus.append(EventBox.just(text_sample))
 
     def unbind(self, asset_id: str,
                element_id: Optional[str] = None) -> None:
@@ -175,11 +211,27 @@ class Composer:
             self.audio_mixer.remove_asset(asset_id)
 
     # --- command trees (composer.swift:141-183) ---------------------------
-    def run_command(self, command: ComposerCommand) -> Future:
+    def run_command(self, command: ComposerCommand,
+                    action=None) -> Future:
+        """Execute a recursive command tree; ``after`` continuations run
+        when the node's own work resolves.
+
+        ``action`` mirrors the reference's app-delegation callback
+        (composer.swift:141-183): it receives the command node and may
+        return a Future to claim the media variants (load_file /
+        play_file / stop_file / set_text) — and to sequence ``after``
+        behind app work for scene/bind.  Unlike the reference (where an
+        action returning nil silently SKIPS the bind,
+        composer.swift:152-157), bind always executes here — after the
+        action's future when one is returned.  Media variants an action
+        does not claim fall through to the built-in handlers: Load ->
+        FileSource into the composer buses, SetText -> TextRenderer
+        sample published under the asset id."""
         done: Future = Future()
 
         def run_after(_=None):
-            futures = [self.run_command(sub) for sub in command.after]
+            futures = [self.run_command(sub, action)
+                       for sub in command.after]
             if not futures:
                 if not done.done():
                     done.set_result(True)
@@ -195,34 +247,196 @@ class Composer:
             for f in futures:
                 f.add_done_callback(one_done)
 
-        if command.set_scene is not None:
-            self.set_scene(command.set_scene.scene)
-            run_after()
-        elif command.set_state is not None:
-            fut = self.set_state(command.set_state.element,
-                                 command.set_state.state,
-                                 command.set_state.duration)
-
-            def forward(f):
-                # a failed set_state must fail the command and skip the
-                # `after` continuations, not silently resolve True
+        def forward(fut, then=run_after):
+            # a failed step must fail the command and skip the `after`
+            # continuations, not silently resolve True
+            def _cb(f):
                 exc = f.exception()
                 if exc is not None:
                     if not done.done():
                         done.set_exception(exc)
                     return
+                then()
+            fut.add_done_callback(_cb)
+
+        def act():
+            return action(command) if action is not None else None
+
+        if command.set_scene is not None:
+            self.set_scene(command.set_scene.scene)
+            fut = act()
+            forward(fut) if fut is not None else run_after()
+        elif command.set_state is not None:
+            cmd = command.set_state
+            if cmd.state is not None:
+                fut = self.set_state(cmd.element, cmd.state, cmd.duration)
+            else:
+                fut = self.set_state_by_id(cmd.element, cmd.state_id or "",
+                                           cmd.duration)
+            forward(fut)
+        elif command.bind is not None:
+            fut = act()
+
+            def do_bind(_=None):
+                self.bind(command.bind.asset_id, command.bind.element)
                 run_after()
 
-            fut.add_done_callback(forward)
-        elif command.bind is not None:
-            self.bind(command.bind.asset_id, command.bind.element)
-            run_after()
+            forward(fut, do_bind) if fut is not None else do_bind()
         elif command.unbind is not None:
             self.unbind(command.unbind.asset_id)
             run_after()
+        elif command.load_file is not None:
+            fut = act()
+            if fut is None:
+                fut = self._load_file(command.load_file)
+            forward(fut)
+        elif command.play_file is not None:
+            fut = act()
+            if fut is None:
+                fut = self._play_stop_file(command.play_file.asset_id, True)
+            forward(fut)
+        elif command.stop_file is not None:
+            fut = act()
+            if fut is None:
+                fut = self._play_stop_file(command.stop_file.asset_id,
+                                           False)
+            forward(fut)
+        elif command.set_text is not None:
+            fut = act()
+            if fut is None:
+                fut = self._set_text(command.set_text)
+            forward(fut)
         else:
             run_after()
         return done
+
+    # --- built-in media command handlers -----------------------------------
+    # The reference delegates these to the app's action callback entirely
+    # (its examples wire FileSource/TextRenderer by hand); here the
+    # framework ships working defaults so a command manifest alone drives
+    # a composition (Rpc.public.proto:52-79).
+
+    def _load_file(self, cmd: LoadCommand) -> Future:
+        """Load -> FileSource demux -> decoders -> composer buses.
+
+        loop re-opens the file on drain (the subprocess demux pipes are
+        one-shot); close_on_end drops the asset when every track drains
+        (default keeps it loaded so play_file can restart it)."""
+        from ..codec.codecs import AudioDecoder, VideoDecoder
+        from ..codec.file_source import open_media_file_av
+        from ..core import EventBox, Tx
+        from ..media.coded import MediaType
+
+        fut: Future = Future()
+        if cmd.asset_id in self._file_assets:
+            fut.set_exception(ComposerError(
+                f"asset {cmd.asset_id!r} is already loaded"))
+            return fut
+
+        def open_sources():
+            vsrc, asrc = open_media_file_av(
+                self.clock, cmd.uri, asset_id=cmd.asset_id,
+                workspace_id=self.id_workspace,
+                sample_rate=self.composition.sample_rate,
+                channels=self.composition.channel_count)
+            sources = tuple(s for s in (vsrc, asrc) if s is not None)
+            vdec, adec = VideoDecoder(), AudioDecoder()
+
+            def route(sample):
+                if sample.media_type == MediaType.audio:
+                    box, bus = adec(sample), self.audio_bus
+                else:
+                    box, bus = vdec(sample), self.picture_bus
+                if box.is_just():
+                    v = box.value()
+                    for item in (v if isinstance(v, list) else [v]):
+                        bus.append(EventBox.just(item))
+                return EventBox.nothing(None)
+
+            chains = tuple(src >> Tx(route) for src in sources)
+            pending = [len(sources)]
+
+            def one_ended():
+                pending[0] -= 1
+                if pending[0] != 0:
+                    return
+                if cmd.loop:
+                    # one-shot demux pipes: loop by re-opening
+                    try:
+                        self._file_assets[cmd.asset_id] = open_sources()
+                        for s in self._file_assets[cmd.asset_id][0]:
+                            s.play()
+                    except Exception:  # noqa: BLE001 - file vanished mid-loop
+                        self._file_assets.pop(cmd.asset_id, None)
+                elif cmd.close_on_end:
+                    self.unload_asset(cmd.asset_id)
+
+            for s in sources:
+                s.on_end = one_ended
+            return sources, chains
+
+        try:
+            self._file_assets[cmd.asset_id] = open_sources()
+        except Exception as exc:  # noqa: BLE001
+            fut.set_exception(ComposerError(f"load {cmd.uri!r}: {exc}"))
+            return fut
+        if cmd.autoplay:
+            for s in self._file_assets[cmd.asset_id][0]:
+                s.play()
+        fut.set_result(True)
+        return fut
+
+    def _play_stop_file(self, asset_id: str, play: bool) -> Future:
+        fut: Future = Future()
+        entry = self._file_assets.get(asset_id)
+        if entry is None:
+            fut.set_exception(ComposerError(
+                f"no loaded file asset {asset_id!r}"))
+            return fut
+        for src in entry[0]:
+            src.play() if play else src.stop()
+        fut.set_result(True)
+        return fut
+
+    def _set_text(self, cmd: SetTextCommand) -> Future:
+        """Text -> tinted-RGBA PictureSample published under the asset id
+        (text.swift render path); the bind chain's Repeater keeps it live
+        at frame cadence.  Re-running setText with the same asset id
+        replaces the overlay content."""
+        from ..codec.text import render_text_rgba
+        from ..core import EventBox
+        from ..media.picture import BufferType, ImageBuffer, PictureSample
+        from ..media.pixel import planes_for_format
+
+        fut: Future = Future()
+        try:
+            rgba = render_text_rgba(cmd.value, cmd.font_size, cmd.color,
+                                    cmd.font_url or None)
+        except Exception as exc:  # noqa: BLE001
+            fut.set_exception(ComposerError(f"setText: {exc}"))
+            return fut
+        h, w = rgba.shape[:2]
+        img = ImageBuffer(pixel_format=PixelFormat.RGBA,
+                          buffer_type=BufferType.cpu, size=(w, h),
+                          planes=tuple(planes_for_format(PixelFormat.RGBA,
+                                                         (w, h))),
+                          buffers=(rgba,))
+        now = self.clock.current()
+        sample = PictureSample(img, cmd.asset_id, self.id_workspace,
+                               time_point=now, pts_value=now)
+        self._text_assets[cmd.asset_id] = sample
+        self.picture_bus.append(EventBox.just(sample))
+        fut.set_result(True)
+        return fut
+
+    def unload_asset(self, asset_id: str) -> None:
+        """Drop a Load/SetText asset and its bindings (closeOnEnd path)."""
+        entry = self._file_assets.pop(asset_id, None)
+        if entry is not None:
+            for src in entry[0]:
+                src.stop()
+        self._text_assets.pop(asset_id, None)
+        self.unbind(asset_id)
 
     # --- checkpoint / resume ----------------------------------------------
     # The reference's only resume story is explicit unix epochs so pts remain

@@ -296,3 +296,120 @@ def make_composition_from_wire(data: bytes):
     m = pb().RpcMakeComposition()
     m.ParseFromString(data)
     return make_composition_from_pb(m)
+
+
+# --- RpcComposerCommand (Rpc.public.proto:40-79) -----------------------------
+
+def composer_command_to_pb(commands, msg=None):
+    """Native ComposerCommand tree(s) -> RpcComposerCommand.
+
+    Accepts one command or a sequence (the wire message is a repeated
+    list).  ``set_state`` nodes must carry ``state_id`` (the wire StateSet
+    names a registered state; a raw ElementState is not representable —
+    register it and send the id).  ``unbind`` has NO wire form in the
+    reference protocol and raises."""
+    from ..scene import ComposerCommand  # noqa: F401
+    m = msg if msg is not None else pb().RpcComposerCommand()
+    if not isinstance(commands, (list, tuple)):
+        commands = [commands]
+
+    def fill(cmd, node):
+        node.ident = cmd.ident
+        if cmd.set_scene is not None:
+            node.scene = cmd.set_scene.scene
+        elif cmd.set_state is not None:
+            if cmd.set_state.state_id is None:
+                raise ValueError(
+                    "wire StateSet carries a stateId; register the state "
+                    "and set SetStateCommand.state_id")
+            node.elementState.elementId = cmd.set_state.element
+            node.elementState.stateId = cmd.set_state.state_id
+            timepoint_to_pb(cmd.set_state.duration,
+                            node.elementState.duration)
+        elif cmd.bind is not None:
+            node.bind.assetId = cmd.bind.asset_id
+            node.bind.elementId = cmd.bind.element
+        elif cmd.unbind is not None:
+            raise ValueError("unbind has no RpcComposerCommand wire form")
+        elif cmd.load_file is not None:
+            lf = cmd.load_file
+            node.loadFile.uri = lf.uri
+            node.loadFile.assetId = lf.asset_id
+            node.loadFile.workspaceToken = lf.workspace_token
+            node.loadFile.loop = lf.loop
+            node.loadFile.autoplay = lf.autoplay
+            node.loadFile.closeOnEnd = lf.close_on_end
+        elif cmd.play_file is not None:
+            node.playFile = cmd.play_file.asset_id
+        elif cmd.stop_file is not None:
+            node.stopFile = cmd.stop_file.asset_id
+        elif cmd.set_text is not None:
+            tx = cmd.set_text
+            node.setText.value = tx.value
+            node.setText.fontSize = tx.font_size
+            node.setText.fontUrl = tx.font_url
+            node.setText.assetId = tx.asset_id
+            (node.setText.color.x, node.setText.color.y,
+             node.setText.color.z, node.setText.color.w) = tx.color
+        for sub in cmd.after:
+            fill(sub, node.after.add())
+
+    for cmd in commands:
+        fill(cmd, m.commands.add())
+    return m
+
+
+def composer_command_from_pb(m):
+    """RpcComposerCommand -> tuple of native ComposerCommand trees.
+
+    StateSet nodes come back with ``state_id`` set (resolve against
+    Composer.named_states); an empty oneof becomes a no-op node whose
+    ``after`` still runs, matching composer.swift:144-146."""
+    from ..scene import (BindCommand, ComposerCommand, LoadCommand,
+                         PlayFileCommand, SetSceneCommand, SetStateCommand,
+                         SetTextCommand, StopFileCommand)
+
+    def mk(node):
+        kw = dict(ident=node.ident,
+                  after=tuple(mk(sub) for sub in node.after))
+        which = node.WhichOneof("command")
+        if which == "scene":
+            kw["set_scene"] = SetSceneCommand(scene=node.scene)
+        elif which == "elementState":
+            st = node.elementState
+            kw["set_state"] = SetStateCommand(
+                element=st.elementId, state=None,
+                duration=timepoint_from_pb(st.duration),
+                state_id=st.stateId)
+        elif which == "bind":
+            kw["bind"] = BindCommand(asset_id=node.bind.assetId,
+                                     element=node.bind.elementId)
+        elif which == "loadFile":
+            lf = node.loadFile
+            kw["load_file"] = LoadCommand(
+                uri=lf.uri, asset_id=lf.assetId,
+                workspace_token=lf.workspaceToken, loop=lf.loop,
+                autoplay=lf.autoplay, close_on_end=lf.closeOnEnd)
+        elif which == "playFile":
+            kw["play_file"] = PlayFileCommand(asset_id=node.playFile)
+        elif which == "stopFile":
+            kw["stop_file"] = StopFileCommand(asset_id=node.stopFile)
+        elif which == "setText":
+            tx = node.setText
+            kw["set_text"] = SetTextCommand(
+                value=tx.value, font_size=tx.fontSize, font_url=tx.fontUrl,
+                asset_id=tx.assetId,
+                color=(tx.color.x, tx.color.y, tx.color.z, tx.color.w))
+        return ComposerCommand(**kw)
+
+    return tuple(mk(node) for node in m.commands)
+
+
+def composer_command_to_wire(commands) -> bytes:
+    return composer_command_to_pb(commands).SerializeToString()
+
+
+def composer_command_from_wire(data: bytes):
+    m = pb().RpcComposerCommand()
+    m.ParseFromString(data)
+    return composer_command_from_pb(m)

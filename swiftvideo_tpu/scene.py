@@ -119,9 +119,15 @@ class SetSceneCommand:
 
 @dataclass(frozen=True)
 class SetStateCommand:
+    """Either a full ``state`` (native construction) or a ``state_id``
+    naming one of the element's registered states (the wire form,
+    Rpc.public.proto StateSet carries only ``stateId``); the Composer
+    resolves ids against its named-state table."""
+
     element: str
-    state: ElementState
+    state: Optional[ElementState] = None
     duration: TimePoint = field(default_factory=lambda: TimePoint(0, 1000))
+    state_id: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -136,14 +142,66 @@ class UnbindCommand:
 
 
 @dataclass(frozen=True)
+class LoadCommand:
+    """Load a media file as an asset (Rpc.public.proto Load, :52-59).
+
+    ``close_on_end`` drops the asset when playback drains (default keeps
+    it alive so ``play_file`` can restart it; meaningless with
+    ``loop=True``, matching the wire comment)."""
+
+    uri: str
+    asset_id: str
+    workspace_token: str = ""
+    loop: bool = False
+    autoplay: bool = False
+    close_on_end: bool = False
+
+
+@dataclass(frozen=True)
+class PlayFileCommand:
+    """Start/resume a loaded file asset (wire ``playFile`` carries just
+    the asset id string, Rpc.public.proto:75)."""
+
+    asset_id: str
+
+
+@dataclass(frozen=True)
+class StopFileCommand:
+    asset_id: str
+
+
+@dataclass(frozen=True)
+class SetTextCommand:
+    """Render a text overlay asset (Rpc.public.proto Text, :60-66);
+    ``color`` is RGBA in [0, 1] (the wire Vec4)."""
+
+    value: str
+    font_size: int = 24
+    font_url: str = ""
+    asset_id: str = ""
+    color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+
+
+@dataclass(frozen=True)
 class ComposerCommand:
     """Recursive command with ``after`` continuations
-    (Rpc.public.proto RpcComposerCommand, composer.swift:141-183)."""
+    (Rpc.public.proto RpcComposerCommand, composer.swift:141-183).
+
+    scene/state/bind/unbind execute in the Composer; the media variants
+    (load_file/play_file/stop_file/set_text) are delegated to the app's
+    ``action`` callback like the reference, with built-in FileSource /
+    TextRenderer handling when no action claims them
+    (compose/composer.py run_command)."""
 
     set_scene: Optional[SetSceneCommand] = None
     set_state: Optional[SetStateCommand] = None
     bind: Optional[BindCommand] = None
     unbind: Optional[UnbindCommand] = None
+    load_file: Optional[LoadCommand] = None
+    play_file: Optional[PlayFileCommand] = None
+    stop_file: Optional[StopFileCommand] = None
+    set_text: Optional[SetTextCommand] = None
+    ident: int = 0
     after: Tuple["ComposerCommand", ...] = ()
 
 
@@ -211,16 +269,30 @@ def command_from_json(text: str) -> ComposerCommand:
     dec, mk_state = _dec, _mk_state
 
     def mk(raw) -> ComposerCommand:
+        st = raw.get("set_state")
+        text_raw = raw.get("set_text")
         return ComposerCommand(
             set_scene=SetSceneCommand(**raw["set_scene"])
             if raw.get("set_scene") else None,
             set_state=SetStateCommand(
-                element=raw["set_state"]["element"],
-                state=mk_state(raw["set_state"]["state"]),
-                duration=raw["set_state"]["duration"])
-            if raw.get("set_state") else None,
+                element=st["element"],
+                state=mk_state(st["state"]) if st.get("state") else None,
+                duration=st["duration"],
+                state_id=st.get("state_id"))
+            if st else None,
             bind=BindCommand(**raw["bind"]) if raw.get("bind") else None,
             unbind=UnbindCommand(**raw["unbind"]) if raw.get("unbind") else None,
+            load_file=LoadCommand(**raw["load_file"])
+            if raw.get("load_file") else None,
+            play_file=PlayFileCommand(**raw["play_file"])
+            if raw.get("play_file") else None,
+            stop_file=StopFileCommand(**raw["stop_file"])
+            if raw.get("stop_file") else None,
+            set_text=SetTextCommand(
+                **{**text_raw, "color": tuple(text_raw.get("color",
+                                                           (1, 1, 1, 1)))})
+            if text_raw else None,
+            ident=raw.get("ident", 0),
             after=tuple(mk(sub) for sub in raw.get("after", ())))
 
     return mk(dec(json.loads(text)))
