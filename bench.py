@@ -212,6 +212,76 @@ def main() -> None:
                     f" = {K/dtb:.1f} fps/chip (device loop)")
                 if dtb / K < dt:
                     dt, fps = dtb / K, K / dtb
+
+                # ---- config 8: transfer-INCLUSIVE pipeline ------------
+                # The loop the Composer actually runs per tick: host u8
+                # planes -> upload -> fused composite -> download -> host
+                # bytes.  The device loops above exclude the per-tick
+                # host<->device legs the reference pays every frame
+                # (GPUBarrierUpload/Download, compute.swift:175-255);
+                # SURVEY §7 calls the 64x1080p60 feed the top risk.
+                # Double-buffered: tick n's download blocks only after
+                # tick n+1's upload+compute are enqueued.  CAVEAT: in
+                # this environment host<->device rides the axon tunnel
+                # (network), not PCIe — the MB/s below measure the
+                # tunnel and lower-bound a co-located deployment.
+                NB = 4
+                ys_h = np.stack([s[0] for s in sources])
+                us_h = np.stack([s[1] for s in sources])
+                vs_h = np.stack([s[2] for s in sources])
+                variants = [tuple(np.roll(a, b * 7, axis=2).copy()
+                                  for a in (ys_h, us_h, vs_h))
+                            for b in range(NB)]
+                up_mb = sum(a.nbytes for a in variants[0]) / 1e6
+                down_mb = sum(np.asarray(o).nbytes for o in out_pl) / 1e6
+                pk_dev = jnp.asarray(packed_a)
+                offs_dev = jax.device_put(offs_a)
+                jr_dev = jax.device_put(jr_a)
+
+                def xfer_tick(i):
+                    bufs = [jax.device_put(a) for a in variants[i % NB]]
+                    return run_a(pk_dev, offs_dev, jr_dev, *bufs)
+
+                # leg timings (blocking each stage separately)
+                ups, downs = [], []
+                for i in range(8):
+                    t0 = time.perf_counter()
+                    bufs = [jax.device_put(a) for a in variants[i % NB]]
+                    jax.block_until_ready(bufs)
+                    ups.append(time.perf_counter() - t0)
+                    o = run_a(pk_dev, offs_dev, jr_dev, *bufs)
+                    jax.block_until_ready(o)
+                    t0 = time.perf_counter()
+                    for p in o:
+                        np.asarray(p)
+                    downs.append(time.perf_counter() - t0)
+                up_s, down_s = min(ups), min(downs)
+                log(f"config8 upload 4x1080p y420p ({up_mb:.1f} MB): "
+                    f"{up_s*1e3:.2f} ms = {up_mb/up_s:.0f} MB/s; "
+                    f"download ({down_mb:.1f} MB): {down_s*1e3:.2f} ms"
+                    f" = {down_mb/down_s:.0f} MB/s")
+
+                def xfer_pipeline(iters):
+                    pending = None
+                    t0 = time.perf_counter()
+                    for i in range(iters):
+                        out = xfer_tick(i)
+                        for p in out:      # D2H starts as compute drains
+                            p.copy_to_host_async()
+                        if pending is not None:
+                            for p in pending:
+                                np.asarray(p)
+                        pending = out
+                    for p in pending:
+                        np.asarray(p)
+                    return (time.perf_counter() - t0) / iters
+
+                xfer_pipeline(3)          # warm the double-buffer path
+                dt8 = min(xfer_pipeline(20) for _ in range(3))
+                log(f"config8 transfer-inclusive 4-source 1080p pipeline: "
+                    f"{dt8*1e3:.2f} ms/tick = {1/dt8:.1f} fps "
+                    f"(vs {fps:.0f} fps device-loop; upload+download "
+                    f"dominate through the tunnel)")
     except Exception as exc:  # noqa: BLE001
         log("pallas frame kernel unavailable:", exc)
 
@@ -469,6 +539,14 @@ def main() -> None:
             f"(120 frames @16ms, 20 KB avg)")
     except Exception as exc:  # noqa: BLE001
         log("config7b flavor loopback failed:", exc)
+    try:
+        n_pub = 16
+        rate = _rtmp_multi_ingest_multiple(n_pub=n_pub)
+        log(f"config7c {n_pub}-publisher aggregate: {rate:.1f}x realtime "
+            f"= {rate/n_pub:.1f}x per stream (60 frames @16ms, 20 KB avg, "
+            f"one event loop)")
+    except Exception as exc:  # noqa: BLE001
+        log("config7c multi-ingest failed:", exc)
 
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",
@@ -543,6 +621,85 @@ def _rtmp_realtime_multiple(count: int = 120, frame_ms: int = 16) -> float:
         if len(received) < count:
             raise RuntimeError(f"only {len(received)}/{count} arrived")
         return (count * frame_ms / 1000.0) / wall
+
+    return asyncio.run(run())
+
+
+def _rtmp_multi_ingest_multiple(n_pub: int = 16, count: int = 60,
+                                frame_ms: int = 16) -> float:
+    """N concurrent RTMP publishers into ONE server in one event loop —
+    the reference's actual ingest shape (Examples/RtmpServer, BASELINE
+    config 5's 64-stream feed), where pure-Python chunk parsing under the
+    GIL is the suspected ceiling.  Returns the aggregate realtime
+    multiple (sum of media seconds across sessions / wall); per-stream
+    multiple = aggregate / n_pub.  Raises on any frame loss."""
+    import asyncio
+
+    import numpy as np
+
+    from swiftvideo_tpu.core import EventBox, StepClock, TimePoint, Tx
+    from swiftvideo_tpu.media.coded import (CodedMediaSample, MediaFormat,
+                                            MediaType)
+    from swiftvideo_tpu.net.rtmp import Rtmp
+
+    async def run() -> float:
+        clock = StepClock(TimePoint(frame_ms, 1000))
+        received: dict = {}
+        keep = []
+
+        async def on_connection(pub, sub):
+            if sub is not None:
+                lst = received.setdefault(sub.play_path(), [])
+                keep.append(sub >> Tx(
+                    lambda s, lst=lst: (lst.append(s),
+                                        EventBox.nothing(None))[1]))
+            return True
+
+        server = Rtmp(clock, on_connection=on_connection)
+        await server.serve("127.0.0.1", 15913)
+        pubs = []
+        for k in range(n_pub):
+            client = Rtmp(clock)
+            pub, _ = await client.connect(
+                f"rtmp://127.0.0.1:15913/bench/cam{k}",
+                publish_to_peer=True, max_attempts=2, retry_delay=0.2)
+            pubs.append(pub)
+        rng = np.random.default_rng(1)
+        bufs = []
+        for _ in range(4):
+            data = bytearray(rng.integers(0, 256, 19997).astype(np.uint8)
+                             .tobytes())
+            data[4] = 0x65
+            bufs.append(bytes(data))
+        for _ in range(14):          # 224 ms metadata grace (clock time)
+            clock.step()
+            await asyncio.sleep(0)
+        config = bytes(48)
+        ts = TimePoint(0, 1000)
+        t0 = time.perf_counter()
+        for i in range(count):
+            for k, pub in enumerate(pubs):
+                sample = CodedMediaSample(
+                    buffer=bufs[(i + k) % 4], pts_value=ts, dts_value=ts,
+                    media_type=MediaType.video, media_format=MediaFormat.avc,
+                    id_asset=f"cam{k}", id_workspace="bench",
+                    side={"config": config})
+                pub.apply(EventBox.just(sample))
+            ts = ts + TimePoint(frame_ms, 1000)
+            clock.step()
+            await asyncio.sleep(0)
+        deadline = time.perf_counter() + 30.0
+        while (sum(len(v) for v in received.values()) < n_pub * count
+               and time.perf_counter() < deadline):
+            await asyncio.sleep(0)
+        wall = time.perf_counter() - t0
+        await server.close()
+        for pub in pubs:
+            pub.close()
+        got = {k: len(v) for k, v in received.items()}
+        if sum(got.values()) < n_pub * count:
+            raise RuntimeError(f"frame loss: {got}")
+        return (n_pub * count * frame_ms / 1000.0) / wall
 
     return asyncio.run(run())
 

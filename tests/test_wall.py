@@ -159,3 +159,102 @@ def test_wall_grid_too_small_raises():
     with pytest.raises(ValueError):
         MixingWall(mesh, n_streams=48, stream_size=(32, 16),
                    canvas_size=(96, 64), grid=(4, 4))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_wall_fed_by_64_rtmp_ingest_sessions():
+    """BASELINE config 5's HOST shape end-to-end: 64 concurrent RTMP
+    publishers into one server/event loop, each session's latest frame
+    landing in a per-stream table that feeds the wall's shard step on
+    the virtual 8-device mesh.  (Codec decode is proven separately via
+    the mock-ffmpeg pipe suite; here each ingest payload deterministically
+    seeds its stream's luma so tile content can be traced back to the
+    session that produced it.)"""
+    import asyncio
+    import socket
+
+    from swiftvideo_tpu.core import EventBox, StepClock, TimePoint, Tx
+    from swiftvideo_tpu.media.coded import (CodedMediaSample, MediaFormat,
+                                            MediaType)
+    from swiftvideo_tpu.net.rtmp import Rtmp
+
+    n = 64
+    sw, sh = 32, 16
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    async def ingest():
+        clock = StepClock(TimePoint(16, 1000))
+        latest, keep = {}, []
+
+        async def on_connection(pub, sub):
+            if sub is not None:
+                name = sub.play_path()
+                keep.append(sub >> Tx(
+                    lambda s, name=name: (latest.__setitem__(name, s),
+                                          EventBox.nothing(None))[1]))
+            return True
+
+        server = Rtmp(clock, on_connection=on_connection)
+        await server.serve("127.0.0.1", port)
+        pubs = []
+        for k in range(n):
+            client = Rtmp(clock)
+            pub, _ = await client.connect(
+                f"rtmp://127.0.0.1:{port}/wall/cam{k}",
+                publish_to_peer=True, max_attempts=3, retry_delay=0.2)
+            pubs.append(pub)
+        for _ in range(14):
+            clock.step()
+            await asyncio.sleep(0)
+        ts = TimePoint(0, 1000)
+        for i in range(3):
+            for k, pub in enumerate(pubs):
+                body = bytearray(200)
+                body[4] = 0x65
+                body[5] = 3 * k + 2          # luma seed for this stream
+                pub.apply(EventBox.just(CodedMediaSample(
+                    buffer=bytes(body), pts_value=ts, dts_value=ts,
+                    media_type=MediaType.video, media_format=MediaFormat.avc,
+                    id_asset=f"cam{k}", id_workspace="w",
+                    side={"config": bytes(48)})))
+            ts = ts + TimePoint(16, 1000)
+            clock.step()
+            await asyncio.sleep(0)
+        deadline = asyncio.get_event_loop().time() + 20.0
+        while (len(latest) < n
+               and asyncio.get_event_loop().time() < deadline):
+            await asyncio.sleep(0)
+        for pub in pubs:
+            pub.close()
+        await server.close()
+        return latest
+
+    latest = asyncio.run(ingest())
+    assert len(latest) == n
+
+    # per-stream frame table from the ingest sessions -> wall shard step
+    from swiftvideo_tpu.parallel import MixingWall, make_mesh
+    seeds = np.array([latest[f"cam{k}"].data()[5] for k in range(n)],
+                     np.uint8)
+    ys_host = np.broadcast_to(seeds[:, None, None], (n, sh, sw)).copy()
+    mesh = make_mesh(jax.devices()[:8])
+    wall = MixingWall(mesh, n_streams=n, stream_size=(sw, sh),
+                      canvas_size=(128, 64), audio_samples=16, channels=2)
+    ys = wall.shard(jnp.asarray(ys_host))
+    us = wall.shard(jnp.full((n, sh // 2, sw // 2), 128, jnp.uint8))
+    vs = wall.shard(jnp.full((n, sh // 2, sw // 2), 128, jnp.uint8))
+    audio = wall.shard(jnp.full((n, 16 * 2), 10, jnp.int16))
+    wy, _, _, mixed = wall.step(ys, us, vs, audio)
+    y_host = np.asarray(wy)
+    assert y_host.shape == (64, 128)
+    assert np.all(np.asarray(mixed) == 10 * n)
+    # the wall is an 8x8 grid of 16x8 tiles; every tile must show ITS
+    # session's seed (scaling a constant preserves it within 1 LSB)
+    for k in range(n):
+        r, c = divmod(k, 8)
+        tile = y_host[r * 8:(r + 1) * 8, c * 16:(c + 1) * 16]
+        assert abs(int(tile[4, 8]) - int(seeds[k])) <= 1, \
+            f"tile {k}: {int(tile[4, 8])} vs seed {int(seeds[k])}"
