@@ -52,7 +52,8 @@ class AudioMixer(Source):
                  stats_report: Optional[StatsReport] = None,
                  epoch: Optional[int] = None,
                  compute_context=None,
-                 device_min_elems: int = 1 << 16):
+                 device_min_elems: int = 1 << 16,
+                 dedup_overlap: bool = True):
         super().__init__()
         self.clock = clock
         # device mixing (resurrected snd_s16i_s16i, kernels.cl.swift:534-562)
@@ -81,6 +82,20 @@ class AudioMixer(Source):
         self.pts = now - self.epoch
         self._samples: Dict[str, List[AudioSample]] = {}
         self._source_offset: Dict[str, TimePoint] = {}
+        # per-asset high-water mark of output frames ALREADY WRITTEN, in
+        # absolute output-timeline frame units.  The reference's
+        # window-overlap test (mix.audio.swift:142-153) re-mixes any span
+        # two packets share — under RTMP ms-quantization a 1024-sample
+        # packet re-times to 21 ms, its WRITE span (1024 frames) outruns
+        # its declared duration (21 ms = 1008 frames), and ~16 samples at
+        # each seam get mixed twice (audible doubling).  The overlap is
+        # invisible at TimePoint granularity (durations truncate to the
+        # pts scale), so the mark tracks frames actually contributed.
+        # dedup_overlap=True (default) clips every contribution to the
+        # region past the mark; False reproduces the reference artifact
+        # bit-for-bit.
+        self.dedup_overlap = dedup_overlap
+        self._mixed_until: Dict[str, int] = {}
         self._lock = threading.RLock()
         self._closed = False
 
@@ -123,9 +138,11 @@ class AudioMixer(Source):
         with self._lock:
             self._samples.pop(asset_id, None)
             self._source_offset.pop(asset_id, None)
+            self._mixed_until.pop(asset_id, None)
 
     def discontinuity(self, asset_id: str) -> None:
         self._source_offset.pop(asset_id, None)
+        self._mixed_until.pop(asset_id, None)
 
     def close(self) -> None:
         self._closed = True
@@ -217,6 +234,8 @@ class AudioMixer(Source):
                 continue
             covered = (mix_ts + self.frame_duration, mix_ts)
             unused: List[AudioSample] = []
+            hw = (self._mixed_until.get(asset_id)
+                  if self.dedup_overlap else None)
             for work in queued:
                 work_duration = rescale(
                     TimePoint(work.number_samples(), work.sample_rate()),
@@ -230,16 +249,41 @@ class AudioMixer(Source):
                         channel_count=self.channel_count)
                     pts_delta = normalized_pts - mix_ts
                     offset_samples = rescale(pts_delta, self.sample_rate).value
+                    in_ipf = bytes_per_sample(work.format,
+                                              work.number_channels()) // 2
+                    out_ipf = bytes_per_sample(self.output_format,
+                                               self.channel_count) // 2
                     # reference reinterprets a negative delta in source-rate
                     # units (mix.audio.swift:157-160)
-                    in_off_units = (abs(pts_delta.value) *
-                                    bytes_per_sample(work.format,
-                                                     work.number_channels()) // 2
+                    in_off_units = (abs(pts_delta.value) * in_ipf
                                     if pts_delta.value < 0 else 0)
-                    back_off_units = max(
-                        offset_samples *
-                        bytes_per_sample(self.output_format,
-                                         self.channel_count) // 2, 0)
+                    back_off_units = max(offset_samples * out_ipf, 0)
+                    if self.dedup_overlap:
+                        # span dedup (beyond the reference): clip to the
+                        # frames past this asset's already-written mark
+                        mix_frames = rescale(mix_ts, self.sample_rate).value
+                        start_f = mix_frames + back_off_units // out_ipf
+                        if hw is not None and hw > start_f:
+                            skip = hw - start_f
+                            in_off_units += skip * in_ipf
+                            back_off_units += skip * out_ipf
+                            start_f = hw
+                        # frames this contribution will actually write
+                        n_f = min(int(number_samples)
+                                  - back_off_units // out_ipf,
+                                  work.number_samples()
+                                  - in_off_units // in_ipf)
+                        if n_f <= 0:
+                            # nothing to write THIS tick: keep the sample
+                            # when input frames remain (the dedup skip
+                            # pushed its start past this window — the
+                            # tail belongs to the next tick); drop it
+                            # when every input frame is already mixed
+                            if work.number_samples() \
+                                    - in_off_units // in_ipf > 0:
+                                unused.append(work)
+                            continue
+                        hw = max(hw or 0, start_f + n_f)
                     for idx, data in enumerate(work.data()):
                         if idx >= len(buffers):
                             break
@@ -263,7 +307,9 @@ class AudioMixer(Source):
                 underrun = maximum(TimePoint(0, 1000), covered[0] - mix_ts) + \
                     maximum(TimePoint(0, 1000), mix_end - covered[1])
                 self.stats.add_sample("mix.audio.underrun", underrun)
-                self.discontinuity(asset_id)
+                self.discontinuity(asset_id)     # also resets _mixed_until
+            elif self.dedup_overlap and hw is not None:
+                self._mixed_until[asset_id] = hw
             result[asset_id] = unused
         for idx, contribs in enumerate(contributions):
             self._run_mix(contribs, buffers[idx])

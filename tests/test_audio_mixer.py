@@ -372,3 +372,55 @@ def test_remove_asset_racing_tick_stays_removed():
     with mixer._lock:
         assert "src" not in mixer._samples
     mixer.close()
+
+
+def _ms_quantized_mix(dedup: bool) -> np.ndarray:
+    """Drive 1024-sample constant packets whose pts are quantized to
+    MILLISECONDS (the RTMP FLV-tag timeline): 21.33 ms packets re-time
+    to 21 ms, so consecutive packets periodically overlap by ~16 samples
+    of mixer-timeline span.  Returns the concatenated mono mix."""
+    clock = StepClock(step_size=FRAME)
+    mixer = AudioMixer(clock, workspace_id="test", frame_duration=FRAME,
+                       sample_rate=SR, channel_count=2,
+                       dedup_overlap=dedup)
+    frames = []
+    keep = mixer >> Tx(
+        lambda s: (frames.append(np.asarray(s.buffers[0])),
+                   EventBox.just(s))[1])
+    data = np.full(1024 * 2, 100, np.int16)   # constant stereo packet
+    for i in range(60):
+        pts_ms = (i * 1024 * 1000) // SR      # floor to ms, like FLV tags
+        mixer.apply(EventBox.just(AudioSample(
+            buffers=(data,), frequency=SR, channels=2,
+            format=AudioFormat.s16i, sample_count=1024,
+            time_point=clock.current(), pts_value=TimePoint(pts_ms, 1000),
+            id_asset="cam", id_workspace="w")))
+        clock.step()
+    for _ in range(10):
+        clock.step()
+    del keep
+    out = np.concatenate(frames)
+    return out[0::2]                           # mono view
+
+
+def test_overlap_dedup_default_no_doubling():
+    """dedup_overlap=True (default): ms-quantized packet seams never mix
+    the same span twice — the steady-state mix is exactly the packet
+    level, no 2x samples."""
+    mono = _ms_quantized_mix(dedup=True)
+    # past anchor ramp-in, before the post-content tail silence; the
+    # remaining zeros are the genuine 1 ms quantization GAPS (pts 63 ms
+    # -> 64 ms leaves 32 unfed frames), not mixer artifacts
+    steady = mono[960 * 4:60 * 1024 - 2048]
+    assert set(np.unique(steady)) <= {0, 100}, np.unique(steady)
+    assert (steady == 100).mean() > 0.95
+
+
+def test_overlap_compat_mode_reproduces_reference_doubling():
+    """dedup_overlap=False reproduces the reference's window-overlap
+    semantics (mix.audio.swift:142-153): the quantized seams double-mix
+    ~16 samples periodically."""
+    mono = _ms_quantized_mix(dedup=False)
+    steady = mono[960 * 4:]
+    assert (steady == 200).sum() > 0, "expected the reference artifact"
+    assert set(np.unique(steady)) <= {0, 100, 200}, np.unique(steady)

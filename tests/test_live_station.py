@@ -275,10 +275,11 @@ def test_live_station_rtmp_mix_rtmp(mock_ffmpeg):
     # steady state: both cams at unity gain mix to exactly 1000 + 3000.
     # RTMP FLV tags quantize pts to MILLISECONDS, so 1024-sample packets
     # (21.33 ms) re-time to 21 ms on the wire and periodically overlap by
-    # ~16 samples — the mixer mixes both (the reference's window-overlap
-    # semantics), producing brief doubled samples.  Assert the dominant
-    # level and bound the overlap artifact.
+    # ~16 samples.  The reference's window-overlap semantics mix both
+    # copies (brief audible doubling, mix.audio.swift:142-153); the
+    # mixer's span dedup (dedup_overlap, default on) clips each packet
+    # to the not-yet-mixed region, so NO doubled levels may appear —
+    # only the exact mix and join/leave transients.
     tail = allpcm[-4096:]
     assert (tail == 4000).mean() > 0.9, (tail == 4000).mean()
-    assert set(np.unique(tail)) <= {0, 1000, 3000, 4000, 5000, 7000, 8000}, \
-        np.unique(tail)
+    assert set(np.unique(tail)) <= {0, 1000, 3000, 4000}, np.unique(tail)
