@@ -53,7 +53,17 @@ async def main(port: int = 1935) -> None:
             media_format=MediaFormat.avc, id_asset="demo",
             side={"config": bytes(48)})))
         await asyncio.sleep(0.01)
-    await asyncio.sleep(0.2)
+    # drain until every published sample arrived or delivery stops
+    # growing, rather than a fixed sleep a loaded CI host can outrun
+    loop = asyncio.get_event_loop()
+    deadline = loop.time() + 10.0
+    last, last_change = len(received), loop.time()
+    while len(received) < 30 and loop.time() < deadline:
+        await asyncio.sleep(0.02)
+        if len(received) != last:
+            last, last_change = len(received), loop.time()
+        elif loop.time() - last_change > 1.0:
+            break
     print(f"server received {len(received)} media samples")
     pub.close()
     await server.close()

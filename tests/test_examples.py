@@ -23,9 +23,12 @@ MOCK_FFMPEG = os.path.join(REPO, "tests", "mock_ffmpeg.py")
 def _demo_env():
     env = dict(os.environ)
     # CPU-only, independent of the axon tunnel state (a wedged tunnel
-    # stalls even CPU jits if the plugin pool var is present)
+    # stalls even CPU jits if the plugin pool var is present).  Force
+    # JAX_PLATFORMS=cpu explicitly: SV_DEVICE is only consulted by
+    # cli.py, and a demo that never calls jax.config.update must not
+    # initialize a visible accelerator backend.
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     env["SV_DEVICE"] = "cpu"
     env["SWIFTVIDEO_FFMPEG"] = MOCK_FFMPEG
     return env
@@ -83,7 +86,17 @@ def test_proto_interop_demo():
 
 
 def test_rtmp_server_demo():
-    out = _run("rtmp_server_demo.py", str(_free_port()))
+    # _free_port() closes the probe socket before the demo re-binds it
+    # (inherent TOCTOU); retry once with a fresh port if the bind lost
+    # the race to a concurrent process
+    for attempt in range(2):
+        try:
+            out = _run("rtmp_server_demo.py", str(_free_port()))
+            break
+        except AssertionError as exc:
+            if attempt == 0 and "Address already in use" in str(exc):
+                continue
+            raise
     assert "publisher connected" in out
     n = int(out.rsplit("server received", 1)[1].split()[0])
     assert n >= 25
