@@ -81,6 +81,56 @@ STDIN = sys.stdin.buffer
 STDOUT = sys.stdout.buffer
 
 
+class _JitterPipe:
+    """Re-chunk stdout into odd-sized bursts with held-back tails and
+    micro-stalls, and throttle stdin reads — simulating a real ffmpeg's
+    stdio buffering and rate behaviour (a slow encoder draining stdout in
+    bursts that never align with frame boundaries, and consuming stdin
+    slower than the producer writes, so the 64 KiB pipe buffer exerts
+    backpressure).  Enabled by ``MOCK_FFMPEG_JITTER=<seed>`` in the
+    environment; deterministic per seed.  Mirrors the buffering surprises
+    of ``enc.video.ffmpeg.swift:92-130``'s real libav contact that CI
+    cannot otherwise reach (VERDICT r3 item #7).
+    """
+
+    SIZES = (1, 3, 7, 17, 61, 257, 1021, 4093, 16381)
+
+    def __init__(self, seed: int):
+        import random
+        self.rng = random.Random(seed)
+        self.pend = bytearray()
+
+    def write(self, data: bytes) -> None:
+        import time
+        self.pend += data
+        while self.pend:
+            if self.rng.random() < 0.3:
+                break            # hold a tail until the next emit/drain
+            n = self.rng.choice(self.SIZES)
+            chunk = bytes(self.pend[:n])
+            del self.pend[:n]
+            STDOUT.write(chunk)
+            STDOUT.flush()
+            if self.rng.random() < 0.2:
+                time.sleep(self.rng.random() * 0.003)
+
+    def drain(self) -> None:
+        if self.pend:
+            STDOUT.write(bytes(self.pend))
+            STDOUT.flush()
+            self.pend.clear()
+
+    def read_size(self) -> int:
+        import time
+        if self.rng.random() < 0.2:
+            time.sleep(self.rng.random() * 0.002)
+        return self.rng.choice((509, 4093, 65536))
+
+
+_jseed = os.environ.get("MOCK_FFMPEG_JITTER")
+JITTER = _JitterPipe(int(_jseed)) if _jseed else None
+
+
 def epb_escape(data: bytes) -> bytes:
     out = bytearray()
     zeros = 0
@@ -150,18 +200,24 @@ def parse_args(argv):
 
 
 def emit(data: bytes) -> None:
+    if JITTER is not None:
+        JITTER.write(data)
+        return
     STDOUT.write(data)
     STDOUT.flush()
 
 
 def read_loop(feed, eof):
     while True:
-        chunk = STDIN.read1(65536) if hasattr(STDIN, "read1") \
-            else os.read(0, 65536)
+        n = JITTER.read_size() if JITTER is not None else 65536
+        chunk = STDIN.read1(n) if hasattr(STDIN, "read1") \
+            else os.read(0, n)
         if not chunk:
             break
         feed(chunk)
     eof()
+    if JITTER is not None:
+        JITTER.drain()
 
 
 # --- video: mock bitstream <-> frames --------------------------------------
@@ -480,7 +536,10 @@ def main() -> int:
     in_fmt = pre.get("-f")
     out_fmt = post.get("-f")
     if src != "pipe:0":
-        return demux_file(src, post)
+        rc = demux_file(src, post)
+        if JITTER is not None:
+            JITTER.drain()
+        return rc
     if in_fmt in ("h264", "hevc"):
         assert out_fmt == "yuv4mpegpipe", post
         worker = AnnexbDecoder(hevc=in_fmt == "hevc")

@@ -705,3 +705,99 @@ def test_audio_encoder_uncompressed_flush_tail():
     assert a.number_samples() == total
     assert np.array_equal(np.asarray(a.data()[0]), pcm)
     assert enc.flush() == []               # drained exactly once
+
+
+# --- jittered-pipe mode: real-binary buffering behaviour (VERDICT r3 #7) ---
+#
+# MOCK_FFMPEG_JITTER makes the mock re-chunk its stdout into odd-sized
+# bursts (1..16381 bytes) with held-back tails and micro-stalls, and
+# throttle its stdin reads — the buffering/rate surprises a real ffmpeg
+# would spring on the reader threads.  Frames large enough to cross the
+# 64 KiB pipe buffer make the throttled stdin exert real backpressure on
+# the encoder-feed path while the reader thread must keep draining.
+
+@pytest.fixture(params=[1, 1307])
+def jittered_mock_ffmpeg(monkeypatch, request):
+    monkeypatch.setenv("SWIFTVIDEO_FFMPEG", MOCK_FFMPEG)
+    monkeypatch.setenv("MOCK_FFMPEG_JITTER", str(request.param))
+    return MOCK_FFMPEG
+
+
+@pytest.mark.parametrize("fmt", [MediaFormat.avc, MediaFormat.vp9])
+def test_jittered_video_roundtrip(fmt, jittered_mock_ffmpeg):
+    # 256x128 yuv420p = 48 KiB raw per frame: bursts never align with the
+    # Annex B / IVF frame boundaries and the pipe buffer fills mid-frame
+    n = 8
+    coded, pics = _video_roundtrip(fmt, n, size=(256, 128))
+    assert len(coded) == n
+    assert len(pics) == n
+    assert [p.pts() for p in pics] == [TimePoint(i, 30) for i in range(n)]
+    for i, p in enumerate(pics):
+        assert p.size() == (256, 128)
+        assert np.all(np.asarray(p.planes()[0]) == 40 + i)
+        assert np.all(np.asarray(p.planes()[1]) == 90 + i)
+
+
+@pytest.mark.parametrize("fmt,spf", [(MediaFormat.aac, 1024),
+                                     (MediaFormat.opus, 960)])
+def test_jittered_audio_roundtrip(fmt, spf, jittered_mock_ffmpeg):
+    n = 8
+    samples = _audio_samples(n, spf)
+    src = np.concatenate([np.asarray(s.data()[0]) for s in samples])
+    enc = FFmpegAudioEncoder(fmt)
+    coded = []
+    for s in samples:
+        box = enc(s)
+        if box.is_just():
+            coded.extend(box.value())
+    coded.extend(enc.flush())
+    enc.close()
+    assert len(coded) == n
+    dec = FFmpegAudioDecoder(chunk_samples=spf)
+    pcm_out = []
+    for c in coded:
+        box = dec(c)
+        if box.is_just():
+            pcm_out.extend(box.value())
+    pcm_out.extend(dec.flush())
+    dec.close()
+    got = np.concatenate([np.asarray(a.data()[0]) for a in pcm_out])
+    assert np.array_equal(got, src)
+
+
+def test_jittered_file_demux(tmp_path, jittered_mock_ffmpeg):
+    """FileSource A/V demux with the jittered pipe: Y4M frames and s16
+    chunks arrive split at arbitrary offsets; pacing and chunking must
+    still come out exact."""
+    from swiftvideo_tpu.codec.file_source import open_media_file_av
+    from swiftvideo_tpu.codec.codecs import (unpack_uncompressed_audio,
+                                             unpack_uncompressed_picture)
+    from swiftvideo_tpu.core import EventBox, StepClock, Tx
+    w, h, n_frames, rate, ch = 64, 32, 6, 48000, 2
+    n_samples = 1024 * 3
+    fsize = w * h * 3 // 2
+    video = b"".join(bytes([10 * i + 5]) * fsize for i in range(n_frames))
+    pcm = np.arange(n_samples * ch, dtype=np.int16)
+    path = tmp_path / "clip.mockav"
+    path.write_bytes(
+        f"MOCKAV {w} {h} 25 1 {n_frames} {rate} {ch} {n_samples}\n"
+        .encode() + video + pcm.tobytes())
+    clock = StepClock(TimePoint(20, 1000))
+    vsrc, asrc = open_media_file_av(clock, str(path), asset_id="clip",
+                                    audio_chunk=1024)
+    vids, auds = [], []
+    vchain = vsrc >> Tx(lambda s: (vids.append(s), EventBox.just(s))[1])
+    achain = asrc >> Tx(lambda s: (auds.append(s), EventBox.just(s))[1])
+    vsrc.play()
+    asrc.play()
+    for _ in range(500):
+        clock.step()
+    assert len(vids) == n_frames
+    pic = unpack_uncompressed_picture(vids[4].data(), asset_id="clip",
+                                      workspace_id="")
+    assert np.all(np.asarray(pic.planes()[0]) == 45)
+    assert len(auds) == 3
+    a = unpack_uncompressed_audio(auds[2].data(), asset_id="clip",
+                                  workspace_id="")
+    assert np.array_equal(np.asarray(a.data()[0]),
+                          pcm[2 * 1024 * ch:3 * 1024 * ch])
