@@ -33,7 +33,14 @@ def time_fn(fn, *args, iters=50, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def time_device_loop(make_body, init, iters=100, warmup=True, reps=3):
+#: rep-level slopes of the most recent labeled time_device_loop call, for
+#: contention reporting (the shared tunnel chip swings 2-4x between reps;
+#: the min is the device capability, the spread is the contention evidence)
+LAST_REP_SLOPES = {}
+
+
+def time_device_loop(make_body, init, iters=100, warmup=True, reps=3,
+                     label=None):
     """Time pure device execution by SLOPE: one jitted lax.fori_loop with a
     carried data dependency, run at two trip counts; the (T2-T1)/(N2-N1)
     difference cancels every fixed cost — tunnel dispatch latency (~30 ms
@@ -41,7 +48,9 @@ def time_device_loop(make_body, init, iters=100, warmup=True, reps=3):
     transfer), compile cache checks — which otherwise inflate per-iter
     numbers by ~30ms/iters (the round-1 bench artifact).  Min over
     ``reps``: the shared tunnel chip shows contention swings and the min
-    is the honest estimate of device capability."""
+    is the honest estimate of device capability.  ``label`` records the
+    per-rep slopes in LAST_REP_SLOPES and logs them, so the recorded
+    number carries its own variance evidence (VERDICT r3 item #5a)."""
     import jax
     import numpy as np
 
@@ -64,14 +73,34 @@ def time_device_loop(make_body, init, iters=100, warmup=True, reps=3):
     n1, n2 = max(iters // 5, 2), iters
     if warmup:
         wall(2)
-    best = float("inf")
+    slopes = []
+    t1s, t2s = [], []
     for _ in range(max(1, reps)):
         t1 = wall(n1)
         t2 = wall(n2)
+        t1s.append(t1)
+        t2s.append(t2)
         if t2 > t1:
-            best = min(best, (t2 - t1) / (n2 - n1))
-    if not (best < float("inf")):
+            slopes.append((t2 - t1) / (n2 - n1))
+    # estimator: (min t2 - min t1) / (n2 - n1).  Each min is the least-
+    # contended observation of its trip count, so the difference is the
+    # clean-window device slope; unlike min-of-pairwise-slopes it cannot
+    # be deflated by a rep whose t1 was contention-inflated while its t2
+    # was clean (observed 3.5x rep spread through the shared tunnel).
+    if t1s and t2s and min(t2s) > min(t1s):
+        best = (min(t2s) - min(t1s)) / (n2 - n1)
+    elif slopes:
+        best = min(slopes)
+    else:
         best = wall(n2) / n2
+        slopes.append(best)
+    if label is not None:
+        LAST_REP_SLOPES[label] = slopes or [best]
+        log(f"{label} rep slopes (ms): "
+            + "[" + ", ".join(f"{s*1e3:.3f}" for s in slopes) + "]"
+            + (f" spread {max(slopes)/min(slopes):.2f}x"
+               if slopes else "")
+            + f"; min-t estimator {best*1e3:.3f}")
     return best
 
 
@@ -138,8 +167,9 @@ def main() -> None:
         return (out, unis + bump)
 
     init = (composite_frame(tuple(dev_sources), dev_unis), dev_unis)
-    dt = time_device_loop(frame_body, init, iters=100)
+    dt = time_device_loop(frame_body, init, iters=100, label="config3-xla")
     fps = 1.0 / dt
+    hl_label = "config3-xla"
     log(f"config3 4-source 1080p composite (XLA fold): {dt*1e3:.3f} ms/frame = {fps:.1f} fps/chip (device loop)")
 
     # fused whole-frame pallas kernel (one HBM read per source per frame);
@@ -178,11 +208,12 @@ def main() -> None:
 
                 initp = (jnp.asarray(packed_a),
                          run_a(packed_a, offs_a, jr_a, ys4, us4, vs4))
-                dtp = time_device_loop(pl_body, initp, iters=100, reps=6)
+                dtp = time_device_loop(pl_body, initp, iters=100, reps=12,
+                                       label="config3-pallas")
                 log(f"config3 pallas frame kernel: {dtp*1e3:.3f} ms/frame"
                     f" = {1/dtp:.1f} fps/chip (device loop)")
                 if dtp < dt:
-                    dt, fps = dtp, 1.0 / dtp
+                    dt, fps, hl_label = dtp, 1.0 / dtp, "config3-pallas"
 
                 # K-frame batched dispatch (vmap adds a leading pallas
                 # grid dim): amortizes per-program overheads and is the
@@ -207,11 +238,12 @@ def main() -> None:
                             o2)
 
                 initb = (jnp.asarray(packed_a), outb)
-                dtb = time_device_loop(plb_body, initb, iters=30, reps=6)
+                dtb = time_device_loop(plb_body, initb, iters=30, reps=6,
+                                       label="config3-batched-x8")
                 log(f"config3 pallas x{K} batched: {dtb/K*1e3:.3f} ms/frame"
                     f" = {K/dtb:.1f} fps/chip (device loop)")
                 if dtb / K < dt:
-                    dt, fps = dtb / K, K / dtb
+                    dt, fps, hl_label = dtb / K, K / dtb, "config3-batched-x8"
 
                 # ---- config 8: transfer-INCLUSIVE pipeline ------------
                 # The loop the Composer actually runs per tick: host u8
@@ -548,11 +580,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         log("config7c multi-ingest failed:", exc)
 
+    # rep-level evidence for the recorded number: the winning config's
+    # per-rep slopes as fps, plus the max/min spread — a contention-free
+    # window shows spread ~1.0x, a contended tunnel window shows 2-4x
+    # with the min still at device capability (VERDICT r3 item #5a)
+    hl = LAST_REP_SLOPES.get(hl_label, [])
+    if hl_label == "config3-batched-x8":
+        hl = [s / 8 for s in hl]
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 4000.0, 3),
+        "rep_fps": [round(1.0 / s, 1) for s in hl],
+        "rep_spread": round(max(hl) / min(hl), 2) if hl else None,
     }
     print(json.dumps(result))
 
