@@ -22,11 +22,73 @@ and ``deserialize.swift``:
 
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
+import subprocess
 from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Tuple
 
 DEFAULT_CHUNK_SIZE = 128
+
+# --- native fast path (csrc/rtmp_chunks.cpp) -------------------------------
+# Same pattern as codec/bitstream.py: a ctypes-loaded C++ library with the
+# pure-Python implementation below as the behavioral spec and fallback.
+# One message per poll so control messages (SetChunkSize) apply between
+# polls exactly like the Python path.  Disable with SWIFTVIDEO_RTMP_NATIVE=0.
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libsvrtmp.so")
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("SWIFTVIDEO_RTMP_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_LIB_PATH) and os.path.exists(
+            os.path.join(_CSRC, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", _CSRC], capture_output=True,
+                           timeout=120, check=False)
+        except Exception:
+            pass
+    if os.path.exists(_LIB_PATH):
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.sv_rtmp_dechunk_new.restype = ctypes.c_void_p
+            lib.sv_rtmp_dechunk_new.argtypes = [ctypes.c_uint32,
+                                                ctypes.c_uint64]
+            lib.sv_rtmp_dechunk_free.restype = None
+            lib.sv_rtmp_dechunk_free.argtypes = [ctypes.c_void_p]
+            lib.sv_rtmp_dechunk_set_chunk_size.restype = None
+            lib.sv_rtmp_dechunk_set_chunk_size.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32]
+            lib.sv_rtmp_dechunk_append.restype = None
+            lib.sv_rtmp_dechunk_append.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
+            lib.sv_rtmp_dechunk_poll.restype = ctypes.c_int
+            lib.sv_rtmp_dechunk_poll.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_uint64)]
+            lib.sv_rtmp_dechunk_error.restype = ctypes.c_char_p
+            lib.sv_rtmp_dechunk_error.argtypes = [ctypes.c_void_p]
+            lib.sv_rtmp_dechunk_pending.restype = ctypes.c_uint64
+            lib.sv_rtmp_dechunk_pending.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except OSError:
+            _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
 
 
 @dataclass(frozen=True)
@@ -219,15 +281,42 @@ class ChunkDeserializer:
     MAX_PENDING = 1 << 25
 
     def __init__(self, in_chunk_size: int = DEFAULT_CHUNK_SIZE,
-                 max_pending: int = MAX_PENDING):
+                 max_pending: int = MAX_PENDING,
+                 native: Optional[bool] = None):
         self.in_chunk_size = in_chunk_size
         self.max_pending = max_pending
         self._partial: Dict[int, _Partial] = {}
         self._buffer = bytearray()
         self._pos = 0
+        self._h = None
+        lib = _load_native() if native in (None, True) else None
+        if native is True and lib is None:
+            raise RuntimeError("native rtmp dechunker unavailable")
+        if lib is not None:
+            self._nlib = lib
+            self._h = lib.sv_rtmp_dechunk_new(in_chunk_size, max_pending)
+            self._hdr = ctypes.create_string_buffer(28)
+            self._pp = ctypes.c_void_p()
+            self._pl = ctypes.c_uint64()
+            import weakref
+            self._fin = weakref.finalize(self, lib.sv_rtmp_dechunk_free,
+                                         self._h)
+
+    @property
+    def native(self) -> bool:
+        return self._h is not None
+
+    @property
+    def pending(self) -> int:
+        """Unconsumed inbound bytes (bounded by ``max_pending``)."""
+        if self._h is not None:
+            return self._nlib.sv_rtmp_dechunk_pending(self._h)
+        return len(self._buffer) - self._pos
 
     def set_chunk_size(self, size: int) -> None:
         self.in_chunk_size = size
+        if self._h is not None:
+            self._nlib.sv_rtmp_dechunk_set_chunk_size(self._h, size)
 
     def feed(self, data: bytes) -> List[Chunk]:
         """Append bytes; return every completed message chunk.
@@ -247,10 +336,29 @@ class ChunkDeserializer:
         return out
 
     def append(self, data: bytes) -> None:
+        if self._h is not None:
+            self._nlib.sv_rtmp_dechunk_append(self._h, bytes(data), len(data))
+            return
         self._buffer += data
 
     def poll(self) -> Optional[Chunk]:
         """Parse and return the next complete message, or None."""
+        if self._h is not None:
+            r = self._nlib.sv_rtmp_dechunk_poll(
+                self._h, self._hdr, ctypes.byref(self._pp),
+                ctypes.byref(self._pl))
+            if r == 0:
+                return None
+            if r < 0:
+                raise ValueError(
+                    self._nlib.sv_rtmp_dechunk_error(self._h).decode())
+            csid, msid, length, mtype, ext, _, ts, delta = struct.unpack(
+                "<IIIBBHqI", self._hdr.raw)
+            data = ctypes.string_at(self._pp, self._pl.value)
+            return Chunk(msg_stream_id=msid, msg_length=length,
+                         msg_type=mtype, chunk_stream_id=csid,
+                         timestamp=ts, timestamp_delta=delta,
+                         extended=bool(ext), data=data)
         while True:
             chunk, consumed = self._try_parse()
             if consumed == 0:

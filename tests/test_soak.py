@@ -218,7 +218,7 @@ def test_soak_rtmp_loopback_sustained():
         # session-core buffers must be compacted, not the whole backlog
         for state in server._sessions.values():
             core = state["core"]
-            assert len(core.deserializer._buffer) < 1 << 20
+            assert core.deserializer.pending < 1 << 20
             assert not core.fatal
         pub.close()
         await server.close()
@@ -331,7 +331,7 @@ def test_soak_concurrent_rtmp_ingest_16_publishers():
             await asyncio.sleep(0)
         for state in server._sessions.values():
             core = state["core"]
-            assert len(core.deserializer._buffer) < 1 << 20
+            assert core.deserializer.pending < 1 << 20
             assert not core.fatal
         for pub in pubs:
             pub.close()
