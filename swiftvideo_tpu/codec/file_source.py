@@ -55,6 +55,18 @@ class SyntheticSource(Source):
         # fired once when a non-looping pull drains (EOS); the Composer's
         # Load closeOnEnd semantics hang off this (Rpc.public.proto:58)
         self.on_end: Optional[Callable[[], None]] = None
+        # resource teardown hook (e.g. terminate a demux subprocess);
+        # invoked at most once, by close()
+        self.on_close: Optional[Callable[[], None]] = None
+
+    def close(self) -> None:
+        """Stop pacing and release puller resources (demux subprocesses,
+        pipes).  stop() only pauses; a stopped source can play() again —
+        a closed one cannot."""
+        self.stop()
+        cb, self.on_close = self.on_close, None
+        if cb is not None:
+            cb()
 
     def asset_id(self) -> str:
         return self.id_asset
@@ -144,6 +156,20 @@ def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.DEVNULL)
 
+    def reap(proc):
+        # closing stdout first unblocks a decoder stalled writing into a
+        # full pipe; terminate+wait reaps the process either way
+        try:
+            if proc.stdout is not None:
+                proc.stdout.close()
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            proc.terminate()
+            proc.wait(timeout=2)
+        except Exception:  # noqa: BLE001
+            pass
+
     if loop:
         # the subprocess pipes are one-shot: there is no seek-to-start on
         # a drained decoder (the cv2 backend supports looping)
@@ -192,6 +218,7 @@ def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
                             frame_duration=TimePoint(den * 1000, num * 1000),
                             asset_id=asset_id, workspace_id=workspace_id,
                             loop=False)
+    video.on_close = lambda: reap(vproc)
 
     # --- audio track (None when the container has no audio) ----------------
     aproc = spawn(["-vn", "-f", "s16le", "-ar", str(sample_rate),
@@ -239,8 +266,9 @@ def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
             clock, apull_with_head,
             frame_duration=TimePoint(audio_chunk, sample_rate),
             asset_id=asset_id, workspace_id=workspace_id, loop=False)
+        audio_src.on_close = lambda: reap(aproc)
     else:
-        aproc.terminate()
+        reap(aproc)
     return video, audio_src
 
 

@@ -256,7 +256,14 @@ class Composer:
                     if not done.done():
                         done.set_exception(exc)
                     return
-                then()
+                # a continuation raising inside a Future callback would
+                # otherwise be logged-and-swallowed by concurrent.futures,
+                # leaving `done` unresolved forever
+                try:
+                    then()
+                except Exception as cont_exc:  # noqa: BLE001
+                    if not done.done():
+                        done.set_exception(cont_exc)
             fut.add_done_callback(_cb)
 
         def act():
@@ -361,13 +368,26 @@ class Composer:
                 if pending[0] != 0:
                     return
                 if cmd.loop:
-                    # one-shot demux pipes: loop by re-opening
-                    try:
-                        self._file_assets[cmd.asset_id] = open_sources()
-                        for s in self._file_assets[cmd.asset_id][0]:
-                            s.play()
-                    except Exception:  # noqa: BLE001 - file vanished mid-loop
-                        self._file_assets.pop(cmd.asset_id, None)
+                    # one-shot demux pipes: loop by re-opening — DEFERRED
+                    # to a clock event, never recursively (a clip shorter
+                    # than the read-ahead window would otherwise re-open
+                    # inside its own play() stack until RecursionError)
+                    def reopen(_evt=None):
+                        old = self._file_assets.get(cmd.asset_id)
+                        if old is None:
+                            return        # unloaded while the event waited
+                        for s in old[0]:
+                            s.close()     # reap the drained generation
+                        try:
+                            self._file_assets[cmd.asset_id] = open_sources()
+                            for s in self._file_assets[cmd.asset_id][0]:
+                                s.play()
+                        except Exception:  # noqa: BLE001 - vanished mid-loop
+                            self.unload_asset(cmd.asset_id)
+                    # 1 ms ahead: StepClock runs at-or-before-now callbacks
+                    # synchronously, which would recurse right back here
+                    self.clock.schedule(
+                        self.clock.current() + TimePoint(1, 1000), reopen)
                 elif cmd.close_on_end:
                     self.unload_asset(cmd.asset_id)
 
@@ -430,11 +450,12 @@ class Composer:
         return fut
 
     def unload_asset(self, asset_id: str) -> None:
-        """Drop a Load/SetText asset and its bindings (closeOnEnd path)."""
+        """Drop a Load/SetText asset and its bindings (closeOnEnd path);
+        closes the demux sources so their subprocesses are reaped."""
         entry = self._file_assets.pop(asset_id, None)
         if entry is not None:
             for src in entry[0]:
-                src.stop()
+                src.close()
         self._text_assets.pop(asset_id, None)
         self.unbind(asset_id)
 
@@ -481,5 +502,9 @@ class Composer:
                 self.set_state(name, _mk_state(_dec(raw)))
 
     def close(self) -> None:
+        # stop and reap file assets first so drained/playing demux
+        # subprocesses don't outlive the mixers they feed
+        for asset_id in list(self._file_assets):
+            self.unload_asset(asset_id)
         self.video_mixer.close()
         self.audio_mixer.close()

@@ -217,6 +217,9 @@ class AudioMixer(Source):
             assets = {k: list(v) for k, v in self._samples.items() if v}
             offsets = dict(self._source_offset)
         result: Dict[str, List[AudioSample]] = {}
+        # dedup high-water marks to publish in the locked write-back (a
+        # bare write here would race remove_asset and resurrect its entry)
+        new_marks: Dict[str, int] = {}
         # ordered (input_view, gains, back_off, in_off) per target buffer
         contributions: List[List] = [[] for _ in range(num_buffers)]
         for asset_id, queued in assets.items():
@@ -309,7 +312,7 @@ class AudioMixer(Source):
                 self.stats.add_sample("mix.audio.underrun", underrun)
                 self.discontinuity(asset_id)     # also resets _mixed_until
             elif self.dedup_overlap and hw is not None:
-                self._mixed_until[asset_id] = hw
+                new_marks[asset_id] = hw
             result[asset_id] = unused
         for idx, contribs in enumerate(contributions):
             self._run_mix(contribs, buffers[idx])
@@ -317,7 +320,10 @@ class AudioMixer(Source):
             for asset_id, unused in result.items():
                 if asset_id not in self._samples:
                     # remove_asset() raced this tick: stay removed
+                    # (including its _mixed_until mark — don't resurrect)
                     continue
+                if asset_id in new_marks:
+                    self._mixed_until[asset_id] = new_marks[asset_id]
                 # keep samples that arrived during the mix
                 arrived = self._samples.get(asset_id, [])
                 new_tail = arrived[len(assets.get(asset_id, [])):]

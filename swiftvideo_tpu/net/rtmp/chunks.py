@@ -91,6 +91,13 @@ def native_available() -> bool:
     return _load_native() is not None
 
 
+# Load (and, on a fresh checkout, build) the native library at import time:
+# ChunkDeserializer is constructed per-connection inside the asyncio event
+# loop (session.py), and a first-construction `make` there would block the
+# loop for the duration of a compile.
+_load_native()
+
+
 @dataclass(frozen=True)
 class Chunk:
     """One RTMP message in flight (rtmp.swift:860-903)."""

@@ -348,3 +348,91 @@ def test_set_text_before_bind_latches(tmp_path):
     assert int(y[48:64].max()) > 60
     del sub
     composer.close()
+
+
+# --- review-fix regressions (round 4) ---------------------------------------
+
+
+def test_load_loop_reopens_deferred_not_recursive(tmp_path, mock_ffmpeg):
+    """loop=True on a clip shorter than the read-ahead window must re-open
+    on a scheduled clock event, never recursively inside play(): the old
+    path opened generation after generation in one call stack until
+    RecursionError, then silently dropped the asset."""
+    import sys
+
+    clip = tmp_path / "clip.mockav"
+    _write_mockav(clip, n_frames=3, n_samples=1024)   # ~0.12 s << 2 s
+    clock = StepClock(TimePoint(480, 48000))
+    composer = _composer(clock)
+    limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(120)        # would trip the recursive re-open
+    try:
+        fut = composer.run_command(ComposerCommand(load_file=LoadCommand(
+            uri=str(clip), asset_id="clip", autoplay=True, loop=True)))
+        assert fut.result(timeout=2) is True
+        generations = {id(composer._file_assets["clip"])}
+        for _ in range(600):          # ~6 s of clock: many loop restarts
+            clock.step()
+            entry = composer._file_assets.get("clip")
+            assert entry is not None, "looping asset vanished"
+            generations.add(id(entry))
+    finally:
+        sys.setrecursionlimit(limit)
+    assert len(generations) >= 3, "loop never re-opened"
+    composer.close()
+
+
+def test_run_command_continuation_error_fails_future():
+    """A continuation raising inside a Future callback (here: bind of an
+    unknown element behind an action-claimed future) must fail the
+    command future, not hang it."""
+    from concurrent.futures import Future
+
+    clock = StepClock(TimePoint(480, 48000))
+    composer = _composer(clock)
+    app_fut: Future = Future()
+
+    def action(cmd):
+        return app_fut if cmd.bind is not None else None
+
+    fut = composer.run_command(ComposerCommand(
+        bind=BindCommand(asset_id="cam", element="MISSING")), action=action)
+    assert not fut.done()
+    app_fut.set_result(True)          # do_bind now raises ComposerError
+    exc = fut.exception(timeout=2)
+    assert exc is not None and "MISSING" in str(exc)
+    composer.close()
+
+
+def test_unload_and_close_reap_file_sources(tmp_path, mock_ffmpeg):
+    """unload_asset and Composer.close must close() the demux sources
+    (reaping their subprocesses), not merely stop() pacing."""
+    clip = tmp_path / "clip.mockav"
+    _write_mockav(clip, n_frames=200, n_samples=48000 * 4)
+    clock = StepClock(TimePoint(480, 48000))
+    composer = _composer(clock)
+    closed = []
+    for i, name in enumerate(("a", "b")):
+        assert composer.run_command(ComposerCommand(load_file=LoadCommand(
+            uri=str(clip), asset_id=name, autoplay=True))).result(timeout=2)
+        for src in composer._file_assets[name][0]:
+            orig = src.on_close
+            src.on_close = (lambda o=orig, n=name:
+                            (closed.append(n), o and o())[0] or None)
+    composer.unload_asset("a")
+    assert closed.count("a") == 2 and "b" not in closed   # video + audio
+    composer.close()                  # reaps the rest
+    assert closed.count("b") == 2
+
+
+def test_synthetic_source_close_idempotent():
+    from swiftvideo_tpu.codec.file_source import SyntheticSource
+
+    clock = StepClock(TimePoint(480, 48000))
+    src = SyntheticSource(clock, lambda i: None,
+                          frame_duration=TimePoint(1000, 30000))
+    calls = []
+    src.on_close = lambda: calls.append(1)
+    src.close()
+    src.close()
+    assert calls == [1]
