@@ -104,7 +104,7 @@ size_t try_parse(Dechunker* d, bool* done, Partial** out, uint32_t* out_csid) {
     pos = 2;
   } else if (csid == 1) {
     if (avail < 3) return 0;
-    csid = le16(c + 1);
+    csid = uint32_t(le16(c + 1)) + 64;  // 3-byte form is biased (spec 5.3.1.1)
     pos = 3;
   }
   auto it = d->partials.find(csid);

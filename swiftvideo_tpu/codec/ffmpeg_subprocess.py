@@ -487,9 +487,13 @@ class FFmpegVideoEncoder(Tx):
             payload = annexb_to_avcc(b"".join(
                 b"\x00\x00\x00\x01" + n for n in unit
                 if self._nal_type(n) not in params))
+            # pop the unit's pts UNCONDITIONALLY: a skipped access unit
+            # (parameter-only payload, or a frame before SPS/PPS arrived)
+            # must still consume its timestamp or every later frame shifts
+            # one slot earlier for the life of the encoder
+            pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
             if not payload or self._config is None:
                 continue
-            pts = self._pts_queue.pop(0) if self._pts_queue else sample.pts()
             out.append(CodedMediaSample(
                 buffer=payload, pts_value=pts, dts_value=pts,
                 media_type=MediaType.video, media_format=self.fmt,
@@ -589,10 +593,10 @@ class FFmpegVideoEncoder(Tx):
             payload = annexb_to_avcc(b"".join(
                 b"\x00\x00\x00\x01" + n for n in unit
                 if self._nal_type(n) not in params))
+            pts = (self._pts_queue.pop(0) if self._pts_queue
+                   else sample.pts())     # consume even for skipped units
             if not payload or self._config is None:
                 continue
-            pts = (self._pts_queue.pop(0) if self._pts_queue
-                   else sample.pts())
             out.append(CodedMediaSample(
                 buffer=payload, pts_value=pts, dts_value=pts,
                 media_type=MediaType.video, media_format=self.fmt,

@@ -51,6 +51,7 @@ class SyntheticSource(Source):
         self._next_pts = TimePoint(0, frame_duration.scale)
         self._epoch: Optional[TimePoint] = None
         self._playing = False
+        self._gen = 0          # bumped by stop(): voids scheduled closures
         self._lock = threading.RLock()
         # fired once when a non-looping pull drains (EOS); the Composer's
         # Load closeOnEnd semantics hang off this (Rpc.public.proto:58)
@@ -80,17 +81,24 @@ class SyntheticSource(Source):
             if self._playing:
                 return
             self._playing = True
-            self._epoch = self.clock.current()
+            # resume after stop(): rebase the epoch so the pacing horizon
+            # lands at _next_pts — a bare `now` would leave the source
+            # silent for as long as it had previously played
+            self._epoch = self.clock.current() - self._next_pts
         self._refill()
 
     def stop(self) -> None:
         self._playing = False
+        # invalidate frames and refill ticks already scheduled on the
+        # clock: their closures check the generation before emitting
+        self._gen += 1
 
     def _refill(self) -> None:
         """Schedule everything inside the read-ahead window
         (file.ffmpeg.swift:115-189)."""
         if not self._playing:
             return
+        gen = self._gen
         now = self.clock.current()
         horizon = (now - self._epoch) + _READ_AHEAD
         while self._next_pts < horizon:
@@ -115,13 +123,16 @@ class SyntheticSource(Source):
             out = sample.with_(pts=pts, dts=pts,
                                asset_id=self.id_asset)
             deadline = self._epoch + pts + _EMIT_AHEAD
-            self.clock.schedule(deadline,
-                                lambda _evt, s=out: self.emit(s))
+            self.clock.schedule(
+                deadline,
+                lambda _evt, s=out, g=gen:
+                    self.emit(s) if self._gen == g else None)
             self._index += 1
             self._next_pts = self._next_pts + self.frame_duration
         # check back in half the read-ahead window
-        self.clock.schedule(now + _READ_AHEAD / 2,
-                            lambda _evt: self._refill())
+        self.clock.schedule(
+            now + _READ_AHEAD / 2,
+            lambda _evt, g=gen: self._refill() if self._gen == g else None)
 
 
 def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",

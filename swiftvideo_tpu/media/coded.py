@@ -232,7 +232,18 @@ def is_keyframe(sample: CodedMediaSample) -> bool:
         return True
     data = sample.data()
     if sample.media_format == MediaFormat.avc:
-        return len(data) >= 5 and (data[4] & 0x1F) == 5
+        # walk 4-byte-length-prefixed NALs to the first VCL one (types
+        # 1-5): an IDR access unit may be led by SEI/AUD NALs, which the
+        # reference's first-NAL-only check (sample.coded.swift:251)
+        # misclassifies as inter — gating out the whole first GOP
+        pos = 0
+        while pos + 5 <= len(data):
+            n = int.from_bytes(data[pos:pos + 4], "big")
+            nal_type = data[pos + 4] & 0x1F
+            if 1 <= nal_type <= 5:         # VCL
+                return nal_type == 5
+            pos += 4 + n
+        return False
     if sample.media_format == MediaFormat.hevc:
         # walk 4-byte-length-prefixed NALs to the first VCL one; keyframe
         # iff it is an IRAP type (BLA 16-18, IDR 19-20, CRA 21)

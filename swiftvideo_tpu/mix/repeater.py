@@ -5,6 +5,12 @@ used to hold video frames for mixing (composer.swift:211).  Each received
 sample resets the timer; when a clock tick fires and no fresh sample
 arrived within the interval, the held sample is re-emitted and the timer
 re-arms.
+
+One armed timer per repeater: digest only arms when no tick is
+outstanding, and a non-due tick re-arms itself at the earliest possible
+due time.  (Arming per received sample would flood the clock queue at the
+input frame rate — ~interval/frame_duration concurrent heap entries per
+repeater, scaling with source count in a composer wall.)
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ class Repeater(AsyncTx):
         self._interval = rescale(interval, clock.current().scale)
         self._last_emit = clock.current()
         self._sample = None
+        self._armed = False
         self._lock = threading.RLock()
 
         def digest(sample) -> EventBox:
@@ -27,7 +34,10 @@ class Repeater(AsyncTx):
             with self._lock:
                 self._sample = sample
                 self._last_emit = now
-            self._run()
+                arm = not self._armed
+                self._armed = True
+            if arm:
+                self._run()
             return EventBox.just(sample)
 
         self.set(digest)
@@ -39,8 +49,11 @@ class Repeater(AsyncTx):
     def _tick(self, evt) -> None:
         with self._lock:
             sample = self._sample
-            due = sample is not None and \
-                (self._last_emit + self._interval) <= evt.time()
+            if sample is None:        # dormant (gone downstream)
+                self._armed = False
+                return
+            next_due = self._last_emit + self._interval
+            due = next_due <= evt.time()
             if due:
                 self._last_emit = evt.time()
         if due:
@@ -53,5 +66,11 @@ class Repeater(AsyncTx):
                 # interval alive for the life of the session
                 with self._lock:
                     self._sample = None
+                    self._armed = False
                 return
             self._run()
+        else:
+            # a fresh sample moved the deadline: re-arm at the earliest
+            # possible due time (keeps the single-timer invariant without
+            # changing emission cadence)
+            self._clock.schedule(next_due, self._tick)

@@ -13,6 +13,13 @@ and ``deserialize.swift``:
   at ``% 0xffffffff`` (2^32 - 1), skewing 1 ms per rollover against
   spec-conformant peers; this implementation uses the RTMP u32 space
   modulus 2^32.
+* second documented deviation: the 3-byte basic-header form carries
+  ``csid - 64`` (spec 5.3.1.1); the reference omits the bias in this form
+  only (serialize.swift:137, deserialize.swift:63), colliding chunk
+  streams >= 320 with low ids against conformant peers.
+* third: a standalone type-3 header's extended field repeats the
+  preceding header's DELTA (what FFmpeg's presence heuristic expects),
+  not the absolute timestamp.
 * extended timestamps (>= 0xFFFFFF) in headers and type-3 continuations.
 * payload re-chunking every ``out_chunk_size`` bytes with type-3 headers
   (serialize.swift:149-177).
@@ -124,7 +131,12 @@ def _basic_header(csid: int, fmt: int) -> bytes:
         return bytes([(csid & 0x3F) | ((fmt & 0x3) << 6)])
     if csid < 256 + 64:
         return bytes([(fmt & 0x3) << 6, csid - 64])
-    return bytes([((fmt & 0x3) << 6) | 1]) + struct.pack("<H", csid & 0xFFFF)
+    # 3-byte form carries csid - 64 (spec §5.3.1.1); documented deviation:
+    # the reference omits the bias in this form only (serialize.swift:137,
+    # deserialize.swift:63), mis-addressing chunk streams >= 320 against
+    # conformant peers
+    return bytes([((fmt & 0x3) << 6) | 1]) + struct.pack("<H",
+                                                         (csid - 64) & 0xFFFF)
 
 
 class _OutState:
@@ -248,7 +260,12 @@ class ChunkSerializer:
         prev = self._prev[chunk.chunk_stream_id]
         ext = prev.extended
         header = _basic_header(chunk.chunk_stream_id, 3)
-        ts_full = chunk.timestamp % 0x100000000
+        # a standalone type-3 repeats the PRECEDING header, whose extended
+        # field carried the delta (type-3 selection requires a prior
+        # type-1/2 with the same delta) — peers like FFmpeg sniff those 4
+        # bytes against the last extended value to decide the field is
+        # present, so the absolute timestamp here would desync them
+        ts_full = chunk.timestamp_delta % 0x100000000
         if ext:
             header += struct.pack(">I", ts_full)
         self._store(chunk, False, ext)
@@ -409,7 +426,7 @@ class ChunkDeserializer:
         elif csid == 1:
             if avail < 3:
                 return None, 0
-            csid = struct.unpack_from("<H", buf, pos0 + 1)[0]
+            csid = struct.unpack_from("<H", buf, pos0 + 1)[0] + 64
             pos = 3
         prev = self._partial.get(csid)
         parser = (self._chunk0, self._chunk1, self._chunk2, self._chunk3)[fmt]

@@ -240,16 +240,22 @@ class Rtmp:
         else:
             endpoint = RtmpSubscriber(self.clock, conn, core)
             pub, sub = None, endpoint
-        state["endpoint"] = endpoint
+        # state["endpoint"] stays None until the permission hook approves:
+        # samples arriving while the hook awaits keep buffering into
+        # state["pending"], so (a) nothing is dispatched for a connection
+        # the hook may reject, and (b) the pending flush below cannot be
+        # overtaken by newer samples (config/keyframe after later frames)
         allowed = True
         if self.on_connection is not None:
             allowed = await self.on_connection(pub, sub)
         if not allowed:
+            state.pop("pending", None)
             conn.close()
             return
         conn.write(core.publish_start_bytes())
         if sub is not None and state.get("pending"):
             sub.dispatch(state.pop("pending"))
+        state["endpoint"] = endpoint
 
     async def close(self) -> None:
         if self._server is not None:

@@ -128,7 +128,9 @@ class RtmpSessionCore:
                 break
             try:
                 msg_out, msg_samples = self._handle_chunk(chunk)
-            except (ValueError, IndexError, struct.error) as exc:
+            except (ValueError, IndexError, TypeError, struct.error) as exc:
+                # TypeError: AMF payloads are attacker-typed (e.g. a null
+                # transaction id reaching int()) — contain like the rest
                 self.errors.append(f"malformed msg 0x{chunk.msg_type:x}: {exc}")
                 continue
             out += msg_out
@@ -182,7 +184,13 @@ class RtmpSessionCore:
 
     def _handle_chunk_size(self, chunk: Chunk):
         if len(chunk.data) >= 4:
-            self.deserializer.set_chunk_size(struct.unpack(">I", chunk.data[:4])[0])
+            size = struct.unpack(">I", chunk.data[:4])[0]
+            # spec 5.4.1: high bit 0, valid range 1..0x7FFFFFFF — a zero
+            # (or high-bit) size would desync the parser into per-byte
+            # garbage, so reject instead of applying
+            if not 1 <= size <= 0x7FFFFFFF:
+                raise ValueError(f"invalid SetChunkSize {size}")
+            self.deserializer.set_chunk_size(size)
         return b"", []
 
     # --- media (states.swift:198-248) --------------------------------------
@@ -192,6 +200,12 @@ class RtmpSessionCore:
             return b"", []
         if data[0] & 0x80:
             return self._handle_video_ex(chunk)
+        if data[0] & 0x0F != 7:
+            # legacy FLV tag for a non-AVC codec (Sorenson/Screen/VP6):
+            # parsing its payload as an AVC cts+body would hand decoders
+            # garbage labeled avc — ignore the stream instead.  (The
+            # reference assumes avc unconditionally, states.swift:198-223.)
+            return b"", []
         is_config = data[1] == 0
         if is_config and len(data) > 4:
             self.ctx.side_data["videoConfig"] = data[5:]
@@ -260,6 +274,10 @@ class RtmpSessionCore:
             return b"", []
         if (data[0] >> 4) == 9:
             return self._handle_audio_ex(chunk)
+        if (data[0] >> 4) != 10:
+            # legacy FLV sound formats other than AAC (MP3/ADPCM/Speex...)
+            # have no AACPacketType byte — ignore rather than mislabel
+            return b"", []
         is_config = data[1] == 0
         if is_config:
             self.ctx.side_data["audioConfig"] = data[2:]

@@ -245,3 +245,41 @@ def test_flat_keeps_partial_successes():
     assert box.is_just() and box.value() == [10, 20]
     allbad = lifted.apply(EventBox.just([-1, -2]))
     assert allbad.is_error()
+
+
+def test_synthetic_source_resume_after_stop():
+    """play() after stop() rebases the pacing epoch: a source stopped at
+    t=60s must resume emitting immediately, not after 60s of silence;
+    frames scheduled before stop() must not fire after it."""
+    from swiftvideo_tpu.codec.file_source import SyntheticSource
+    from swiftvideo_tpu.core import EventBox, StepClock, TimePoint, Tx
+
+    clock = StepClock(TimePoint(100, 1000))    # 100 ms steps
+    mk = CodedMediaSample(
+        buffer=b"x", pts_value=TimePoint(0, 1000),
+        dts_value=TimePoint(0, 1000), media_type=MediaType.video,
+        media_format=MediaFormat.uncompressed)
+    src = SyntheticSource(clock, lambda i: mk,
+                          frame_duration=TimePoint(100, 1000))
+    got = []
+    keep = src >> Tx(lambda s: (got.append(s.pts()),
+                                EventBox.nothing(None))[1])
+    src.play()
+    for _ in range(30):                        # 3 s of playback
+        clock.step()
+    n_before = len(got)
+    assert n_before >= 25
+    src.stop()
+    for _ in range(10):
+        clock.step()
+    n_stopped = len(got)
+    # scheduled-but-unfired frames must not leak after stop (the 250 ms
+    # emit-ahead may fire at most a couple already-due ones)
+    assert n_stopped - n_before <= 1
+    src.play()
+    for _ in range(10):                        # 1 s after resume
+        clock.step()
+    assert len(got) - n_stopped >= 8, "resume did not emit promptly"
+    # pts remain strictly monotonic across the stop/resume boundary
+    assert all(b > a for a, b in zip(got, got[1:]))
+    del keep

@@ -285,3 +285,26 @@ def test_scene_composition_roundtrip_tuples():
     got = back.scenes[0].elements[0].initial_state
     assert got == st
     hash(got)                              # frozen dataclass stays hashable
+
+
+def test_keyframe_avc_sei_led_idr():
+    """x264's first access unit is [SEI, IDR] in AVCC framing: the
+    keyframe check must walk to the first VCL NAL (the reference's
+    first-NAL-only check gates out the whole first GOP)."""
+    from swiftvideo_tpu.media.coded import is_keyframe
+
+    def avcc(*nals):
+        return b"".join(len(n).to_bytes(4, "big") + n for n in nals)
+
+    def coded(buf):
+        return CodedMediaSample(
+            buffer=buf, pts_value=TimePoint(0, 1), dts_value=TimePoint(0, 1),
+            media_type=MediaType.video, media_format=MediaFormat.avc)
+
+    sei = b"\x06\x05\x10" + bytes(16)
+    idr = b"\x65" + bytes(8)
+    inter = b"\x41" + bytes(8)
+    assert is_keyframe(coded(avcc(sei, idr)))
+    assert not is_keyframe(coded(avcc(sei, inter)))
+    assert is_keyframe(coded(avcc(idr)))
+    assert not is_keyframe(coded(avcc(sei)))          # no VCL NAL at all

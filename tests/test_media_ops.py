@@ -326,3 +326,18 @@ def test_segmenter_f64_planar():
     assert all(np.asarray(s.data()[0]).size == 960 for s in out)
     cat = np.concatenate([np.asarray(s.data()[0]) for s in out])
     assert np.array_equal(cat, ramp[:cat.size])
+
+
+def test_repeater_single_armed_timer():
+    """The repeater keeps ONE armed clock callback regardless of input
+    rate (arming per received sample floods the clock queue at frame
+    rate x source count in a composer wall)."""
+    clock = StepClock(TimePoint(1000, 30000))
+    rep = Repeater(clock, TimePoint(500, 1000))      # 500 ms hold
+    got = []
+    chain = rep >> Tx(lambda s: (got.append(s), EventBox.just(s))[1])
+    for i in range(100):                             # 30 fps input
+        chain(f"frame{i}")
+        clock.step()
+        assert len(clock._scheduled) <= 1, len(clock._scheduled)
+    assert len(got) == 100                           # passthrough intact

@@ -620,3 +620,118 @@ def test_enhanced_rtmp_metadata_codec_ids():
     assert meta["videocodecid"] == "hvc1"
     assert meta["audiocodecid"] == "Opus"
     assert meta["width"] == 1920.0
+
+
+# --- round-4 interop corrections ---------------------------------------------
+
+
+def test_three_byte_csid_bias_spec_vector():
+    """Spec 5.3.1.1: the 3-byte basic-header form carries csid - 64.  A
+    conformant peer encoding chunk stream 70 as (fmt|1, 6, 0) must NOT
+    collide with chunk stream 6 (the reference has this bug,
+    serialize.swift:137 / deserialize.swift:63)."""
+    ser = ChunkSerializer(out_chunk_size=4096)
+    for csid in (320, 5000, 65599):
+        wire = ser.serialize(Chunk(
+            msg_stream_id=1, msg_length=3, msg_type=9, chunk_stream_id=csid,
+            timestamp=16, timestamp_delta=16, data=b"abc"))
+        assert wire[0] & 0x3F == 1
+        assert int.from_bytes(wire[1:3], "little") == csid - 64
+        for native in (True, False):
+            d = ChunkDeserializer(in_chunk_size=4096, native=native)
+            out = d.feed(wire)
+            assert len(out) == 1 and out[0].chunk_stream_id == csid
+    # hand-built conformant peer bytes: fmt0, 3-byte csid 70, ts 0, len 1
+    wire = bytes([0x01, 6, 0]) + b"\x00\x00\x00" + b"\x00\x00\x01" \
+        + bytes([9]) + b"\x01\x00\x00\x00" + b"x"
+    for native in (True, False):
+        d = ChunkDeserializer(native=native)
+        out = d.feed(wire)
+        assert len(out) == 1 and out[0].chunk_stream_id == 70, f"{native=}"
+
+
+def test_type3_extended_field_carries_delta():
+    """A standalone type-3 with the extended flag must repeat the
+    preceding header's DELTA (FFmpeg sniffs those 4 bytes against the
+    last extended value), not the absolute timestamp.  The selection
+    rules (2 s type-0 forcing) make this unreachable through
+    serialize() today, so drive _chunk3 directly after priming the
+    per-stream state with an extended type-1."""
+    big = 0x1000000                       # delta >= 0xFFFFFF -> extended
+    ser = ChunkSerializer(out_chunk_size=4096)
+    first = Chunk(msg_stream_id=1, msg_length=2, msg_type=9,
+                  chunk_stream_id=6, timestamp=big, timestamp_delta=big,
+                  data=b"ab")
+    ser.serialize(first)                  # type 0 (no prev)
+    w1 = ser._chunk1(first.changing(timestamp=2 * big))
+    assert int.from_bytes(w1[8:12], "big") == big  # ext delta after 7B hdr
+    w3 = ser._chunk3(first.changing(timestamp=3 * big))
+    assert (w3[0] & 0xC0) >> 6 == 3
+    assert int.from_bytes(w3[1:5], "big") == big, "ext field must be delta"
+    # a conformant receiver advances by the repeated delta
+    d = ChunkDeserializer(in_chunk_size=4096)
+    w0 = ChunkSerializer(out_chunk_size=4096).serialize(first)
+    out = d.feed(w0 + w1 + w3)
+    assert [c.timestamp for c in out] == [big, 2 * big, 3 * big]
+
+
+def test_set_chunk_size_zero_contained():
+    """SetChunkSize 0 (or high-bit) would desync the parser into per-byte
+    garbage; the session must record a malformed-message error and stay
+    alive rather than applying it."""
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+
+    clock = StepClock(TimePoint(16, 1000))
+    core = RtmpSessionCore(is_server=True, asset_id="a", clock=clock)
+    core._hs_state = "established"
+    ser = ChunkSerializer(out_chunk_size=128)
+    import struct as _s
+    for bad in (0, 0x80000000):
+        wire = ser.serialize(Chunk(
+            msg_stream_id=0, msg_length=4, msg_type=1, chunk_stream_id=2,
+            timestamp=0, data=_s.pack(">I", bad)))
+        core.feed(wire)
+    assert len(core.errors) == 2 and not core.fatal
+    assert core.deserializer.in_chunk_size == 128
+
+
+def test_legacy_non_avc_video_and_non_aac_audio_ignored():
+    """Legacy FLV tags for VP6 video (codec id 4) and MP3 audio (sound
+    format 2) have no AVC cts / AAC packet-type fields; they must be
+    ignored, not parsed as avc/aac garbage."""
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+
+    clock = StepClock(TimePoint(16, 1000))
+    core = RtmpSessionCore(is_server=True, asset_id="a", clock=clock)
+    core._hs_state = "established"
+    ser = ChunkSerializer(out_chunk_size=4096)
+    vp6 = bytes([0x14, 0x00]) + bytes(20)       # keyframe|codec4, then data
+    mp3 = bytes([0x2F, 0x00]) + bytes(20)       # format 2, stereo
+    wire = ser.serialize(Chunk(
+        msg_stream_id=1, msg_length=len(vp6), msg_type=9,
+        chunk_stream_id=6, timestamp=0, data=vp6))
+    wire += ser.serialize(Chunk(
+        msg_stream_id=1, msg_length=len(mp3), msg_type=8,
+        chunk_stream_id=4, timestamp=0, data=mp3))
+    _out, samples = core.feed(wire)
+    assert samples == [] and not core.errors
+    assert "videoConfig" not in core.ctx.side_data
+    assert "audioConfig" not in core.ctx.side_data
+
+
+def test_null_transaction_id_contained():
+    """AMF payloads are attacker-typed: a null transaction id reaching
+    int() raised TypeError past feed()'s containment."""
+    from swiftvideo_tpu.net.rtmp import amf
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+
+    clock = StepClock(TimePoint(16, 1000))
+    core = RtmpSessionCore(is_server=False, asset_id="a", clock=clock)
+    core._hs_state = "established"
+    payload = amf.serialize(["_result", None])
+    ser = ChunkSerializer(out_chunk_size=4096)
+    wire = ser.serialize(Chunk(
+        msg_stream_id=0, msg_length=len(payload), msg_type=0x14,
+        chunk_stream_id=3, timestamp=0, data=payload))
+    core.feed(wire)
+    assert any("malformed" in e for e in core.errors) and not core.fatal

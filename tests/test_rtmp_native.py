@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(not native_available(),
                                 reason="libsvrtmp.so not available")
 
 
-def _random_messages(rng, count, csids=(4, 6, 300), big_ts=False):
+def _random_messages(rng, count, csids=(4, 6, 300, 5000), big_ts=False):
     msgs, ts = [], 0
     for _ in range(count):
         ts += rng.choice([0, 16, 16, 33, 1000,
