@@ -69,6 +69,10 @@ class VideoMixer(Source):
         self._samples: List[Dict[str, PictureSample]] = [{}, {}]
         self._lock = threading.RLock()
         self._closed = False
+        # ingest-pad cache for the fused pallas path: repeated sources
+        # (Repeater holds, static overlays) skip the pad dispatch and the
+        # host->device upload on every tick (ops/pallas_frame.PadCache)
+        self._pad_cache = None
 
         def digest(pic: PictureSample) -> EventBox:
             if pic.asset_id() != self.id_asset:
@@ -141,10 +145,16 @@ class VideoMixer(Source):
                     # (ops/pallas_frame.py); None when ineligible.
                     # Biplanar targets interleave chroma in the runner's
                     # epilogue (kernels.cl.swift:47-109).
-                    from ..ops.pallas_frame import composite_frame_pallas
+                    from ..ops.pallas_frame import (PadCache,
+                                                    composite_frame_pallas)
+                    if self._pad_cache is None:
+                        self._pad_cache = PadCache()
+                    self._pad_cache.begin_tick()
                     planes = composite_frame_pallas(
                         self.output_size, sources,
-                        out_fmt=self.output_format)
+                        out_fmt=self.output_format,
+                        pad_cache=self._pad_cache)
+                    self._pad_cache.end_tick()
                 if planes is None:
                     planes = composite.composite_stack_batched_boxed(
                         self.output_size, sources) \

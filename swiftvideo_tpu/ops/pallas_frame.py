@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache, partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -707,13 +707,98 @@ def _runner_A(size, in_shape, n, bh, bw, hp, wp, hpc, wpc,
     return jax.jit(run)
 
 
+@lru_cache(maxsize=64)
+def _pad_runner(hp: int, wp: int, hpc: int, wpc: int, padt: int,
+                pgrps, has1: bool):
+    """Jitted ingest-pad: stacked raw planes -> the padded kernel layouts
+    (one device dispatch).  Split out of the fused runner so PadCache can
+    amortize it across ticks — the pad is pure data movement (~30 MB HBM
+    round-trip at 4x1080p) that the reference never pays at all (hardware
+    clamp-to-edge samplers, kernels.cl.swift:61)."""
+    geom = {"hp": hp, "wp": wp, "hpc": hpc, "wpc": wpc, "padt": padt,
+            "pgrps": tuple(pgrps), "has1": has1}
+    return jax.jit(lambda ys, us, vs: pad_sources(ys, us, vs, geom))
+
+
+@lru_cache(maxsize=64)
+def _runner_A_pre(size, in_shape, n, bh, bw, hp, wp, hpc, wpc,
+                  pys, padt, pgrps, has1, ww, chained, interpret,
+                  out_fmt="y420p"):
+    """Kernel-only twin of ``_runner_A``: consumes the INGEST-PADDED
+    layouts (``pad_sources`` output, cached across ticks by PadCache)
+    instead of raw planes.  Per-tick cost drops to exactly one HBM read
+    per source plane + one target write — the clamp-to-edge-sampler
+    equivalence the reference's GPU path gets for free."""
+    w, h = size
+    if isinstance(pgrps, int):           # legacy single-class callers
+        pgrps = (pgrps,) if pgrps else ()
+    prog = _frame_program(h, w, in_shape[0], in_shape[1], n, bh, bw, hp,
+                          wp, hpc, wpc, tuple(pgrps), has1, ww, chained,
+                          interpret)
+
+    def run(packed, offs, jranges, *arrs_cur):
+        ipar, fpar = frame_params(packed, offs, jranges, size, in_shape,
+                                  pys, padt)
+        return _interleave_chroma(prog(ipar, fpar, *arrs_cur), out_fmt)
+
+    return jax.jit(run)
+
+
+class PadCache:
+    """Identity-keyed cache of ingest-padded source layouts.
+
+    A composition tick usually repeats most of its sources (the Repeater
+    re-emits the previous PictureSample when a 30 fps source feeds a
+    60 fps mix; logos/backgrounds never change), and repeated samples
+    carry the SAME plane objects.  Caching the padded layouts per
+    (geometry, plane identities) skips both the pad dispatch and — for
+    host-resident planes — the whole host->device transfer on every
+    repeated tick.  Entries hold strong references to the plane objects,
+    so an id() can never be recycled while its key is alive; eviction is
+    generational (anything untouched for a full tick dies with
+    ``end_tick``), which bounds the cache at ~2 ticks of sources."""
+
+    def __init__(self) -> None:
+        self._entries = {}
+        self._touched: set = set()
+        self.hits = 0
+        self.misses = 0
+
+    def begin_tick(self) -> None:
+        self._touched = set()
+
+    def end_tick(self) -> None:
+        for k in [k for k in self._entries if k not in self._touched]:
+            del self._entries[k]
+
+    def get(self, key, planes):
+        e = self._entries.get(key)
+        if e is not None and len(e[0]) == len(planes) and \
+                all(a is b for a, b in zip(e[0], planes)):
+            self._touched.add(key)
+            self.hits += 1
+            return e[1]
+        self.misses += 1
+        return None
+
+    def put(self, key, planes, arrs) -> None:
+        self._entries[key] = (tuple(planes), arrs)
+        self._touched.add(key)
+
+
 def composite_frame_pallas(size: Tuple[int, int], sources,
-                           interpret: bool = False, out_fmt=None):
+                           interpret: bool = False, out_fmt=None,
+                           pad_cache: Optional[PadCache] = None):
     """Full-frame fused composite.  ``sources``: [(planes, fmt, uniforms)]
     like golden.composite_stack.  ``out_fmt``: y420p (default), nv12 or
     nv21 — biplanar targets interleave chroma in the final runner's
-    epilogue (kernels.cl.swift:47-109 img_*_nv12).  Returns (y, cb, cr)
-    or (y, uv) u8, or None if ineligible (caller falls back to XLA)."""
+    epilogue (kernels.cl.swift:47-109 img_*_nv12).  ``pad_cache``: a
+    PadCache owned by the caller (the VideoMixer) — planar-yuv runs then
+    split into ingest-pad + kernel-only dispatches so repeated sources
+    skip the pad (and its upload) entirely; None keeps the single fused
+    dispatch (the right shape for jit-traced callers and high-latency
+    dispatch links).  Returns (y, cb, cr) or (y, uv) u8, or None if
+    ineligible (caller falls back to XLA)."""
     from ..media.pixel import PixelFormat as PF
     out_name = "y420p" if out_fmt is None else \
         (out_fmt if isinstance(out_fmt, str) else out_fmt.value)
@@ -870,6 +955,39 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         jr_a = np.asarray(geom["jranges"], np.int32)
         extra = tuple(cur) if chained else ()
         if family == "A":
+            arrs = None
+            if pad_cache is not None:
+                # ingest-pad split: cached padded layouts per (geometry,
+                # plane identities) — repeated sources (Repeater holds,
+                # static overlays) skip pad AND upload on every tick
+                geom_sig = (geom["hp"], geom["wp"], geom["hpc"],
+                            geom["wpc"], geom["padt"],
+                            tuple(geom["pgrps"]), geom["has1"])
+                group_planes = [p for s, _, _ in group for p in s[:3]]
+                key = (geom_sig, tuple(id(p) for p in group_planes))
+                arrs = pad_cache.get(key, group_planes)
+                if arrs is None:
+                    ys = hstack([s[0] for s, _, _ in group])
+                    us = hstack([s[1] for s, _, _ in group])
+                    vs = hstack([s[2] for s, _, _ in group])
+                    if interpret:   # CPU tests: plain (unjitted) pad
+                        arrs = pad_sources(jnp.asarray(ys), jnp.asarray(us),
+                                           jnp.asarray(vs),
+                                           dict(zip(("hp", "wp", "hpc",
+                                                     "wpc", "padt", "pgrps",
+                                                     "has1"), geom_sig)))
+                    else:
+                        arrs = _pad_runner(*geom_sig)(ys, us, vs)
+                    pad_cache.put(key, group_planes, arrs)
+                run = _runner_A_pre(size, shape, len(group), geom["bh"],
+                                    geom["bw"], geom["hp"], geom["wp"],
+                                    geom["hpc"], geom["wpc"], geom["pys"],
+                                    geom["padt"], geom["pgrps"],
+                                    geom["has1"], geom["ww"], chained,
+                                    interpret, last_fmt)
+                cur = run(packed_a, offs_a, jr_a, *(tuple(arrs) + extra))
+                emitted = last_fmt
+                continue
             ys = hstack([s[0] for s, _, _ in group])
             us = hstack([s[1] for s, _, _ in group])
             vs = hstack([s[2] for s, _, _ in group])

@@ -545,3 +545,141 @@ def test_frame_mixed_class_vmem_decline_splits(monkeypatch):
     ref = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
     for o, r in zip(out, ref):
         assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_frame_pad_cache_hits_and_parity(monkeypatch):
+    """Ingest-pad split (PadCache): identical output to the fused path,
+    pad computed once for repeated plane objects, stale entries evicted.
+    Production shape: the Repeater re-emits the same PictureSample (same
+    plane objects) when a source is slower than the mix rate."""
+    import swiftvideo_tpu.ops.pallas_frame as pf
+
+    W, H = 768, 512
+    srcs = []
+    for s in range(3):
+        u = rect_uniforms((W, H), (W, H), x=(s % 2) * 384 + 3.3,
+                          y=(s // 2) * 256 + 2.7, w=W / 2, h=H / 2,
+                          opacity=0.9, fill_color=(0.1, 0.2, 0.3, 0.5)).pack()
+        srcs.append((_planes(H, W, 90 + s), PixelFormat.y420p, u))
+
+    ref = composite_frame_pallas((W, H), srcs, interpret=True)
+    pads = []
+    real_pad = pf.pad_sources
+
+    def spy_pad(*a, **k):
+        pads.append(1)
+        return real_pad(*a, **k)
+
+    monkeypatch.setattr(pf, "pad_sources", spy_pad)
+    cache = pf.PadCache()
+
+    # tick 1: cold — pads once, matches the fused path exactly
+    cache.begin_tick()
+    out1 = composite_frame_pallas((W, H), srcs, interpret=True,
+                                  pad_cache=cache)
+    cache.end_tick()
+    assert cache.misses == 1 and cache.hits == 0
+    n_pads_cold = len(pads)
+    assert n_pads_cold >= 1
+    for o, r in zip(out1, ref):
+        assert np.array_equal(np.asarray(o), np.asarray(r))
+
+    # tick 2: same plane objects (Repeater hold) — no new pad
+    cache.begin_tick()
+    out2 = composite_frame_pallas((W, H), srcs, interpret=True,
+                                  pad_cache=cache)
+    cache.end_tick()
+    assert cache.hits == 1
+    assert len(pads) == n_pads_cold
+    for o, r in zip(out2, ref):
+        assert np.array_equal(np.asarray(o), np.asarray(r))
+
+    # tick 3: one source gets a FRESH frame -> re-pad, old entry evicted
+    srcs2 = list(srcs)
+    srcs2[1] = (_planes(H, W, 99), srcs[1][1], srcs[1][2])
+    cache.begin_tick()
+    out3 = composite_frame_pallas((W, H), srcs2, interpret=True,
+                                  pad_cache=cache)
+    cache.end_tick()
+    assert len(pads) > n_pads_cold
+    assert len(cache._entries) == 1        # stale key evicted
+    ref3 = golden.composite_stack(PixelFormat.y420p, (W, H), srcs2)
+    for o, r in zip(out3, ref3):
+        assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_frame_pad_cache_animated_uniforms_still_hit():
+    """Animated transforms (position moves inside the same geometry
+    bucket) must NOT invalidate the pad cache: the pad depends only on
+    the padded-layout geometry, never on the exact uniforms.  (A
+    vertical pan crossing a 16-row geometry step re-pads once at the
+    crossing — the designed granularity; x pans never re-pad.)"""
+    import swiftvideo_tpu.ops.pallas_frame as pf
+
+    W, H = 768, 512
+    planes = _planes(H, W, 70)
+    cache = pf.PadCache()
+    outs = []
+    for step in range(3):
+        u = rect_uniforms((W, H), (W, H), x=10.0 + step * 37.7,
+                          y=20.0, w=W / 2, h=H / 2,
+                          opacity=0.9).pack()
+        srcs = [(planes, PixelFormat.y420p, u)]
+        cache.begin_tick()
+        outs.append(composite_frame_pallas((W, H), srcs, interpret=True,
+                                           pad_cache=cache))
+        cache.end_tick()
+        ref = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
+        for o, r in zip(outs[-1], ref):
+            assert np.abs(np.asarray(o).astype(int)
+                          - r.astype(int)).max() <= 1
+    assert cache.misses == 1 and cache.hits == 2
+
+
+def test_video_mixer_uses_pad_cache(monkeypatch):
+    """The VideoMixer's device path owns a PadCache and repeated samples
+    (the two-generation hold / Repeater re-emits) hit it — interpret-mode
+    pallas substituted for the TPU kernel."""
+    import swiftvideo_tpu.mix.video_mixer as vm
+    import swiftvideo_tpu.ops.pallas_frame as pf
+    from swiftvideo_tpu.core import EventBox, StepClock, Tx, TimePoint
+    from swiftvideo_tpu.media import create_picture_sample
+    from swiftvideo_tpu.utils import matrix as m4
+
+    seen = {"caches": []}
+    real = pf.composite_frame_pallas
+
+    def fake_pallas(size, sources, interpret=False, out_fmt=None,
+                    pad_cache=None):
+        seen["caches"].append(pad_cache)
+        return real(size, sources, interpret=True, out_fmt=out_fmt,
+                    pad_cache=pad_cache)
+
+    monkeypatch.setattr(pf, "composite_frame_pallas", fake_pallas)
+    monkeypatch.setattr(vm, "_on_tpu", lambda: True)
+
+    W, H = 256, 128
+    frame = TimePoint(1000, 30000)
+    clock = StepClock(frame)
+    mixer = vm.VideoMixer(clock, workspace_id="w", frame_duration=frame,
+                          output_size=(W, H),
+                          output_format=PixelFormat.y420p)
+    frames = []
+    _pipe = mixer >> Tx(lambda s: (frames.append(s), EventBox.just(s))[1])
+
+    src = create_picture_sample((W, H), PixelFormat.y420p, asset_id="cam",
+                                workspace_id="w")
+    src.planes()[0][:] = 200
+    proj = m4.ortho(W, H)
+    model = proj @ m4.translation(0, 0, 0) @ m4.scale(W, H)
+    src = src.with_(matrix=model, revision="r1")
+
+    for _ in range(3):                 # same object == Repeater hold
+        mixer.apply(EventBox.just(src))
+        clock.step()
+    assert len(frames) == 3
+    cache = seen["caches"][-1]
+    assert cache is not None and cache.hits >= 2
+    assert cache.misses == 1
+    y = np.asarray(frames[-1].planes()[0])
+    assert abs(int(y[H // 2, W // 2]) - 200) <= 1

@@ -373,3 +373,37 @@ def test_audio_device_mix_windowed_exact_hardware():
     dev = np.asarray(mix_s16_device_windowed(inputs, gains, starts, ends,
                                              base=host))
     assert np.array_equal(expect, dev)
+
+
+def test_frame_pad_cache_on_hardware():
+    """Ingest-padded (PadCache) path on the chip: bit-identical to the
+    fused path across repeated and refreshed ticks (the production
+    VideoMixer flow; ops/pallas_frame.PadCache)."""
+    from swiftvideo_tpu.ops.pallas_frame import (PadCache,
+                                                 composite_frame_pallas)
+    W, H = 1920, 1080
+    srcs = []
+    for s in range(4):
+        u = rect_uniforms((W, H), (W, H), x=(s % 2) * 950 + 3.3,
+                          y=(s // 2) * 530 + 2.7, w=W / 2, h=H / 2,
+                          opacity=0.9, fill_color=(0.1, 0.2, 0.3, 0.5))
+        srcs.append((_planes(PixelFormat.y420p, (W, H), 140 + s),
+                     PixelFormat.y420p, u.pack()))
+    fused = composite_frame_pallas((W, H), srcs)
+    assert fused is not None
+    cache = PadCache()
+    for tick in range(2):              # cold, then repeated (cache hit)
+        cache.begin_tick()
+        out = composite_frame_pallas((W, H), srcs, pad_cache=cache)
+        cache.end_tick()
+        assert out is not None
+        _assert_parity(out, fused, f"pad-cache-tick{tick}", tol=0)
+    assert cache.hits == 1 and cache.misses == 1
+    # refreshed source -> re-pad, still exact
+    srcs[2] = (_planes(PixelFormat.y420p, (W, H), 150), PixelFormat.y420p,
+               srcs[2][2])
+    ref = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
+    cache.begin_tick()
+    out = composite_frame_pallas((W, H), srcs, pad_cache=cache)
+    cache.end_tick()
+    _assert_parity(out, ref, "pad-cache-refresh")
