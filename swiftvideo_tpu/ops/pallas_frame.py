@@ -998,6 +998,31 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
                             geom["ww"], chained, interpret, last_fmt)
             cur = run(packed_a, offs_a, jr_a, ys, us, vs, *extra)
         else:
+            if pad_cache is not None:
+                is_bgra = fmt == PF2.BGRA
+                geom_sig_b = ("B", geom["hp"], geom["wp"], geom["padt"],
+                              is_bgra)
+                group_planes = [s[0] for s, _, _ in group]
+                key = (geom_sig_b, tuple(id(p) for p in group_planes))
+                arrs = pad_cache.get(key, group_planes)
+                if arrs is None:
+                    rgba = hstack(group_planes)
+                    if interpret:
+                        arrs = pad_sources_rgba(jnp.asarray(rgba), fmt,
+                                                geom)
+                    else:
+                        arrs = _pad_runner_B(geom["hp"], geom["wp"],
+                                             geom["padt"], is_bgra)(rgba)
+                    pad_cache.put(key, group_planes, arrs)
+                run = _runner_B_pre(size, shape[:2], len(group),
+                                    geom["bh"], geom["bw"], geom["hp"],
+                                    geom["wp"], geom["padt"], geom["ww"],
+                                    geom["wwc"], chained, interpret,
+                                    last_fmt)
+                cur = run(packed_a, offs_a, jr_a,
+                          *(tuple(arrs) + extra))
+                emitted = last_fmt
+                continue
             rgba = hstack([s[0] for s, _, _ in group])
             run = _runner_B(size, shape[:2], fmt == PF2.BGRA, len(group),
                             geom["bh"], geom["bw"], geom["hp"],
@@ -1383,6 +1408,34 @@ def _runner_B(size, in_shape, fmt_is_bgra, n, bh, bw, hp, wp, padt,
         arrs = pad_sources_rgba(rgba, fmt, geom)
         return _interleave_chroma(
             prog(ipar, fpar, *(tuple(arrs) + tuple(cur))), out_fmt)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=64)
+def _pad_runner_B(hp: int, wp: int, padt: int, fmt_is_bgra: bool):
+    """Jitted ingest deinterleave+pad for rgba/bgra overlays (PadCache
+    twin of _pad_runner) — text/logo overlays repeat across nearly every
+    tick, so this work (and the upload) amortizes to ~zero."""
+    from ..media.pixel import PixelFormat as PF
+    geom = {"hp": hp, "wp": wp, "padt": padt}
+    fmt = PF.BGRA if fmt_is_bgra else PF.RGBA
+    return jax.jit(lambda rgba: pad_sources_rgba(rgba, fmt, geom))
+
+
+@lru_cache(maxsize=64)
+def _runner_B_pre(size, in_shape, n, bh, bw, hp, wp, padt,
+                  ww, wwc, chained, interpret, out_fmt="y420p"):
+    """Kernel-only twin of ``_runner_B`` over ingest-padded planar
+    layouts (see _runner_A_pre)."""
+    w, h = size
+    prog = _frame_program_rgba(h, w, in_shape[0], in_shape[1], n, bh, bw,
+                               hp, wp, ww, wwc, chained, interpret)
+
+    def run(packed, offs, jranges, *arrs_cur):
+        ipar, fpar = frame_params_rgba(packed, offs, jranges, size,
+                                       in_shape, padt)
+        return _interleave_chroma(prog(ipar, fpar, *arrs_cur), out_fmt)
 
     return jax.jit(run)
 

@@ -683,3 +683,51 @@ def test_video_mixer_uses_pad_cache(monkeypatch):
     assert cache.misses == 1
     y = np.asarray(frames[-1].planes()[0])
     assert abs(int(y[H // 2, W // 2]) - 200) <= 1
+
+
+def test_frame_pad_cache_rgba_overlay(monkeypatch):
+    """Family-B PadCache: a repeated rgba overlay (text/logo — the
+    most-repeated source kind) skips its deinterleave+pad; exact parity
+    with the fused path across repeated and refreshed ticks."""
+    import swiftvideo_tpu.ops.pallas_frame as pf
+
+    W, H = 768, 512
+    bg = _planes(H, W, 75)
+    overlay = _rgba_plane(128, 256, 76)
+    u_bg = rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()
+    u_ov = rect_uniforms((256, 128), (W, H), x=100.3, y=60.7, w=256,
+                         h=128, opacity=0.9,
+                         fill_color=(0.2, 0.1, 0.5, 0.4)).pack()
+    srcs = [(bg, PixelFormat.y420p, u_bg),
+            (overlay, PixelFormat.RGBA, u_ov)]
+    ref = composite_frame_pallas((W, H), srcs, interpret=True)
+
+    pads_b = []
+    real_pad_b = pf.pad_sources_rgba
+
+    def spy_pad_b(*a, **k):
+        pads_b.append(1)
+        return real_pad_b(*a, **k)
+
+    monkeypatch.setattr(pf, "pad_sources_rgba", spy_pad_b)
+    cache = pf.PadCache()
+    for tick in range(3):
+        cache.begin_tick()
+        out = composite_frame_pallas((W, H), srcs, interpret=True,
+                                     pad_cache=cache)
+        cache.end_tick()
+        for o, r in zip(out, ref):
+            assert np.array_equal(np.asarray(o), np.asarray(r)), tick
+    assert len(pads_b) == 1                # rgba padded exactly once
+    assert cache.hits == 4 and cache.misses == 2  # A run + B run per tick
+
+    # fresh overlay frame -> re-pad only the B run
+    srcs[1] = (_rgba_plane(128, 256, 77), PixelFormat.RGBA, u_ov)
+    cache.begin_tick()
+    out = composite_frame_pallas((W, H), srcs, interpret=True,
+                                 pad_cache=cache)
+    cache.end_tick()
+    assert len(pads_b) == 2
+    ref2 = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
+    for o, r in zip(out, ref2):
+        assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1

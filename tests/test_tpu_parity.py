@@ -407,3 +407,30 @@ def test_frame_pad_cache_on_hardware():
     out = composite_frame_pallas((W, H), srcs, pad_cache=cache)
     cache.end_tick()
     _assert_parity(out, ref, "pad-cache-refresh")
+
+
+def test_frame_pad_cache_rgba_on_hardware():
+    """Family-B ingest-pad (deinterleave+pad cached) on the chip:
+    bit-identical to the fused path for a yuv background + rgba overlay
+    scene across repeated ticks."""
+    from swiftvideo_tpu.ops.pallas_frame import (PadCache,
+                                                 composite_frame_pallas)
+    rng = np.random.default_rng(160)
+    W, H = 1280, 720
+    overlay = [rng.integers(0, 256, (128, 512, 4), np.int64).astype(np.uint8)]
+    srcs = [
+        (_planes(PixelFormat.y420p, (W, H), 161), PixelFormat.y420p,
+         rect_uniforms((W, H), (W, H), x=0, y=0, w=W, h=H).pack()),
+        (overlay, PixelFormat.RGBA,
+         rect_uniforms((512, 128), (W, H), x=100.3, y=60.7, w=512, h=128,
+                       opacity=0.9, fill_color=(0.2, 0.1, 0.5, 0.4)).pack()),
+    ]
+    fused = composite_frame_pallas((W, H), srcs)
+    assert fused is not None
+    cache = PadCache()
+    for tick in range(2):
+        cache.begin_tick()
+        out = composite_frame_pallas((W, H), srcs, pad_cache=cache)
+        cache.end_tick()
+        _assert_parity(out, fused, f"pad-cache-rgba-tick{tick}", tol=0)
+    assert cache.hits == 2 and cache.misses == 2   # A run + B run
