@@ -96,6 +96,14 @@ class Tx(Generic[T, U]):
             if not res.is_just():
                 return res
             produced = [right_tx(v) for v in res.value()]
+            if produced and all(b.is_gone() for b in produced):
+                # beyond reference: |>> compactMaps non-just results away
+                # (bus.swift:326-333), so a producer mapping into a dead
+                # segment never learns it died and pushes forever.  A
+                # fully-gone map propagates gone so the producer
+                # disconnects; mixed results keep the reference's
+                # drop-the-failures semantics.
+                return EventBox.gone()
             return EventBox.just([b.value() for b in produced if b.is_just()])
 
         return Tx(run)
@@ -282,6 +290,7 @@ class Bus(Generic[T]):
         self._lastapply = TimePoint(0, K_FLICK)
         self._fn_digest: Optional[Callable[[List[EventBox[Event]]], None]] = None
         self._lock = threading.RLock()
+        self._flush_scheduled = False
         self.events_in = 0
         self.events_out = 0
 
@@ -316,6 +325,7 @@ class Bus(Generic[T]):
         """Enqueue an event box; dispatch if granularity window has elapsed
         (bus.swift:81-109)."""
         fire = False
+        flush_at = None
         with self._lock:
             self._events.append(box)
             self.events_in += 1
@@ -323,8 +333,17 @@ class Bus(Generic[T]):
             if (now - self._lastapply) >= self._granularity:
                 self._lastapply = now
                 fire = True
+            elif not self._flush_scheduled:
+                # beyond reference: bus.swift:81-109 only flushes on a
+                # LATER append, so a burst's tail stalls in the queue
+                # forever if the producer goes quiet (end of file, scene
+                # hold).  Schedule a clock flush at the window boundary.
+                self._flush_scheduled = True
+                flush_at = self._lastapply + self._granularity
         if fire:
             self.fire_bus_events()
+        elif flush_at is not None:
+            self._clock.schedule(flush_at, self._flush_window)
 
         def digest(sample: T) -> EventBox[ResultEvent]:
             info = sample.info() if isinstance(sample, Event) else None
@@ -332,17 +351,40 @@ class Bus(Generic[T]):
 
         return box.flat_map(digest)
 
+    def _flush_window(self, _evt) -> None:
+        """Clock-scheduled tail flush for granularity batching (see
+        append); re-arms itself if an intervening append reset the
+        window."""
+        flush_at = None
+        with self._lock:
+            self._flush_scheduled = False
+            if not self._events:
+                return
+            now = self._clock.current()
+            if (now - self._lastapply) >= self._granularity:
+                self._lastapply = now
+            else:
+                self._flush_scheduled = True
+                flush_at = self._lastapply + self._granularity
+        if flush_at is not None:
+            self._clock.schedule(flush_at, self._flush_window)
+            return
+        self.fire_bus_events()
+
     def fire_bus_events(self) -> None:
         """Dispatch all queued events to all observers (bus.swift:111-154)."""
         with self._lock:
             evts = self._events
             self._events = []
             observers = list(self._observers)
+            # counted under the lock (the reference counts the dequeued
+            # batch, bus.swift:120); a per-event unlocked increment lost
+            # counts under multi-producer appends
+            self.events_out += len(evts)
         if not evts or not observers:
             return
         results: List[Tuple[EventBox[Event], str]] = []
         for box in evts:
-            self.events_out += 1
             for fn, ident in observers:
                 results.append((box.flat_map(fn) if box.is_just() else box, ident))
         gone = {ident for res, ident in results if res.is_gone()}

@@ -183,6 +183,11 @@ class StepClock:
             for at, fn in pending:
                 (due if at <= cur else keep).append((at, fn))
             self._scheduled.extend(keep)
+        # deadline order (stable), matching WallClock's heap — insertion
+        # order let a later-scheduled earlier deadline run second, so
+        # StepClock-driven tests could observe A/V interleavings the
+        # production clock never produces
+        due.sort(key=lambda e: e[0])
         # run callbacks outside the lock: callbacks commonly re-schedule
         for at, fn in due:
             fn(ClockTickEvent(at, self._asset_id, self._workspace_id))

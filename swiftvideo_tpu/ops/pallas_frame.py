@@ -761,6 +761,7 @@ class PadCache:
     def __init__(self) -> None:
         self._entries = {}
         self._touched: set = set()
+        self._idle_ticks = 0
         self.hits = 0
         self.misses = 0
 
@@ -768,6 +769,19 @@ class PadCache:
         self._touched = set()
 
     def end_tick(self) -> None:
+        if not self._touched:
+            # an ineligible tick (fused fallback / unsupported source
+            # format) never consulted the cache; wiping it here would
+            # force a full re-pad + re-upload of every cruising source
+            # on the next eligible tick.  Keep entries across a short
+            # gap; a few consecutive untouched ticks mean the scene
+            # really changed, so drop everything (bounds retention).
+            self._idle_ticks += 1
+            if self._idle_ticks >= 4:
+                self._entries.clear()
+                self._idle_ticks = 0
+            return
+        self._idle_ticks = 0
         for k in [k for k in self._entries if k not in self._touched]:
             del self._entries[k]
 
@@ -784,6 +798,15 @@ class PadCache:
     def put(self, key, planes, arrs) -> None:
         self._entries[key] = (tuple(planes), arrs)
         self._touched.add(key)
+
+    def get_or_build(self, key, planes, build):
+        """Single cache protocol for both kernel families: hit or
+        build+insert (keeps A/B call sites from drifting apart)."""
+        arrs = self.get(key, planes)
+        if arrs is None:
+            arrs = build()
+            self.put(key, planes, arrs)
+        return arrs
 
 
 def composite_frame_pallas(size: Tuple[int, int], sources,
@@ -812,8 +835,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
     # compatible run when its border rect does not overlap any source
     # between (blending is only order-sensitive where pixels overlap) —
     # this collapses interleaved camera/label stacks from 2N calls to 2
-    def border_rect(u):
-        p64 = np.asarray(golden._packed(u), np.float64)
+    def border_rect(p64):
         eps = 1e-12
         xs = sorted(((q - p64[16]) / (p64[12] + eps) + 1.0) / 2.0 * size[0]
                     for q in (0.0, 1.0))
@@ -825,13 +847,12 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
         return not (a[2] <= b[0] or b[2] <= a[0]
                     or a[3] <= b[1] or b[3] <= a[1])
 
-    def vscale_class(src):
+    def vscale_class(src, p64):
         """Integer vertical scale class: 0 = unity (joins any A-run via
         has1), p in {2,3,4} = that scaled group, -1 = kernel-unsupported
         (rational/rotated — becomes an XLA/warp fold run)."""
         if families[src[1]] != "A":
             return 0
-        p64 = np.asarray(golden._packed(src[2]), np.float64)
         if not golden.is_axis_aligned(p64):
             return -1
         shape = np.shape(src[0][0])     # trace-safe (entry() jits this)
@@ -844,12 +865,14 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
             return -1
         return 0 if py == 1 else py
 
-    runs = []  # [(key, [src...], [rect...], run_ps set)]
+    runs = []  # [(key, [(src, pk, pcls)...], [rect...], run_ps set)]
     for src in sources:
-        pcls = vscale_class(src)
+        pk = golden._packed(src[2])     # pack ONCE per source per tick
+        p64 = np.asarray(pk, np.float64)
+        pcls = vscale_class(src, p64)
         key = (families[src[1]] if pcls >= 0 else "X", src[1],
                tuple(np.shape(src[0][0])))
-        rect = border_rect(src[2])
+        rect = border_rect(p64)
         # the source must execute after everything it overlaps: find the
         # LAST run containing an overlap; any run after it (or that run
         # itself, appending after the overlap) is a valid home.  A-runs
@@ -869,18 +892,19 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
                 target = ri
                 break
         if target is None:
-            runs.append((key, [src], [rect],
+            runs.append((key, [(src, pk, pcls)], [rect],
                          {pcls} if pcls > 0 else set()))
         else:
             _, grp, rects, run_ps = runs[target]
-            grp.append(src)
+            grp.append((src, pk, pcls))
             rects.append(rect)
             if pcls > 0:
                 run_ps.add(pcls)
     runs = [(k, grp) for k, grp, _, _ in runs]
     plan = []
-    for (family, fmt, shape), group in runs:
-        packed = [golden._packed(u) for _, _, u in group]
+    for (family, fmt, shape), members in runs:
+        group = [m[0] for m in members]
+        packed = [m[1] for m in members]
         geom = None
         if family == "A":
             geom = frame_geometry(packed, size, shape)
@@ -890,8 +914,7 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
                 # same-class subsequences — z-order preserved, each
                 # chained single-class call keeps the pallas path
                 subruns = []
-                for src, pk in zip(group, packed):
-                    c = vscale_class(src)
+                for src, pk, c in members:
                     if subruns and subruns[-1][0] == c:
                         subruns[-1][1].append(src)
                         subruns[-1][2].append(pk)
@@ -965,20 +988,20 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
                             tuple(geom["pgrps"]), geom["has1"])
                 group_planes = [p for s, _, _ in group for p in s[:3]]
                 key = (geom_sig, tuple(id(p) for p in group_planes))
-                arrs = pad_cache.get(key, group_planes)
-                if arrs is None:
+
+                def _pad_a():
                     ys = hstack([s[0] for s, _, _ in group])
                     us = hstack([s[1] for s, _, _ in group])
                     vs = hstack([s[2] for s, _, _ in group])
                     if interpret:   # CPU tests: plain (unjitted) pad
-                        arrs = pad_sources(jnp.asarray(ys), jnp.asarray(us),
+                        return pad_sources(jnp.asarray(ys), jnp.asarray(us),
                                            jnp.asarray(vs),
                                            dict(zip(("hp", "wp", "hpc",
                                                      "wpc", "padt", "pgrps",
                                                      "has1"), geom_sig)))
-                    else:
-                        arrs = _pad_runner(*geom_sig)(ys, us, vs)
-                    pad_cache.put(key, group_planes, arrs)
+                    return _pad_runner(*geom_sig)(ys, us, vs)
+
+                arrs = pad_cache.get_or_build(key, group_planes, _pad_a)
                 run = _runner_A_pre(size, shape, len(group), geom["bh"],
                                     geom["bw"], geom["hp"], geom["wp"],
                                     geom["hpc"], geom["wpc"], geom["pys"],
@@ -1004,16 +1027,16 @@ def composite_frame_pallas(size: Tuple[int, int], sources,
                               is_bgra)
                 group_planes = [s[0] for s, _, _ in group]
                 key = (geom_sig_b, tuple(id(p) for p in group_planes))
-                arrs = pad_cache.get(key, group_planes)
-                if arrs is None:
+
+                def _pad_b():
                     rgba = hstack(group_planes)
                     if interpret:
-                        arrs = pad_sources_rgba(jnp.asarray(rgba), fmt,
+                        return pad_sources_rgba(jnp.asarray(rgba), fmt,
                                                 geom)
-                    else:
-                        arrs = _pad_runner_B(geom["hp"], geom["wp"],
-                                             geom["padt"], is_bgra)(rgba)
-                    pad_cache.put(key, group_planes, arrs)
+                    return _pad_runner_B(geom["hp"], geom["wp"],
+                                         geom["padt"], is_bgra)(rgba)
+
+                arrs = pad_cache.get_or_build(key, group_planes, _pad_b)
                 run = _runner_B_pre(size, shape[:2], len(group),
                                     geom["bh"], geom["bw"], geom["hp"],
                                     geom["wp"], geom["padt"], geom["ww"],
@@ -1341,7 +1364,10 @@ def frame_geometry_rgba(packed_list, size, in_shape):
     hp = _ceil_to(max(padt + h_in + 8, need_l, need_c), 16)
     wp = _ceil_to(PADL + w_in + 8, 128)
     ww = 384 if max(g[2] for g in geoms) <= 0.95 else 512
-    wwc = 512 if max(g[2] for g in geoms) <= 0.95 else 512
+    # chroma samples from the 2*wp row-pair layout, where a luma-space
+    # span covers twice the lanes — the small-scale 384 shortcut never
+    # applies, so the chroma window is unconditionally 512
+    wwc = 512
     return {"bh": bh, "bw": bw, "hp": hp, "wp": wp, "ww": ww, "wwc": wwc,
             "offs": offs, "jranges": tuple(jranges), "padt": padt}
 

@@ -148,3 +148,30 @@ def test_async_emit_chain_survives_left_assoc_composition():
     pipeline2 = src2 >> bump >> mix() >> bus
     src2.emit(TEvent(10))
     assert seen == [7, 11]
+
+
+def test_each_all_gone_propagates():
+    """Beyond reference (bus.swift:326-333 compactMaps non-just away):
+    mapping a burst into a fully-dead downstream returns gone so the
+    producer disconnects; mixed results keep drop-the-failures."""
+    burst = Tx(lambda v: EventBox.just([v, v + 1, v + 2]))
+    dead = burst.each(Tx(lambda v: EventBox.gone()))
+    assert dead(5).is_gone()
+    half = burst.each(
+        Tx(lambda v: EventBox.just(v) if v % 2 == 0 else EventBox.gone()))
+    out = half(4)
+    assert out.is_just() and out.value() == [4, 6]
+    empty = burst.each(Tx(lambda v: EventBox.gone()))
+    src_nothing = Tx(lambda v: EventBox.just([]))
+    assert src_nothing.each(Tx(lambda v: EventBox.gone()))(1).is_just()
+
+
+def test_events_out_counts_dequeued_batch():
+    """events_out counts every dequeued event (bus.swift:120), including
+    batches flushed with zero observers."""
+    clock = StepClock(TimePoint(1, 1000))
+    bus = Bus(clock)
+    for i in range(3):
+        bus.append(EventBox.just(TEvent(i)))
+    assert bus.events_in == 3
+    assert bus.events_out == 3

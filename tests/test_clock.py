@@ -59,3 +59,18 @@ def test_wallclock_unix_roundtrip():
     tp = clock.from_unix_time(100100000)  # 1001.0s unix at scale 100000
     assert abs(tp.value / tp.scale - 1.0) < 1e-6
     assert clock.to_unix_time(tp) == 100100000
+
+
+def test_stepclock_fires_in_deadline_order():
+    """Due callbacks run in deadline order like WallClock's heap, not
+    insertion order — StepClock-driven tests must not observe A/V
+    interleavings the production clock never produces."""
+    clock = StepClock(TimePoint(100, 1000))
+    order = []
+    clock.schedule(clock.current() + TimePoint(10, 1000),
+                   lambda e: order.append(("late", e.time())))
+    clock.schedule(clock.current() + TimePoint(5, 1000),
+                   lambda e: order.append(("early", e.time())))
+    clock.step()
+    assert [n for n, _ in order] == ["early", "late"]
+    assert order[0][1] < order[1][1]

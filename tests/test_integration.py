@@ -111,14 +111,47 @@ def test_bus_granularity_batches():
         def workspace_token(self): return None
         def info(self): return None
 
-    bus.append(EventBox.just(E()))   # t=0: first append fires (delta >= gran? 0-0=0 < 30 -> queued)
+    bus.append(EventBox.just(E()))   # t=0: 0-0=0 < 30 -> queued
     assert len(seen) == 0
     clock.step()                     # t=10
     bus.append(EventBox.just(E()))
     assert len(seen) == 0
-    clock.step(); clock.step()       # t=30
-    bus.append(EventBox.just(E()))   # 30 - 0 >= 30 -> flush all three
+    clock.step(); clock.step()       # t=30: window elapsed -> scheduled
+    assert len(seen) == 2            # flush delivers the batch
+    bus.append(EventBox.just(E()))   # t=30: new window -> queued
+    assert len(seen) == 2
+    clock.step(); clock.step(); clock.step()   # t=60
     assert len(seen) == 3
+    assert bus.events_out == 3
+
+
+def test_bus_granularity_tail_flush():
+    """Beyond reference: a burst's tail must not stall in the queue when
+    the producer goes quiet (bus.swift:81-109 only flushes on a LATER
+    append) — the window-boundary clock flush delivers it."""
+    clock = StepClock(TimePoint(10, 1000))
+    bus = Bus(clock)
+    bus.set_granularity(TimePoint(30, 1000))
+    seen = []
+    sub = bus.subscribe(Tx(lambda e: (seen.append(e), EventBox.just(e))[1]))
+
+    class E:
+        def type(self): return "e"
+        def time(self): return clock.current()
+        def asset_id(self): return "a"
+        def workspace_id(self): return "w"
+        def workspace_token(self): return None
+        def info(self): return None
+
+    for _ in range(3):               # burst at t=0, then silence
+        bus.append(EventBox.just(E()))
+    assert len(seen) == 0
+    clock.step(); clock.step()       # t=20: window not elapsed
+    assert len(seen) == 0
+    clock.step()                     # t=30: scheduled flush fires
+    assert len(seen) == 3
+    clock.step(); clock.step(); clock.step()
+    assert len(seen) == 3            # no re-fire, no duplicates
 
 
 def test_protocol_cores_survive_garbage():

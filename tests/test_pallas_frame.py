@@ -731,3 +731,28 @@ def test_frame_pad_cache_rgba_overlay(monkeypatch):
     ref2 = golden.composite_stack(PixelFormat.y420p, (W, H), srcs)
     for o, r in zip(out, ref2):
         assert np.abs(np.asarray(o).astype(int) - r.astype(int)).max() <= 1
+
+
+def test_pad_cache_survives_ineligible_tick():
+    """One ineligible tick (fused fallback / unsupported format) must not
+    wipe a cruising cache — but sustained ineligibility bounds retention."""
+    import swiftvideo_tpu.ops.pallas_frame as pf
+
+    cache = pf.PadCache()
+    planes = [np.zeros((8, 8), np.uint8)]
+    cache.begin_tick()
+    cache.put("k", planes, ("arrs",))
+    cache.end_tick()
+    # ineligible tick: begin/end with no get/put — entry survives
+    cache.begin_tick()
+    cache.end_tick()
+    cache.begin_tick()
+    assert cache.get("k", planes) == ("arrs",)
+    cache.end_tick()
+    # sustained ineligibility (4 untouched ticks) clears everything
+    for _ in range(4):
+        cache.begin_tick()
+        cache.end_tick()
+    cache.begin_tick()
+    assert cache.get("k", planes) is None
+    cache.end_tick()
