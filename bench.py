@@ -533,16 +533,18 @@ def main() -> None:
 
     # config 6: 1080p motion estimation, block 16 / search 64 (the Metal
     # me_fullsearch workload, kernels.metal:206-267)
+    # inputs shared by all four ME variants — built OUTSIDE the pallas
+    # try block so a pallas failure doesn't NameError the other three
+    rng = np.random.default_rng(11)
+    ref_f = rng.integers(0, 255, (1080, 1920), np.uint8)
+    cur_f = np.clip(ref_f.astype(int)
+                    + rng.integers(-12, 12, ref_f.shape),
+                    0, 255).astype(np.uint8)
+    curd, refd = jnp.asarray(cur_f), jnp.asarray(ref_f)
     try:
         from swiftvideo_tpu.ops import motion
 
-        rng = np.random.default_rng(11)
-        ref_f = rng.integers(0, 255, (1080, 1920), np.uint8)
-        cur_f = np.clip(ref_f.astype(int)
-                        + rng.integers(-12, 12, ref_f.shape),
-                        0, 255).astype(np.uint8)
         prog = motion._me_pallas_program(1080, 1920, 16, 64, False)
-        curd, refd = jnp.asarray(cur_f), jnp.asarray(ref_f)
 
         def me_body(i, carry):
             c, r, _prev = carry

@@ -60,6 +60,13 @@ class BitReader {
     int zeros = 0;
     while (bits(1) == 0 && !overrun_ && zeros < 32) ++zeros;
     if (overrun_) return 0;
+    if (zeros == 32) {
+      // 32+ leading zeros encodes a value >= 2^32-1 — no legal SPS/PPS
+      // field; treat as corrupt (1u << 32 would be UB and diverge from
+      // the Python fallback)
+      overrun_ = true;
+      return 0;
+    }
     uint32_t v = (1u << zeros) - 1 + bits(zeros);
     return v;
   }

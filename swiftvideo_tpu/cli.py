@@ -85,8 +85,14 @@ def cmd_mix(args: argparse.Namespace) -> int:
         lambda s: (frames.append(s), EventBox.just(s))[1]
         if s.asset_id() == comp.name else EventBox.nothing(None)))
 
-    scene = next(s for s in comp.scenes
-                 if s.name == (comp.initial_scene or comp.scenes[0].name))
+    if not comp.scenes:
+        raise SystemExit(f"composition {comp.name!r} has no scenes")
+    want = comp.initial_scene or comp.scenes[0].name
+    scene = next((s for s in comp.scenes if s.name == want), None)
+    if scene is None:
+        raise SystemExit(
+            f"initial_scene {want!r} not found; scenes are "
+            f"{[s.name for s in comp.scenes]}")
     for i, element in enumerate(scene.elements):
         size = element.initial_state.size
         if not (size and size[0] and size[1]):
@@ -180,10 +186,14 @@ class _VideoFileWriter:
         except ValueError:
             return b""
 
-    def write(self, sample) -> None:
+    def write(self, sample) -> bool:
+        """Returns True when the sample will appear in the file; False
+        when it was dropped (pre-header frames a decoder could never
+        use) — callers count only accepted samples."""
         from .codec import bitstream, containers
         from .codec.codecs import unpack_uncompressed_picture
         from .codec.ffmpeg_subprocess import avcc_to_annexb
+        from .media.coded import is_keyframe
 
         if self.fmt in (self._mf.avc, self._mf.hevc):
             if not self._header_done:
@@ -195,6 +205,13 @@ class _VideoFileWriter:
                 if params:
                     self.fh.write(params)
                     self._header_done = True
+                elif self.count == 0 and not is_keyframe(sample):
+                    # leading inter frames with no parameter sets are
+                    # undecodable junk at the head of the file; a
+                    # keyframe still goes through (it may carry in-band
+                    # SPS/PPS) and a later SequenceStart can latch the
+                    # header
+                    return False
             self.fh.write(avcc_to_annexb(sample.data()))
         elif self.fmt in (self._mf.vp8, self._mf.vp9, self._mf.av1):
             if not self._header_done:
@@ -205,7 +222,7 @@ class _VideoFileWriter:
                     # joined mid-GOP: drop frames until the first
                     # keyframe sizes the IVF header (an interframe-led
                     # file would be undecodable anyway)
-                    return
+                    return False
                 scale = max(sample.pts().scale, 1)
                 self.fh.write(containers.ivf_header(
                     codec, w, h, timebase=(1, scale), n_frames=0))
@@ -223,13 +240,14 @@ class _VideoFileWriter:
                     # until the second's pts reveals the spacing
                     self._pending = (pict, sample.pts())
                     self.count += 1
-                    return
+                    return True       # held, written on close at latest
                 self._write_y4m_header(self._pending[0],
                                        self._pending[1], sample.pts())
                 self._write_y4m_frame(self._pending[0])
                 self._pending = None
             self._write_y4m_frame(pict)
         self.count += 1
+        return True
 
     def _write_y4m_header(self, pict, pts0, pts1=None) -> None:
         from .codec import containers
@@ -275,17 +293,29 @@ class _AudioFileWriter:
         self.fh = open(path, "wb")
         self.count = 0
         self._ogg = None
+        self._asc_bytes = object()   # sentinel: never equals a config
+        self._asc_parsed = None
         self._mf = MediaFormat
 
-    def write(self, sample) -> None:
+    def write(self, sample) -> bool:
         from .codec import bitstream, containers
         from .codec.ffmpeg_subprocess import adts_header
 
         data = sample.data()
         if self.fmt == self._mf.aac:
             asc = sample.side_data().get("config")
-            channels, rate, _spp = (bitstream.aac_parse_asc(asc)
-                                    if asc else (2, 48000, 1024))
+            if asc != self._asc_bytes:
+                # parse once per distinct config, not per sample (~46
+                # ctypes parses/s/stream otherwise); a corrupt record is
+                # treated as absent, like the video writer's configs — a
+                # publisher's bad ASC must not kill the connection
+                self._asc_bytes = asc
+                try:
+                    self._asc_parsed = (bitstream.aac_parse_asc(asc)
+                                        if asc else None)
+                except ValueError:
+                    self._asc_parsed = None
+            channels, rate, _spp = self._asc_parsed or (2, 48000, 1024)
             self.fh.write(adts_header(rate, channels, len(data)) + data)
         else:  # opus
             if self._ogg is None:
@@ -295,6 +325,7 @@ class _AudioFileWriter:
                 self.fh.write(self._ogg.header())
             self.fh.write(self._ogg.page(data))
         self.count += 1
+        return True
 
     def close(self) -> None:
         self.fh.close()
@@ -356,8 +387,8 @@ def cmd_transcode(args: argparse.Namespace) -> int:
 
         def wv(s, _w=vw):
             for one in (s if isinstance(s, list) else [s]):
-                _w.write(one)
-                counts["video"] += 1
+                if _w.write(one):   # count only samples that reach the file
+                    counts["video"] += 1
             return EventBox.just(s)
 
         wv_tx = Tx(wv)
@@ -374,8 +405,8 @@ def cmd_transcode(args: argparse.Namespace) -> int:
 
         def wa(s, _w=aw):
             for one in (s if isinstance(s, list) else [s]):
-                _w.write(one)
-                counts["audio"] += 1
+                if _w.write(one):
+                    counts["audio"] += 1
             return EventBox.just(s)
 
         wa_tx = Tx(wa)

@@ -101,6 +101,12 @@ class ExpGolomb:
             zeros += 1
         if self.overrun:
             return 0
+        if zeros == 32:
+            # >= 2^32-1: no legal SPS/PPS field — corrupt input (keeps
+            # exact behavioral parity with csrc/bitstream.cpp, where the
+            # naive 1 << 32 would be undefined behavior)
+            self.overrun = True
+            return 0
         return (1 << zeros) - 1 + self.bits(zeros)
 
     def se(self) -> int:

@@ -277,7 +277,7 @@ def command_from_json(text: str) -> ComposerCommand:
             set_state=SetStateCommand(
                 element=st["element"],
                 state=mk_state(st["state"]) if st.get("state") else None,
-                duration=st["duration"],
+                duration=st.get("duration") or TimePoint(0, 1000),
                 state_id=st.get("state_id"))
             if st else None,
             bind=BindCommand(**raw["bind"]) if raw.get("bind") else None,
@@ -310,9 +310,14 @@ def composition_from_json(text: str) -> Composition:
                     z_index=e.get("z_index", 0))
             for e in s["elements"]))
         for s in raw["scenes"])
+    # every field with a dataclass default is optional in the JSON too —
+    # a minimal hand-written manifest is {"name": ..., "scenes": [...]}
     return Composition(
-        name=raw["name"], canvas_size=tuple(raw["canvas_size"]),
-        frame_duration=raw["frame_duration"],
-        audio_frame_duration=raw["audio_frame_duration"],
-        sample_rate=raw["sample_rate"], channel_count=raw["channel_count"],
+        name=raw["name"],
+        canvas_size=tuple(raw.get("canvas_size", (1920, 1080))),
+        frame_duration=raw.get("frame_duration") or TimePoint(1000, 30000),
+        audio_frame_duration=(raw.get("audio_frame_duration")
+                              or TimePoint(480, 48000)),
+        sample_rate=raw.get("sample_rate", 48000),
+        channel_count=raw.get("channel_count", 2),
         scenes=scenes, initial_scene=raw.get("initial_scene", ""))

@@ -203,3 +203,23 @@ def test_h265_sps_truncated_raises():
         pass
     else:
         raise AssertionError("expected overrun error")
+
+
+def test_golomb_32_zero_run_is_corrupt_both_impls():
+    """A ue() run of 32+ leading zeros encodes a value >= 2^32-1 — no
+    legal SPS field.  Both implementations must agree it is corrupt
+    (the naive C++ 1u<<32 was UB and could diverge from Python's
+    bignum arithmetic on hostile input)."""
+    br = bitstream.ExpGolomb(b"\x00" * 12)
+    assert br.ue() == 0 and br.overrun
+    # end-to-end through both SPS parsers: profile/level bytes then a
+    # 33+-bit zero run where seq_parameter_set_id's ue() sits
+    sps = bytes([0x67, 66, 0x00, 30]) + b"\x00" * 12
+    outcomes = []
+    for fn in (bitstream._h264_sps_frame_size_py,
+               bitstream.h264_sps_frame_size):
+        try:
+            outcomes.append(("ok", fn(sps)))
+        except ValueError:
+            outcomes.append(("err", None))
+    assert outcomes[0] == outcomes[1] == ("err", None)

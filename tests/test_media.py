@@ -308,3 +308,25 @@ def test_keyframe_avc_sei_led_idr():
     assert not is_keyframe(coded(avcc(sei, inter)))
     assert is_keyframe(coded(avcc(idr)))
     assert not is_keyframe(coded(avcc(sei)))          # no VCL NAL at all
+
+
+def test_minimal_manifest_applies_defaults():
+    """A hand-written manifest may omit every field with a dataclass
+    default (the documented CLI input shape); wire-form commands may
+    omit optional duration."""
+    import json
+
+    from swiftvideo_tpu.scene import (command_from_json,
+                                      composition_from_json)
+
+    comp = composition_from_json(json.dumps({
+        "name": "x",
+        "scenes": [{"name": "main", "elements": []}],
+    }))
+    assert comp.canvas_size == (1920, 1080)
+    assert comp.sample_rate == 48000 and comp.channel_count == 2
+    assert comp.frame_duration.scale == 30000
+
+    cmd = command_from_json(json.dumps({
+        "set_state": {"element": "pip", "state_id": "big"}}))
+    assert cmd.set_state.duration.value == 0
