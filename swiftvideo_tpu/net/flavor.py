@@ -586,7 +586,8 @@ class Flavor:
         self._sessions: Dict[str, dict] = {}
         self._server: Optional[asyncio.AbstractServer] = None
 
-    async def serve(self, host: str, port: int = DEFAULT_PORT) -> None:
+    async def serve(self, host: str, port: int = DEFAULT_PORT,
+                    reuse_port: bool = False) -> None:
         def connected(conn: Connection) -> None:
             core = FlavorSessionCore(is_server=True,
                                      asset_id=str(uuid.uuid4()),
@@ -624,7 +625,8 @@ class Flavor:
             if state is not None and self.on_ended is not None:
                 self.on_ended(state["core"].asset_id)
 
-        self._server = await tcp_serve(host, port, connected, ended)
+        self._server = await tcp_serve(host, port, connected, ended,
+                                       reuse_port=reuse_port)
 
     async def close(self) -> None:
         if self._server is not None:

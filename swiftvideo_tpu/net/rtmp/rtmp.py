@@ -191,7 +191,8 @@ class Rtmp:
         self._server: Optional[asyncio.AbstractServer] = None
 
     # --- server (rtmp.swift:181-307) --------------------------------------
-    async def serve(self, host: str, port: int) -> None:
+    async def serve(self, host: str, port: int,
+                    reuse_port: bool = False) -> None:
         def connected(conn: Connection) -> None:
             core = RtmpSessionCore(is_server=True,
                                    asset_id=str(uuid.uuid4()),
@@ -231,7 +232,8 @@ class Rtmp:
             if state is not None and self.on_ended is not None:
                 self.on_ended(state["core"].ctx.asset_id)
 
-        self._server = await tcp_serve(host, port, connected, ended)
+        self._server = await tcp_serve(host, port, connected, ended,
+                                       reuse_port=reuse_port)
 
     async def _establish(self, conn, core, state) -> None:
         if core.ctx.publish_to_peer:

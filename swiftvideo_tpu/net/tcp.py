@@ -118,14 +118,21 @@ class Connection(Source, asyncio.Protocol):
 
 async def tcp_serve(host: str, port: int,
                     on_connection: Callable[[Connection], None],
-                    on_ended: Optional[Callable[[Connection], None]] = None
-                    ) -> asyncio.AbstractServer:
+                    on_ended: Optional[Callable[[Connection], None]] = None,
+                    reuse_port: bool = False) -> asyncio.AbstractServer:
     """Listen and hand each accepted Connection to the app
-    (net.tcp.swift:147-183)."""
+    (net.tcp.swift:147-183).
+
+    ``reuse_port``: SO_REUSEPORT socket sharding — N worker processes
+    each serve() the same port and the kernel spreads incoming
+    connections across them.  This is the scale-out shape for ingest:
+    one asyncio loop saturates a core at ~110x realtime aggregate (GIL;
+    measured, bench config 7c/7d), where the reference leans on
+    SwiftNIO's multi-threaded EventLoopGroup (net.tcp.swift:147-156)."""
     loop = asyncio.get_running_loop()
     return await loop.create_server(
         lambda: Connection(on_connected=on_connection, on_ended=on_ended),
-        host, port)
+        host, port, reuse_port=reuse_port or None)
 
 
 async def tcp_client(host: str, port: int,
