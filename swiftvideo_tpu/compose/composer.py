@@ -100,11 +100,24 @@ class Composer:
         scene = self._scenes.get(name)
         if scene is None:
             raise ComposerError(f"unknown scene {name}")
-        # The reference KEEPS animator objects across scene changes so
-        # live bindings stay connected (composer.swift:111-135 remaps the
-        # element table in place): elements named in the new scene reuse
-        # their animators with refreshed definition/state; elements not in
-        # it stay parked with parents detached.
+        # The reference KEEPS animator objects across scene changes
+        # (composer.swift:111-135 remaps the element table in place):
+        # elements named in the new scene reuse their animators with
+        # refreshed definition/state; elements not in it stay parked with
+        # parents detached.  But its step 1 rebuilds every ElementAnimator
+        # WITHOUT picTx/audioTx (composer.swift:117-124) and step 2
+        # reconnects only the new scene's elements (connectElement,
+        # composer.swift:128-131) — bindings to elements absent from the
+        # new scene DISCONNECT.  Without this, a departed element's
+        # Repeater keeps feeding its last frame into the VideoMixer (a
+        # ghost overlay) and its audio keeps mixing.
+        new_names = {e.name for e in scene.elements}
+        stale = [k for k in self._bindings if k[1] not in new_names]
+        for k in stale:
+            self._bindings.pop(k, None)
+        for asset_id in {k[0] for k in stale}:
+            if not any(k[0] == asset_id for k in self._bindings):
+                self.audio_mixer.remove_asset(asset_id)
         old = self._elements
         self._elements = {}
         for ename, (el, pic, soun) in old.items():

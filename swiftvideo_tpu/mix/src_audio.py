@@ -68,6 +68,14 @@ class AudioSampleRateConversion(Tx):
         if (self.out_frequency == sample.sample_rate()
                 and self.out_channels == sample.number_channels()
                 and self.out_format == sample.format):
+            # full passthrough is a segment boundary: the sample's own pts
+            # rule the timeline now — drop the resample anchor and filter
+            # history so a later mid-stream rate change re-anchors from
+            # the stream instead of resuming a stale timeline (and never
+            # leaks pre-passthrough filter state into the new segment)
+            self._resampler = None
+            self._last = None
+            self._pts = None
             return EventBox.just(sample)
         self._last = sample
         if self._pts is None:

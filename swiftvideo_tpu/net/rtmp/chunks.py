@@ -33,6 +33,7 @@ import ctypes
 import os
 import struct
 import subprocess
+import threading
 from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Tuple
 
@@ -153,12 +154,22 @@ class ChunkSerializer:
         self.out_chunk_size = out_chunk_size
         self._prev: Dict[int, _OutState] = {}
         self._last_chunk0: Dict[int, int] = {}
+        # one serializer per connection, but TWO writer threads touch it
+        # in production: session.feed command replies on the event-loop
+        # thread and publisher media on the clock/producer thread — the
+        # per-csid _prev/_last_chunk0 state must not race
+        self._lock = threading.RLock()
 
     def set_chunk_size(self, size: int) -> None:
-        self.out_chunk_size = size
+        with self._lock:
+            self.out_chunk_size = size
 
     # --- header type selection (serialize.swift:92-129) -------------------
     def serialize(self, chunk: Chunk) -> bytes:
+        with self._lock:
+            return self._serialize_locked(chunk)
+
+    def _serialize_locked(self, chunk: Chunk) -> bytes:
         prev = self._prev.get(chunk.chunk_stream_id)
         serial_cur = chunk.timestamp % 0x100000000
         rollover = False

@@ -51,7 +51,6 @@ class RtmpPublisher(Terminal):
         self._sent_props = False
         self._media = MediaSerializer(core.serializer,
                                       core.ctx.msg_stream_id)
-        self._epoch: Optional[TimePoint] = None
         super().__init__(self._handle)
         clock.schedule(clock.current() + TimePoint(200, 1000),
                        lambda _evt: self._send_metadata())
@@ -85,8 +84,6 @@ class RtmpPublisher(Terminal):
 
     # --- media path -------------------------------------------------------
     def _handle(self, sample: CodedMediaSample) -> EventBox:
-        if self._epoch is None:
-            self._epoch = self.clock.current() - sample.dts()
         if not self._sent_props:
             # collect descriptions; send metadata once both known
             # (rtmp.swift:406-433)
@@ -220,8 +217,17 @@ class Rtmp:
                         self._establish(conn, core, state))
                 if samples and isinstance(state["endpoint"], RtmpSubscriber):
                     state["endpoint"].dispatch(samples)
-                elif samples:
-                    state["pending"] = state.get("pending", []) + samples
+                elif samples and state["endpoint"] is None:
+                    # buffer only while the endpoint is being established
+                    # (permission hook awaiting); bounded — a hook that
+                    # never resolves must not let a publisher OOM the
+                    # server
+                    pend = state.setdefault("pending", [])
+                    pend.extend(samples)
+                    if len(pend) > 4096:
+                        conn.close()
+                # else: endpoint is a publisher (peer plays) — media from
+                # the peer on a play session is a protocol violation; drop
                 return EventBox.nothing(None)
 
             chain = conn >> Tx(on_bytes)
@@ -236,28 +242,38 @@ class Rtmp:
                                        reuse_port=reuse_port)
 
     async def _establish(self, conn, core, state) -> None:
-        if core.ctx.publish_to_peer:
-            endpoint = RtmpPublisher(self.clock, conn, core)
-            pub, sub = endpoint, None
-        else:
-            endpoint = RtmpSubscriber(self.clock, conn, core)
-            pub, sub = None, endpoint
-        # state["endpoint"] stays None until the permission hook approves:
-        # samples arriving while the hook awaits keep buffering into
-        # state["pending"], so (a) nothing is dispatched for a connection
-        # the hook may reject, and (b) the pending flush below cannot be
-        # overtaken by newer samples (config/keyframe after later frames)
-        allowed = True
-        if self.on_connection is not None:
-            allowed = await self.on_connection(pub, sub)
-        if not allowed:
+        try:
+            if core.ctx.publish_to_peer:
+                endpoint = RtmpPublisher(self.clock, conn, core)
+                pub, sub = endpoint, None
+            else:
+                endpoint = RtmpSubscriber(self.clock, conn, core)
+                pub, sub = None, endpoint
+            # state["endpoint"] stays None until the permission hook
+            # approves: samples arriving while the hook awaits keep
+            # buffering into state["pending"], so (a) nothing is
+            # dispatched for a connection the hook may reject, and (b)
+            # the pending flush below cannot be overtaken by newer
+            # samples (config/keyframe after later frames)
+            allowed = True
+            if self.on_connection is not None:
+                allowed = await self.on_connection(pub, sub)
+            if not allowed:
+                state.pop("pending", None)
+                conn.close()
+                return
+            conn.write(core.publish_start_bytes())
+            if sub is not None and state.get("pending"):
+                sub.dispatch(state.pop("pending"))
+            state["endpoint"] = endpoint
+        except Exception:
+            # a raising permission hook (or endpoint construction) must
+            # not leave the session half-established forever: pending
+            # would grow unboundedly and the peer would hang on a
+            # NetStream.Start that never comes
             state.pop("pending", None)
             conn.close()
-            return
-        conn.write(core.publish_start_bytes())
-        if sub is not None and state.get("pending"):
-            sub.dispatch(state.pop("pending"))
-        state["endpoint"] = endpoint
+            raise
 
     async def close(self) -> None:
         if self._server is not None:

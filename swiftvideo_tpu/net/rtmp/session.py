@@ -88,7 +88,9 @@ class RtmpSessionCore:
         self._hs_state = "c0c1" if is_server else "s0s1"
         self._hs_buf = b""
         self._responders: Dict[int, Callable] = {}
-        self.errors: List[str] = []
+        self.errors: List[str] = []     # dial-fatal (see rtmp._connect_once)
+        self.warnings: List[str] = []   # recoverable parse failures
+        self.notices: List[str] = []    # informational onStatus codes
         #: set when the inbound byte stream is unrecoverable (chunk-stream
         #: desync past the deserializer's pending cap); owners should close
         #: the connection
@@ -130,8 +132,13 @@ class RtmpSessionCore:
                 msg_out, msg_samples = self._handle_chunk(chunk)
             except (ValueError, IndexError, TypeError, struct.error) as exc:
                 # TypeError: AMF payloads are attacker-typed (e.g. a null
-                # transaction id reaching int()) — contain like the rest
-                self.errors.append(f"malformed msg 0x{chunk.msg_type:x}: {exc}")
+                # transaction id reaching int()) — contain like the rest.
+                # A single malformed message is recoverable (parsing
+                # continues at the next chunk), so it is a warning, not a
+                # dial-fatal error: one junk data message from a server
+                # must not burn the client's 30 reconnect attempts
+                self.warnings.append(
+                    f"malformed msg 0x{chunk.msg_type:x}: {exc}")
                 continue
             out += msg_out
             samples.extend(msg_samples)
@@ -375,14 +382,19 @@ class RtmpSessionCore:
 
     # server side
     def _srv_connect(self, atoms, chunk):
-        # set outgoing chunk size to 4096 first (states.swift:392-407)
-        out = self._set_chunk_size(4096)
+        # validate the fallible input BEFORE mutating serializer state:
+        # if float(ident) raised after _set_chunk_size, feed() would drop
+        # these bytes but the serializer would already emit 4096-byte
+        # chunks the peer was never told about (permanent desync)
+        ident = atoms[1] if len(atoms) > 1 else 1.0
+        ident = float(ident)
         if len(atoms) >= 3 and isinstance(atoms[2], dict):
             self.ctx.app = atoms[2].get("app")
             self.ctx.tc_url = atoms[2].get("tcUrl")
-        ident = atoms[1] if len(atoms) > 1 else 1.0
+        # set outgoing chunk size to 4096 first (states.swift:392-407)
+        out = self._set_chunk_size(4096)
         result = amf.serialize([
-            "_result", float(ident),
+            "_result", ident,
             {"fmsVer": "FMS/3,0,1,123", "capabilities": 31.0},
             {"level": "status", "code": "NetConnection.Connect.Success",
              "description": "Connection succeeded", "objectEncoding": 0.0}])
@@ -501,13 +513,22 @@ class RtmpSessionCore:
             ["play", float(n), None, self.ctx.play_path or ""]))
 
     def _cli_on_status(self, atoms, chunk):
-        code = None
+        code, level = None, None
         if len(atoms) > 3 and isinstance(atoms[3], dict):
             code = atoms[3].get("code")
+            level = atoms[3].get("level")
         if code in ("NetStream.Publish.Start", "NetStream.Play.Start"):
             self.ctx.started = True
+        elif code and (level == "error" or ".Failed" in str(code)
+                       or ".BadName" in str(code)):
+            # only level:"error" statuses are fatal; informational ones
+            # (NetStream.Play.Reset before Play.Start, Publish.Notify,
+            # Data.Start...) are a normal part of the dialogue — failing
+            # the dial on them burned every reconnect attempt against a
+            # perfectly working server
+            self.errors.append(str(code))
         elif code:
-            self.errors.append(code)
+            self.notices.append(str(code))
         return b"", []
 
     def unpublish_bytes(self) -> bytes:

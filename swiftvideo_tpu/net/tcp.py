@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import ssl as ssl_module
+import threading
 import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -70,6 +71,8 @@ class Connection(Source, asyncio.Protocol):
         self.closed = False
         self.writable = True  # cleared between pause_writing/resume_writing
         self._retained: list = []
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._loop_tid: Optional[int] = None
 
     def _digest(self, event: NetworkEvent) -> EventBox:
         self.write(event.data())
@@ -78,6 +81,8 @@ class Connection(Source, asyncio.Protocol):
     # --- asyncio.Protocol -------------------------------------------------
     def connection_made(self, transport) -> None:
         self.transport = transport
+        self._loop = asyncio.get_running_loop()
+        self._loop_tid = threading.get_ident()
         if self._on_connected is not None:
             self._on_connected(self)
 
@@ -107,13 +112,30 @@ class Connection(Source, asyncio.Protocol):
 
     # --- writes -----------------------------------------------------------
     def write(self, data: bytes) -> None:
-        if self.transport is not None and not self.closed and data:
+        """Thread-aware: asyncio transports are not thread-safe, and
+        producers write from off-loop threads (WallClock's scheduler
+        fires mixer/metadata emits) — those writes marshal onto the loop.
+        Per-chunk-stream wire ordering holds because each csid has a
+        single writer thread (commands on the loop thread, one producer
+        per media csid)."""
+        if self.transport is None or self.closed or not data:
+            return
+        if self._loop is None or threading.get_ident() == self._loop_tid:
+            self.transport.write(data)
+        else:
+            self._loop.call_soon_threadsafe(self._write_on_loop, data)
+
+    def _write_on_loop(self, data: bytes) -> None:
+        if self.transport is not None and not self.closed:
             self.transport.write(data)
 
     def close(self) -> None:
         self.closed = True
         if self.transport is not None:
-            self.transport.close()
+            if self._loop is None or threading.get_ident() == self._loop_tid:
+                self.transport.close()
+            else:
+                self._loop.call_soon_threadsafe(self.transport.close)
 
 
 async def tcp_serve(host: str, port: int,

@@ -341,3 +341,39 @@ def test_repeater_single_armed_timer():
         clock.step()
         assert len(clock._scheduled) <= 1, len(clock._scheduled)
     assert len(got) == 100                           # passthrough intact
+
+
+def test_src_rate_change_through_passthrough_segment():
+    """44.1k -> (exact 48k passthrough) -> 44.1k: the passthrough segment
+    is a boundary — returning to a resampled rate must re-anchor pts from
+    the stream (not resume the stale pre-passthrough anchor, which would
+    jump the timeline backwards) and must not leak segment-1 filter
+    history into segment 3."""
+    src = AudioSampleRateConversion(48000, 2, AudioFormat.s16i)
+    blank441 = np.zeros(1024 * 2, np.int16)
+    blank48 = np.zeros(960 * 2, np.int16)
+    pts = TimePoint(0, 44100)
+    for _ in range(20):                       # segment 1: resampled
+        src(_sample(blank441, pts, rate=44100))
+        pts = pts + TimePoint(1024, 44100)
+    r1 = src._resampler
+    assert r1 is not None and src._pts is not None
+    out48 = src(_sample(blank48, TimePoint(48000 * 100, 48000)))
+    assert out48.is_just()                    # segment 2: pure passthrough
+    assert out48.value().pts().value == 48000 * 100
+    assert src._resampler is None and src._pts is None   # boundary reset
+    # segment 3: back to 44.1k much later in stream time
+    from swiftvideo_tpu.core.time import rescale
+    late = TimePoint(44100 * 200, 44100)     # t = 200 s
+    first = None
+    p = late
+    for _ in range(4):
+        box = src(_sample(blank441, p, rate=44100))
+        if first is None and box.is_just():
+            first = box.value()
+        p = p + TimePoint(1024, 44100)
+    assert src._resampler is not None and src._resampler is not r1
+    assert first is not None
+    # pts re-anchored at the NEW segment's start (t=200 s), not resumed
+    # from the stale pre-passthrough anchor (t~0.46 s)
+    assert first.pts().value == rescale(late, 48000).value

@@ -691,7 +691,9 @@ def test_set_chunk_size_zero_contained():
             msg_stream_id=0, msg_length=4, msg_type=1, chunk_stream_id=2,
             timestamp=0, data=_s.pack(">I", bad)))
         core.feed(wire)
-    assert len(core.errors) == 2 and not core.fatal
+    # recoverable (not applied, parsing continues): a warning, not a
+    # dial-fatal error
+    assert len(core.warnings) == 2 and not core.errors and not core.fatal
     assert core.deserializer.in_chunk_size == 128
 
 
@@ -734,4 +736,75 @@ def test_null_transaction_id_contained():
         msg_stream_id=0, msg_length=len(payload), msg_type=0x14,
         chunk_stream_id=3, timestamp=0, data=payload))
     core.feed(wire)
-    assert any("malformed" in e for e in core.errors) and not core.fatal
+    assert any("malformed" in e for e in core.warnings) and not core.fatal
+    assert not core.errors      # recoverable: must not fail a dial
+
+
+def test_informational_onstatus_does_not_fail_dial():
+    """NetStream.Play.Reset (sent by real servers before Play.Start) and
+    other informational statuses must not abort the connect; only
+    level:'error' statuses are dial-fatal."""
+    from swiftvideo_tpu.net.rtmp import amf
+    from swiftvideo_tpu.net.rtmp.session import RtmpSessionCore
+
+    clock = StepClock(TimePoint(16, 1000))
+    core = RtmpSessionCore(is_server=False, asset_id="a", clock=clock,
+                           publish_to_peer=False)
+    core._hs_state = "established"
+    ser = ChunkSerializer(out_chunk_size=4096)
+
+    def status(code, level="status"):
+        payload = amf.serialize(["onStatus", 0.0, None,
+                                 {"level": level, "code": code}])
+        return ser.serialize(Chunk(
+            msg_stream_id=1, msg_length=len(payload), msg_type=0x14,
+            chunk_stream_id=3, timestamp=0, data=payload))
+
+    core.feed(status("NetStream.Play.Reset"))
+    assert not core.errors and core.notices == ["NetStream.Play.Reset"]
+    core.feed(status("NetStream.Play.Start"))
+    assert core.ctx.started and not core.errors
+    core2 = RtmpSessionCore(is_server=False, asset_id="b", clock=clock,
+                            publish_to_peer=False)
+    core2._hs_state = "established"
+    ser2 = ChunkSerializer(out_chunk_size=4096)
+    payload = amf.serialize(["onStatus", 0.0, None,
+                             {"level": "error",
+                              "code": "NetStream.Play.StreamNotFound"}])
+    core2.feed(ser2.serialize(Chunk(
+        msg_stream_id=1, msg_length=len(payload), msg_type=0x14,
+        chunk_stream_id=3, timestamp=0, data=payload)))
+    assert core2.errors == ["NetStream.Play.StreamNotFound"]
+
+
+def test_connection_write_from_foreign_thread():
+    """asyncio transports are not thread-safe; Connection.write from a
+    non-loop thread (WallClock scheduler emitting media) must marshal
+    onto the loop and still deliver."""
+    import asyncio
+    import threading
+
+    from swiftvideo_tpu.core import EventBox, Tx
+    from swiftvideo_tpu.net.tcp import tcp_client, tcp_serve
+
+    async def run():
+        got = asyncio.Event()
+        data = []
+
+        def on_conn(conn):
+            conn.retain(conn >> Tx(
+                lambda e: (data.append(e.data()), got.set(),
+                           EventBox.nothing(None))[2]))
+
+        server = await tcp_serve("127.0.0.1", 0, on_conn)
+        port = server.sockets[0].getsockname()[1]
+        cli = await tcp_client("127.0.0.1", port)
+        t = threading.Thread(target=cli.write, args=(b"off-loop-bytes",))
+        t.start(); t.join()
+        await asyncio.wait_for(got.wait(), 5.0)
+        assert b"".join(data) == b"off-loop-bytes"
+        cli.close()
+        server.close()
+        await server.wait_closed()
+
+    asyncio.run(run())

@@ -480,3 +480,65 @@ def test_composer_run_command_set_state_failure():
     # the after-command did NOT run
     assert composer.get_element_state("e1").size == (32, 32)
     composer.close()
+
+
+def test_scene_change_disconnects_bindings_to_absent_elements():
+    """The reference's setScene rebuilds every ElementAnimator WITHOUT its
+    picTx/audioTx and reconnects only the new scene's elements
+    (composer.swift:117-131): a binding to an element absent from the new
+    scene must disconnect — otherwise its Repeater keeps feeding the last
+    frame into the mixer as a ghost overlay and its audio keeps mixing."""
+    from swiftvideo_tpu.compose import Composer
+    clock = StepClock(TimePoint(480, 48000))
+    audio_bus, picture_bus = Bus(clock), Bus(clock)
+    comp = Composition(
+        name="comp", canvas_size=(64, 64),
+        frame_duration=TimePoint(1000, 30000),
+        audio_frame_duration=TimePoint(480, 48000),
+        sample_rate=48000, channel_count=2,
+        scenes=(
+            Scene(name="a", elements=(
+                Element(name="bg", initial_state=ElementState(
+                    pic_pos=(0, 0), size=(64, 64))),
+                Element(name="pip", initial_state=ElementState(
+                    pic_pos=(0, 0), size=(16, 16)), z_index=1),
+            )),
+            Scene(name="b", elements=(
+                Element(name="bg", initial_state=ElementState(
+                    pic_pos=(0, 0), size=(64, 64))),
+            )),
+        ),
+        initial_scene="a")
+    composer = Composer(clock, workspace_id="w", composition=comp,
+                        audio_bus=audio_bus, picture_bus=picture_bus,
+                        compute_context=make_compute_context("golden"))
+    composer.bind("camBG", "bg")
+    composer.bind("camPIP", "pip")
+    assert ("camPIP", "pip") in composer._bindings
+
+    got = []
+    sub = picture_bus.subscribe(Tx(
+        lambda s: (got.append(s), EventBox.just(s))[1]
+        if s.asset_id() == "comp" else EventBox.nothing(None)))
+    picture_bus.append(EventBox.just(_source(40, asset="camBG", rev="r1")))
+    picture_bus.append(EventBox.just(_source(250, asset="camPIP", rev="r1")))
+    for _ in range(100):
+        clock.step()
+    y = np.asarray([s for s in got if s.asset_id() == "comp"][-1].planes()[0])
+    assert abs(int(y[4, 4]) - 250) <= 1     # pip composited in scene a
+
+    composer.set_scene("b")
+    assert ("camPIP", "pip") not in composer._bindings   # binding dropped
+    assert ("camBG", "bg") in composer._bindings         # kept: bg in scene b
+    got.clear()
+    # keep the background flowing; the pip asset keeps publishing too —
+    # its samples must no longer reach the mixer
+    for rev in ("r2", "r3", "r4", "r5"):
+        picture_bus.append(EventBox.just(_source(40, asset="camBG", rev=rev)))
+        picture_bus.append(EventBox.just(_source(250, asset="camPIP",
+                                                 rev=rev)))
+        for _ in range(40):
+            clock.step()
+    y = np.asarray([s for s in got if s.asset_id() == "comp"][-1].planes()[0])
+    assert abs(int(y[4, 4]) - 40) <= 1      # no ghost pip in scene b
+    composer.close()
