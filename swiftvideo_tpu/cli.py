@@ -323,7 +323,8 @@ class _AudioFileWriter:
                 channels = (head[9] if head and len(head) > 9 else 2)
                 self._ogg = containers.OggOpusWriter(channels, head=head)
                 self.fh.write(self._ogg.header())
-            self.fh.write(self._ogg.page(data))
+            self.fh.write(self._ogg.page(
+                data, samples=containers.opus_packet_samples(data)))
         self.count += 1
         return True
 

@@ -244,7 +244,13 @@ def make_asc(sample_rate: int, channels: int, *,
     :func:`aac_parse_asc`, used for the encoder's ``side["config"]``
     (reference: libfdk_aac supplies extradata, enc.audio.ffmpeg.swift)."""
     idx = _ASC_RATES.index(sample_rate)
-    v = (object_type << 11) | (idx << 7) | (channels << 3)
+    # ISO 14496-3 channel_configuration: 1-6 map directly, 8 channels
+    # (7.1) is config 7 — packing a raw 8 would write a reserved value
+    # that standard decoders reject (aac_parse_asc decodes 7 -> 8)
+    chan_config = 7 if channels == 8 else channels
+    if not 1 <= chan_config <= 7:
+        raise ValueError(f"unsupported AAC channel count {channels}")
+    v = (object_type << 11) | (idx << 7) | (chan_config << 3)
     return v.to_bytes(2, "big")
 
 

@@ -231,6 +231,36 @@ def make_opus_tags(vendor: bytes = b"swiftvideo_tpu") -> bytes:
             + struct.pack("<I", 0))
 
 
+_OPUS_SILK_SIZES = (480, 960, 1920, 2880)     # 10/20/40/60 ms at 48 kHz
+_OPUS_HYBRID_SIZES = (480, 960)               # 10/20 ms
+_OPUS_CELT_SIZES = (120, 240, 480, 960)       # 2.5/5/10/20 ms
+
+
+def opus_packet_samples(packet: bytes) -> int:
+    """PCM samples (at 48 kHz) an Opus packet decodes to, from its TOC
+    byte (RFC 6716 §3.1-3.2).  Ogg granule positions derive from this —
+    assuming the libopus default 960 mis-stamps 10 ms and 60 ms streams."""
+    if not packet:
+        return 960
+    toc = packet[0]
+    config, code = toc >> 3, toc & 0x3
+    if config < 12:
+        frame = _OPUS_SILK_SIZES[config & 0x3]
+    elif config < 16:
+        frame = _OPUS_HYBRID_SIZES[config & 0x1]
+    else:
+        frame = _OPUS_CELT_SIZES[config & 0x3]
+    if code == 0:
+        nframes = 1
+    elif code in (1, 2):
+        nframes = 2
+    else:
+        nframes = (packet[1] & 0x3F) if len(packet) > 1 else 1
+        nframes = max(nframes, 1)
+    # RFC 6716 §3.4 caps a packet at 120 ms
+    return min(frame * nframes, 5760)
+
+
 class OggOpusWriter:
     """Mux raw Opus packets into an Ogg byte stream for piping to ffmpeg."""
 

@@ -39,13 +39,23 @@ from ..media.pixel import BufferType, PixelFormat, planes_for_format
 from . import bitstream, containers
 
 
+_FFMPEG_PATH_CACHE: dict = {}
+
+
 def ffmpeg_path() -> Optional[str]:
     """Path of the ffmpeg binary; ``SWIFTVIDEO_FFMPEG`` overrides PATH
-    lookup (points tests at a mock, or deployments at a custom build)."""
+    lookup (points tests at a mock, or deployments at a custom build).
+    Cached per override value: the codec Tx hot paths consult this per
+    sample, and a shutil.which filesystem walk per frame is pure waste
+    (the env key keeps monkeypatched tests working)."""
     override = os.environ.get("SWIFTVIDEO_FFMPEG")
-    if override:
-        return override if os.path.exists(override) else None
-    return shutil.which("ffmpeg")
+    if override not in _FFMPEG_PATH_CACHE:
+        if override:
+            _FFMPEG_PATH_CACHE[override] = (
+                override if os.path.exists(override) else None)
+        else:
+            _FFMPEG_PATH_CACHE[override] = shutil.which("ffmpeg")
+    return _FFMPEG_PATH_CACHE[override]
 
 
 # --- bitstream framing helpers (pure, unit-tested) -------------------------
@@ -57,7 +67,12 @@ def avcc_to_annexb(data: bytes, length_size: int = 4) -> bytes:
     while pos + length_size <= len(data):
         n = int.from_bytes(data[pos:pos + length_size], "big")
         pos += length_size
-        if n <= 0 or pos + n > len(data):
+        if n == 0:
+            # zero-length NAL (some muxers emit them as padding): skip
+            # it — breaking would silently drop every following slice
+            # NAL of the access unit
+            continue
+        if pos + n > len(data):
             break
         out += b"\x00\x00\x00\x01" + data[pos:pos + n]
         pos += n
@@ -156,7 +171,13 @@ def parse_adts_frames(data: bytes) -> Tuple[List[bytes], bytes]:
             continue
         length = ((data[pos + 3] & 0x03) << 11) | (data[pos + 4] << 3) | \
             (data[pos + 5] >> 5)
-        if length < 7 or pos + length > len(data):
+        if length < 7:
+            # corrupt header that happened to carry a syncword: resync
+            # at the next byte — breaking here would re-feed the same
+            # bad header forever (the caller carries the remainder)
+            pos += 1
+            continue
+        if pos + length > len(data):
             break
         frames.append(data[pos:pos + length])
         pos += length
@@ -174,11 +195,14 @@ def adts_header(sample_rate: int, channels: int, payload_len: int,
                 profile: int = 1) -> bytes:
     """7-byte ADTS header (no CRC)."""
     idx = _ADTS_RATES.index(sample_rate)
+    # channel_configuration, not raw channel count: 8 channels = config 7
+    # (raw 8 would pack as config 0 = "defined in stream")
+    chan_config = 7 if channels == 8 else channels
     length = payload_len + 7
     return bytes([
         0xFF, 0xF1,
-        ((profile & 3) << 6) | ((idx & 0xF) << 2) | ((channels >> 2) & 1),
-        ((channels & 3) << 6) | ((length >> 11) & 3),
+        ((profile & 3) << 6) | ((idx & 0xF) << 2) | ((chan_config >> 2) & 1),
+        ((chan_config & 3) << 6) | ((length >> 11) & 3),
         (length >> 3) & 0xFF,
         ((length & 7) << 5) | 0x1F,
         0xFC,
@@ -536,6 +560,23 @@ class FFmpegVideoEncoder(Tx):
         if sample.pixel_format() != PixelFormat.y420p:
             return EventBox.error(EventError("ffmpeg.enc", -2,
                                              "encoder wants y420p"))
+        pending: List[CodedMediaSample] = []
+        if self._proc is not None and tuple(sample.size()) != self._size:
+            # mid-stream resolution change (source switch, scene resize):
+            # raw-pipe framing is positional, so a different-sized frame
+            # would be consumed as partial old-size frames and desync the
+            # pipe permanently — drain the old encoder and restart at the
+            # new size (the reference re-creates its AVCodecContext,
+            # enc.video.ffmpeg.swift:92-130)
+            try:
+                pending = self.flush()
+            except Exception:  # noqa: BLE001 - dead proc: nothing to drain
+                pending = []
+            self._proc.close()
+            self._proc = None
+            self._carry = b""
+            self._pts_queue = []
+            self._config = None    # stale SPS/vpcC would carry the old size
         try:
             self._ensure(sample)
         except Exception as exc:  # noqa: BLE001
@@ -553,6 +594,7 @@ class FFmpegVideoEncoder(Tx):
                 out = self._emit_annexb(sample)
         except Exception as exc:  # noqa: BLE001 (dead ffmpeg process)
             return EventBox.error(EventError("ffmpeg.enc", -1, str(exc)))
+        out = pending + out    # drained old-size units keep stream order
         if not out:
             return EventBox.nothing(sample.info())
         return EventBox.just(out)
@@ -684,7 +726,12 @@ class FFmpegAudioDecoder(Tx):
                 self._proc.write(adts_header(self._rate, self._channels,
                                              len(payload)) + payload)
         else:
-            self._proc.write(self._ogg.page(sample.data()))
+            data = sample.data()
+            # granule from the packet's real TOC duration: 10/60 ms
+            # streams are legal and common; a fixed 960 would mis-stamp
+            # ffmpeg's demuxed timestamps and wrongly trim the tail
+            self._proc.write(self._ogg.page(
+                data, samples=containers.opus_packet_samples(data)))
 
     def _drain(self, *, final: bool = False) -> List[AudioSample]:
         meta = self._meta
@@ -855,6 +902,25 @@ class FFmpegAudioEncoder(Tx):
         if sample.format != "s16i":
             return EventBox.error(EventError("ffmpeg.enc.audio", -2,
                                              "encoder wants s16i input"))
+        pending: List[CodedMediaSample] = []
+        if self._proc is not None and (
+                sample.sample_rate() != self._rate
+                or sample.number_channels() != self._channels):
+            # mid-stream rate/channel change: the raw s16le pipe framing
+            # is positional — drain the old encoder and restart (see the
+            # video encoder's resolution-change handling)
+            try:
+                pending = self.flush()
+            except Exception:  # noqa: BLE001
+                pending = []
+            self._proc.close()
+            self._proc = None
+            self._carry = b""
+            self._ogg_reader = None
+            self._opus_pend = []
+            self._config = None
+            self._next_pts = None      # re-anchor at the new segment
+            self._first_pts = None
         try:
             self._ensure(sample)
             self._meta = sample
@@ -867,6 +933,7 @@ class FFmpegAudioEncoder(Tx):
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("ffmpeg.enc.audio", -1,
                                              str(exc)))
+        out = pending + out
         if not out:
             return EventBox.nothing(sample.info())
         return EventBox.just(out)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import asyncio
 import struct
+import threading
 import uuid
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
@@ -260,11 +261,17 @@ class FlavorSessionCore:
         self.on_push_request = on_push_request
         self.on_pull_request = on_pull_request
         self.stream_tokens: Dict[int, str] = {}
+        # tracks/_call_id are mutated from producer threads (a server-side
+        # FlavorPublisher emits from the clock thread via send_tracks)
+        # while the loop thread iterates them in _handle_rpc — the same
+        # two-writer shape the RTMP ChunkSerializer locks against
+        self._lock = threading.RLock()
 
     def next_call_id(self) -> int:
-        cid = self._call_id
-        self._call_id += 1
-        return cid
+        with self._lock:
+            cid = self._call_id
+            self._call_id += 1
+            return cid
 
     def start_bytes(self) -> bytes:
         """Server hello: the ping sync (flavor.md Connection process)."""
@@ -300,13 +307,15 @@ class FlavorSessionCore:
         return rpc_sync(cid, "pull", payload)
 
     def send_tracks(self, tracks: List[TrackInfo]) -> bytes:
-        for t in tracks:
-            self.tracks[t.track_id] = t
+        with self._lock:
+            for t in tracks:
+                self.tracks[t.track_id] = t
         payload = atom_list([serialize_trak(t) for t in tracks])
         return rpc_asyn(self.next_call_id(), "mdia", payload)
 
     def remove_track(self, track_id: int) -> bytes:
-        self.tracks.pop(track_id, None)
+        with self._lock:
+            self.tracks.pop(track_id, None)
         return rpc_asyn(self.next_call_id(), "rmtk",
                         atom_list([atom_in32(track_id)]))
 
@@ -380,14 +389,22 @@ class FlavorSessionCore:
             return self._grant(call_id, payload, push=False), []
         if call_type == "mdia":
             # track info list from the pushing peer
-            for tag2, b2 in parse_atoms(payload):
-                if tag2 == "list":
-                    for t3, b3 in parse_atoms(b2):
-                        if t3 == "trak":
-                            t = parse_trak(b3)
-                            self.tracks[t.track_id] = t
-            unsupported = [tid for tid, t in self.tracks.items()
-                           if t.fourcc not in FOURCC_TO_FORMAT]
+            with self._lock:
+                for tag2, b2 in parse_atoms(payload):
+                    if tag2 == "list":
+                        for t3, b3 in parse_atoms(b2):
+                            if t3 == "trak":
+                                t = parse_trak(b3)
+                                self.tracks[t.track_id] = t
+                # an unsupported fourcc OR a nonsense time_base (<= 0
+                # would make scale-0 TimePoints that poison mixer math)
+                # is reported AND dropped: keeping the track registered
+                # would later emit its media mislabeled as avc
+                unsupported = [tid for tid, t in self.tracks.items()
+                               if t.fourcc not in FOURCC_TO_FORMAT
+                               or t.time_base <= 0]
+                for tid in unsupported:
+                    self.tracks.pop(tid, None)
             if unsupported:
                 extra = atom_dict({"reason": atom_utf8("unsupported"),
                                    "tracks": atom_list(
@@ -395,12 +412,13 @@ class FlavorSessionCore:
                 return rpc_rply(call_id, 1, extra), []
             return b"", []
         if call_type == "rmtk":
-            for tag2, b2 in parse_atoms(payload):
-                if tag2 == "list":
-                    for t3, b3 in parse_atoms(b2):
-                        if t3 == "in32":
-                            self.tracks.pop(struct.unpack("<i", b3[:4])[0],
-                                            None)
+            with self._lock:
+                for tag2, b2 in parse_atoms(payload):
+                    if tag2 == "list":
+                        for t3, b3 in parse_atoms(b2):
+                            if t3 == "in32":
+                                self.tracks.pop(
+                                    struct.unpack("<i", b3[:4])[0], None)
             return b"", []
         if call_type == "caps":
             extra = atom_dict({
@@ -482,7 +500,12 @@ class FlavorSessionCore:
         for tag, b in parse_atoms(body, off):
             if tag == "data":
                 payload = b
-        fmt = FOURCC_TO_FORMAT.get(track.fourcc, MediaFormat.avc)
+        fmt = FOURCC_TO_FORMAT.get(track.fourcc)
+        if fmt is None or track.time_base <= 0:
+            # never emit media mislabeled with a fallback format, and
+            # never build scale-<=0 TimePoints (registration rejects
+            # these; this guards tracks injected by other paths)
+            return []
         side = {"config": track.extradata} if track.extradata else {}
         token = self.stream_tokens.get(track.stream_id)
         return [CodedMediaSample(
@@ -521,6 +544,7 @@ class FlavorPublisher(Terminal):
                 info.add_sample("net.flavor.dropped", 1)
             return EventBox.nothing(info)
         track = self._format_tracks.get(sample.media_format)
+        cfg = sample.side_data().get("config")
         if track is None:
             fourcc = FORMAT_TO_FOURCC.get(sample.media_format)
             if fourcc is None:
@@ -531,8 +555,18 @@ class FlavorPublisher(Terminal):
                 track_id=self._next_track,
                 time_base=_TIME_BASES.get(sample.media_type, 90000),
                 uses_dts=sample.media_type == MediaType.video,
-                extradata=sample.side_data().get("config"))
+                extradata=cfg)
             self._next_track += 1
+            self._format_tracks[sample.media_format] = track
+            self.conn.write(self.core.send_tracks([track]))
+        elif cfg and cfg != track.extradata:
+            # the first sample of a format may carry no config (it often
+            # rides only keyframes/sequence starts), and SPS/PPS can
+            # change mid-stream: re-declare the track so subscribers
+            # reconstruct samples with the CURRENT extradata instead of
+            # a stale/empty one for the life of the session
+            from dataclasses import replace as _dc_replace
+            track = _dc_replace(track, extradata=cfg)
             self._format_tracks[sample.media_format] = track
             self.conn.write(self.core.send_tracks([track]))
         self.conn.write(self.core.media_bytes(sample, track))

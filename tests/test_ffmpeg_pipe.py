@@ -801,3 +801,78 @@ def test_jittered_file_demux(tmp_path, jittered_mock_ffmpeg):
                                   workspace_id="")
     assert np.array_equal(np.asarray(a.data()[0]),
                           pcm[2 * 1024 * ch:3 * 1024 * ch])
+
+
+# --- round-4 review regressions ---------------------------------------------
+
+def test_avcc_zero_length_nal_skipped():
+    """A 0-length NAL (real-world muxer padding) must be skipped, not
+    treated as end-of-buffer — the slice NALs after it carry the frame."""
+    nal1, nal2 = b"\x65\x11\x22", b"\x41\x33"
+    data = (len(nal1).to_bytes(4, "big") + nal1
+            + (0).to_bytes(4, "big")
+            + len(nal2).to_bytes(4, "big") + nal2)
+    out = ffsub.avcc_to_annexb(data)
+    assert out == (b"\x00\x00\x00\x01" + nal1 + b"\x00\x00\x00\x01" + nal2)
+
+
+def test_adts_bad_length_resyncs():
+    """A syncword with a corrupt length (<7) must resync at the next
+    byte; breaking there would re-feed the same bad header forever."""
+    good = ffsub.adts_header(48000, 2, 4) + b"\xAA\xBB\xCC\xDD"
+    # 0xFFF syncword whose length bits decode to 0
+    bad = bytes([0xFF, 0xF1, 0x4C, 0x80, 0x00, 0x00, 0xFC])
+    frames, rest = ffsub.parse_adts_frames(bad + good)
+    assert frames == [good]
+    assert rest == b""
+
+
+def test_aac_8_channels_config7():
+    """ISO 14496-3: 8 channels (7.1) is channel_configuration 7; raw 8 is
+    a reserved ASC value and packs as config 0 in ADTS."""
+    asc = bitstream.make_asc(48000, 8)
+    assert bitstream.aac_parse_asc(asc)[0] == 8
+    hdr = ffsub.adts_header(48000, 8, 10)
+    assert ((hdr[2] & 1) << 2) | (hdr[3] >> 6) == 7
+    with pytest.raises(ValueError):
+        bitstream.make_asc(48000, 9)
+
+
+def test_opus_packet_samples_toc():
+    """Granule math must follow the packet TOC (RFC 6716 §3.1-3.2), not a
+    fixed 960: 10 ms and 60 ms streams are legal and common."""
+    mk = lambda config, code, extra=b"": bytes([(config << 3) | code]) + extra
+    assert containers.opus_packet_samples(mk(0, 0)) == 480      # SILK 10ms
+    assert containers.opus_packet_samples(mk(3, 0)) == 2880     # SILK 60ms
+    assert containers.opus_packet_samples(mk(13, 0)) == 960     # hybrid 20ms
+    assert containers.opus_packet_samples(mk(16, 0)) == 120     # CELT 2.5ms
+    assert containers.opus_packet_samples(mk(19, 1)) == 1920    # 2x 20ms
+    assert containers.opus_packet_samples(mk(19, 3, bytes([3]))) == 2880
+    assert containers.opus_packet_samples(mk(3, 3, bytes([40]))) == 5760
+    assert containers.opus_packet_samples(b"") == 960           # fallback
+
+
+def test_video_encoder_restarts_on_resolution_change(mock_ffmpeg):
+    """Raw-pipe framing is positional: a mid-stream resolution change must
+    drain the old encoder and restart, not feed differently-sized frames
+    into the old -s WxH pipe (permanent desync)."""
+    enc = FFmpegVideoEncoder(MediaFormat.avc, fps=30)
+    out = []
+    for p in _pict_seq(4, size=(32, 16)):
+        box = enc(p)
+        if box.is_just():
+            out.extend(box.value())
+    assert enc._size == (32, 16)
+    from tests.test_codec import _pict
+    big = _pict((64, 32), value=100).with_(pts=TimePoint(10, 30))
+    box = enc(big)
+    assert not box.is_error()
+    if box.is_just():
+        out.extend(box.value())
+    assert enc._size == (64, 32)        # restarted at the new size
+    out.extend(enc.flush())
+    enc.close()
+    # every old-size frame was drained (4) and the new-size frame encoded
+    assert len(out) == 5
+    assert [c.pts() for c in out] == [TimePoint(i, 30) for i in range(4)] \
+        + [TimePoint(10, 30)]

@@ -227,3 +227,68 @@ def test_publisher_drops_when_backpressured():
     conn.resume_writing()
     assert pub.apply(EventBox.just(sample)).is_just()
     assert len(conn.transport.sent) > n
+
+
+def test_unsupported_track_dropped_and_media_not_mislabeled():
+    """An unsupported fourcc (or nonsense time_base) must be DROPPED at
+    registration, and media atoms must never be emitted with a silent
+    avc fallback label."""
+    import struct
+    srv = fl.FlavorSessionCore(is_server=True, asset_id="s")
+    cli = fl.FlavorSessionCore(is_server=False, asset_id="c")
+    srv.feed(cli.feed(srv.start_bytes())[0])
+    srv.feed(cli.request_push(1, "t"))
+    weird = fl.TrackInfo("MJPG", 1, 9, 1000, False)
+    bad_tb = fl.TrackInfo("AVC1", 1, 10, 0, True)
+    srv.feed(cli.send_tracks([weird, bad_tb]))
+    assert 9 not in srv.tracks and 10 not in srv.tracks
+    # media for the rejected track must be ignored, not emitted as avc
+    good = fl.TrackInfo("AVC1", 1, 11, 600600, True)
+    srv.feed(cli.send_tracks([good]))
+    s = CodedMediaSample(
+        buffer=b"\x00\x01", pts_value=TimePoint(0, 1000),
+        dts_value=TimePoint(0, 1000), media_type=MediaType.video,
+        media_format=MediaFormat.avc, id_asset="cam")
+    _, samples = srv.feed(cli.media_bytes(s, weird))
+    assert samples == []
+    _, samples = srv.feed(cli.media_bytes(s, good))
+    assert len(samples) == 1 and samples[0].media_format == MediaFormat.avc
+
+
+def test_publisher_redeclares_track_on_config_change():
+    """extradata captured once at first sample goes stale: a configless
+    first sample (config rides keyframes) or a mid-stream SPS change must
+    re-declare the track with the CURRENT config."""
+    class _Conn:
+        writable = True
+
+        def __init__(self):
+            self.sent = b""
+
+        def write(self, data):
+            self.sent += data
+
+    conn = _Conn()
+    core = fl.FlavorSessionCore(is_server=False, asset_id="c")
+    pub = fl.FlavorPublisher(conn, core, stream_id=1)
+
+    def sample(cfg, pts):
+        side = {"config": cfg} if cfg else {}
+        return CodedMediaSample(
+            buffer=b"\x00\x01", pts_value=TimePoint(pts, 600600),
+            dts_value=TimePoint(pts, 600600), media_type=MediaType.video,
+            media_format=MediaFormat.avc, id_asset="cam", side=side)
+
+    pub.apply(EventBox.just(sample(None, 0)))       # configless first
+    assert pub._format_tracks[MediaFormat.avc].extradata is None
+    pub.apply(EventBox.just(sample(b"cfg1", 20020)))
+    assert pub._format_tracks[MediaFormat.avc].extradata == b"cfg1"
+    pub.apply(EventBox.just(sample(b"cfg1", 40040)))  # unchanged: no re-send
+    pub.apply(EventBox.just(sample(b"cfg2", 60060)))  # SPS change
+    assert pub._format_tracks[MediaFormat.avc].extradata == b"cfg2"
+    # the receiving side reconstructs with the updated extradata
+    srv = fl.FlavorSessionCore(is_server=True, asset_id="s")
+    srv.peer_pushing = True
+    srv.established = True
+    _, samples = srv.feed(conn.sent)
+    assert samples and samples[-1].side_data().get("config") == b"cfg2"
