@@ -865,6 +865,13 @@ def test_video_encoder_restarts_on_resolution_change(mock_ffmpeg):
     assert enc._size == (32, 16)
     from tests.test_codec import _pict
     big = _pict((64, 32), value=100).with_(pts=TimePoint(10, 30))
+    # prove the restart resets _config BEFORE the new-size stream begins
+    # (a stale record would carry the old size; the mock's fixed SPS
+    # can't distinguish by value, so spy the state at respawn time)
+    cfg_at_respawn = []
+    orig_ensure = enc._ensure
+    enc._ensure = lambda s: (cfg_at_respawn.append(enc._config),
+                             orig_ensure(s))[1]
     box = enc(big)
     assert not box.is_error()
     if box.is_just():
@@ -876,3 +883,5 @@ def test_video_encoder_restarts_on_resolution_change(mock_ffmpeg):
     assert len(out) == 5
     assert [c.pts() for c in out] == [TimePoint(i, 30) for i in range(4)] \
         + [TimePoint(10, 30)]
+    assert cfg_at_respawn == [None]     # stale config dropped at restart
+    assert out[-1].side_data()["config"]  # and regenerated from new SPS

@@ -233,7 +233,6 @@ def test_unsupported_track_dropped_and_media_not_mislabeled():
     """An unsupported fourcc (or nonsense time_base) must be DROPPED at
     registration, and media atoms must never be emitted with a silent
     avc fallback label."""
-    import struct
     srv = fl.FlavorSessionCore(is_server=True, asset_id="s")
     cli = fl.FlavorSessionCore(is_server=False, asset_id="c")
     srv.feed(cli.feed(srv.start_bytes())[0])
