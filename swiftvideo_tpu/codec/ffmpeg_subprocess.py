@@ -295,6 +295,7 @@ class FFmpegVideoDecoder(Tx):
         self._pts_queue: List[TimePoint] = []
         self._meta: Optional[CodedMediaSample] = None
         self._ivf_pts = 0
+        self._primed_config = b""
         super().__init__(self._impl)
 
     def _ensure(self, sample: CodedMediaSample) -> None:
@@ -330,6 +331,7 @@ class FFmpegVideoDecoder(Tx):
             # nothing forever without an error
             proc.close()
             raise
+        self._primed_config = sample.side_data().get("config", b"")
         self._proc = proc
 
     def _write_packet(self, sample: CodedMediaSample) -> None:
@@ -369,6 +371,21 @@ class FFmpegVideoDecoder(Tx):
     def _impl(self, sample: CodedMediaSample) -> EventBox:
         if sample.media_format not in self._FORMATS:
             return EventBox.nothing(sample.info())
+        pending: List[PictureSample] = []
+        cfg = sample.side_data().get("config", b"")
+        if (self._proc is not None and cfg
+                and cfg != self._primed_config
+                and sample.media_format in (MediaFormat.avc,
+                                            MediaFormat.hevc)):
+            # mid-stream parameter-set change (encoders emit a new config
+            # with an IDR, so this is a clean segment boundary): the y4m
+            # output cannot represent a geometry change mid-stream, so
+            # drain the old decoder and re-prime with the new SPS/PPS
+            pending = self.flush()
+            self._proc.close()
+            self._proc = None
+            self._y4m = None
+            self._pts_queue = []
         try:
             self._ensure(sample)
         except Exception as exc:  # noqa: BLE001
@@ -381,6 +398,7 @@ class FFmpegVideoDecoder(Tx):
             out = self._drain()
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("ffmpeg.dec", -1, str(exc)))
+        out = pending + out
         if not out:
             return EventBox.nothing(sample.info())
         return EventBox.just(out)
@@ -685,6 +703,7 @@ class FFmpegAudioDecoder(Tx):
         self._next_pts: Optional[TimePoint] = None
         self._first_pts: Optional[TimePoint] = None
         self._meta: Optional[CodedMediaSample] = None
+        self._primed_config = b""
         self.chunk_samples = chunk_samples
         self.priming_samples = priming_samples
         super().__init__(self._impl)
@@ -714,6 +733,7 @@ class FFmpegAudioDecoder(Tx):
                 "-f", "ogg", "-i", "pipe:0",
                 "-f", "s16le", "-ar", "48000", "-ac", str(channels),
                 "pipe:1"])
+        self._primed_config = config
 
     def _write_packet(self, sample: CodedMediaSample) -> None:
         if sample.media_format == MediaFormat.aac:
@@ -771,6 +791,21 @@ class FFmpegAudioDecoder(Tx):
     def _impl(self, sample: CodedMediaSample) -> EventBox:
         if sample.media_format not in self._FORMATS:
             return EventBox.nothing(sample.info())
+        pending: List[AudioSample] = []
+        cfg = sample.side_data().get("config", b"")
+        if (self._proc is not None and cfg
+                and cfg != self._primed_config):
+            # mid-stream ASC/OpusHead change (rate or channel layout):
+            # the raw PCM pipe framing is positional per the primed
+            # rate/channels — drain and restart, re-anchoring pts at the
+            # new segment
+            pending = self.flush()
+            self._proc.close()
+            self._proc = None
+            self._ogg = None
+            self._carry = b""
+            self._next_pts = None
+            self._first_pts = None
         try:
             self._ensure(sample)
             self._meta = sample
@@ -781,6 +816,7 @@ class FFmpegAudioDecoder(Tx):
         except Exception as exc:  # noqa: BLE001
             return EventBox.error(EventError("ffmpeg.dec.audio", -1,
                                              str(exc)))
+        out = pending + out
         if not out:
             return EventBox.nothing(sample.info())
         return EventBox.just(out)

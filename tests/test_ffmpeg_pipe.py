@@ -885,3 +885,50 @@ def test_video_encoder_restarts_on_resolution_change(mock_ffmpeg):
         + [TimePoint(10, 30)]
     assert cfg_at_respawn == [None]     # stale config dropped at restart
     assert out[-1].side_data()["config"]  # and regenerated from new SPS
+
+
+def test_video_decoder_restarts_on_config_change(mock_ffmpeg):
+    """A mid-stream SPS/PPS change (new config record, always at an IDR)
+    must drain and re-prime the decoder: the y4m output cannot represent
+    a geometry change and the old pipe was primed with stale parameter
+    sets."""
+    import time
+
+    enc1 = FFmpegVideoEncoder(MediaFormat.avc, fps=30)
+    seg1 = []
+    for p in _pict_seq(3, size=(32, 16)):
+        box = enc1(p)
+        if box.is_just():
+            seg1.extend(box.value())
+    seg1.extend(enc1.flush())
+    enc1.close()
+    enc2 = FFmpegVideoEncoder(MediaFormat.avc, fps=30)
+    seg2 = []
+    from tests.test_codec import _pict
+    for i in range(3):
+        p = _pict((64, 32), value=120 + i).with_(pts=TimePoint(100 + i, 30))
+        box = enc2(p)
+        if box.is_just():
+            seg2.extend(box.value())
+    seg2.extend(enc2.flush())
+    enc2.close()
+    # distinct VALID config records (the mock encoder's SPS bytes are
+    # fixed, so stamp each segment with its own avcdcr)
+    pps = bytes([0x68, 0xCE, 0x3C, 0x80])
+    cfg_a = make_avcdcr(bytes([0x67, 0x42, 0xC0, 0x1E, 0x99]), pps)
+    cfg_b = make_avcdcr(bytes([0x67, 0x42, 0xC0, 0x1F, 0x77]), pps)
+    seg1 = [c.with_(side={"config": cfg_a}) for c in seg1]
+    seg2 = [c.with_(side={"config": cfg_b}) for c in seg2]
+    dec = FFmpegVideoDecoder()
+    pics = []
+    for c in seg1 + seg2:
+        box = dec(c)
+        if box.is_just():
+            pics.extend(box.value())
+        time.sleep(0.03)
+    pics.extend(dec.flush())
+    dec.close()
+    assert len(pics) == 6
+    sizes = [p.size() for p in pics]
+    assert sizes[:3] == [(32, 16)] * 3      # old segment fully drained
+    assert sizes[3:] == [(64, 32)] * 3      # new segment at the new size
