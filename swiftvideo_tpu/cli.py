@@ -475,11 +475,26 @@ def cmd_transcode(args: argparse.Namespace) -> int:
 
 def cmd_serve(args: argparse.Namespace) -> int:
     """RTMP ingest server (Examples/RtmpServer): accept every publisher,
-    count media; --record writes Annex-B/ADTS per published stream."""
+    count media; --record writes Annex-B/ADTS per published stream.
+    --workers N forks N-1 children, every process serving the SAME port
+    with SO_REUSEPORT (the kernel shards connections across them) — the
+    scale-out shape for the single-core ingest ceiling, standing in for
+    the reference's SwiftNIO threaded EventLoopGroup."""
     import asyncio
 
     from .core import EventBox, Tx, WallClock
     from .media.coded import MediaFormat, MediaType
+
+    workers = max(1, int(getattr(args, "workers", 1) or 1))
+    reuse_port = workers > 1
+    children: List[int] = []
+    if reuse_port:
+        for _ in range(workers - 1):
+            pid = os.fork()
+            if pid == 0:
+                children = []   # child: serve like the parent
+                break
+            children.append(pid)
 
     async def run() -> int:
         from .net.rtmp import Rtmp
@@ -526,9 +541,9 @@ def cmd_serve(args: argparse.Namespace) -> int:
         clock = WallClock()
         server = Rtmp(clock, on_connection=on_connection,
                       on_ended=lambda a: print("ended:", a, flush=True))
-        await server.serve(args.host, args.port)
-        print(f"rtmp://{args.host}:{args.port}/ (ctrl-c to stop)",
-              flush=True)
+        await server.serve(args.host, args.port, reuse_port=reuse_port)
+        print(f"rtmp://{args.host}:{args.port}/ "
+              f"(pid {os.getpid()}, ctrl-c to stop)", flush=True)
         try:
             if args.max_seconds:
                 await asyncio.sleep(args.max_seconds)
@@ -549,9 +564,15 @@ def cmd_serve(args: argparse.Namespace) -> int:
         return 0
 
     try:
-        return asyncio.run(run())
+        rc = asyncio.run(run())
     except KeyboardInterrupt:
-        return 0
+        rc = 0
+    for pid in children:           # parent: reap worker children
+        try:
+            os.waitpid(pid, 0)
+        except ChildProcessError:
+            pass
+    return rc
 
 
 # --------------------------------------------------------------------------
@@ -658,6 +679,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--record", help="directory to record published streams")
     p.add_argument("--max-seconds", type=float, default=0.0,
                    help="stop after N seconds (0 = run forever)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="SO_REUSEPORT worker processes sharing the port "
+                        "(one asyncio loop saturates a core at ~110x "
+                        "realtime aggregate ingest; run one worker per "
+                        "core to scale out)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("probe", help="print stream parameters as JSON")

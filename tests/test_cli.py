@@ -394,3 +394,79 @@ def test_mix_frame_budget_exact(tmp_path):
                    "--out", str(out)])
     assert rc == 0
     assert len(list(out.glob("*.png"))) == 6  # 60 frames, every 10th
+
+
+def test_serve_workers_reuseport_sharding(tmp_path):
+    """serve --workers 2: both processes bind the same port via
+    SO_REUSEPORT and publishers landing on either worker are recorded —
+    the CLI face of the ingest scale-out shape."""
+    import asyncio
+    import socket
+    import subprocess
+    import time
+
+    from tests.test_bitstream import make_sps
+    from tests.test_ffmpeg_pipe import make_avcdcr
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    rec = tmp_path / "rec"
+    env = dict(os.environ, SV_DEVICE="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "swiftvideo_tpu", "serve",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--workers", "2", "--record", str(rec), "--max-seconds", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)
+    try:
+        # both worker processes announce themselves on the shared stdout
+        pids = set()
+        deadline = time.time() + 10
+        while len(pids) < 2 and time.time() < deadline:
+            line = proc.stdout.readline().decode()
+            if "pid " in line:
+                pids.add(line.split("pid ")[1].split(",")[0])
+        assert len(pids) == 2, f"expected 2 workers, saw {pids}"
+
+        from swiftvideo_tpu.core import EventBox, TimePoint, WallClock
+        from swiftvideo_tpu.media import (CodedMediaSample, MediaFormat,
+                                          MediaType)
+
+        sps = make_sps(2, 1)
+        config = make_avcdcr(sps, b"\x68\xce\x3c\x80")
+
+        async def publish():
+            from swiftvideo_tpu.net.rtmp import Rtmp
+            pubs = []
+            for k in range(6):      # several sessions: kernel shards them
+                client = Rtmp(WallClock())
+                pub, _ = await client.connect(
+                    f"rtmp://127.0.0.1:{port}/live/cam{k}",
+                    max_attempts=3, retry_delay=0.3)
+                pubs.append(pub)
+            await asyncio.sleep(0.3)
+            for i in range(5):
+                for k, pub in enumerate(pubs):
+                    nal = bytes([0x65, k]) + bytes([i]) * 20
+                    pub.apply(EventBox.just(CodedMediaSample(
+                        buffer=len(nal).to_bytes(4, "big") + nal,
+                        pts_value=TimePoint(i * 33, 1000),
+                        dts_value=TimePoint(i * 33, 1000),
+                        media_type=MediaType.video,
+                        media_format=MediaFormat.avc, id_asset=f"cam{k}",
+                        side={"config": config})))
+                await asyncio.sleep(0.01)
+            await asyncio.sleep(0.4)
+            for pub in pubs:
+                pub.close()
+
+        asyncio.run(publish())
+        proc.wait(timeout=15)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    recorded = sorted(p.name for p in rec.glob("*.h264"))
+    assert recorded == [f"live_cam{k}.h264" for k in range(6)], recorded
