@@ -533,7 +533,11 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
         async def on_connection(pub, sub):
             if sub is not None:
-                path = sub.play_path()
+                # Key by the app-qualified path: a bare play_path collides
+                # across apps (/a/cam0 and /b/cam0 would overwrite each
+                # other's recording and share a stats bucket).
+                app = sub.workspace_id()
+                path = f"{app}/{sub.play_path()}" if app else sub.play_path()
                 print(f"publisher: {path}", flush=True)
                 chains.append(sub >> Tx(lambda s, p=path: on_sample(p, s)))
             return True
@@ -542,8 +546,14 @@ def cmd_serve(args: argparse.Namespace) -> int:
         server = Rtmp(clock, on_connection=on_connection,
                       on_ended=lambda a: print("ended:", a, flush=True))
         await server.serve(args.host, args.port, reuse_port=reuse_port)
-        print(f"rtmp://{args.host}:{args.port}/ "
-              f"(pid {os.getpid()}, ctrl-c to stop)", flush=True)
+        # single atomic os.write: with --workers N every process shares
+        # this stdout pipe, and print() can split message/newline into two
+        # writes that interleave across workers, corrupting the announce
+        # lines consumers (tests, orchestration) parse
+        sys.stdout.flush()
+        os.write(sys.stdout.fileno(),
+                 (f"rtmp://{args.host}:{args.port}/ "
+                  f"(pid {os.getpid()}, ctrl-c to stop)\n").encode())
         try:
             if args.max_seconds:
                 await asyncio.sleep(args.max_seconds)

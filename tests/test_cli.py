@@ -273,6 +273,81 @@ def test_serve_records_published_stream(tmp_path):
     assert idrs[3][1] == 3
 
 
+def test_serve_record_paths_app_qualified(tmp_path):
+    """Two publishers on DIFFERENT apps with the SAME stream name must
+    record to distinct, app-qualified files (a bare play_path key would
+    make /a/cam0 and /b/cam0 overwrite each other)."""
+    import asyncio
+    import socket
+    import subprocess
+
+    from tests.test_bitstream import make_sps
+    from tests.test_ffmpeg_pipe import make_avcdcr
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    rec = tmp_path / "rec"
+    env = dict(os.environ, SV_DEVICE="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "swiftvideo_tpu", "serve",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--record", str(rec), "--max-seconds", "6"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)
+    try:
+        line = proc.stdout.readline().decode()
+        assert "rtmp://" in line
+
+        from swiftvideo_tpu.core import EventBox, TimePoint, WallClock
+        from swiftvideo_tpu.media import (CodedMediaSample, MediaFormat,
+                                          MediaType)
+
+        sps = make_sps(2, 1)
+        config = make_avcdcr(sps, b"\x68\xce\x3c\x80")
+
+        async def publish():
+            from swiftvideo_tpu.net.rtmp import Rtmp
+            pubs = []
+            for app in ("a", "b"):
+                client = Rtmp(WallClock())
+                pub, _ = await client.connect(
+                    f"rtmp://127.0.0.1:{port}/{app}/cam0",
+                    max_attempts=3, retry_delay=0.3)
+                pubs.append((app, pub))
+            await asyncio.sleep(0.3)
+            for i in range(5):
+                for k, (app, pub) in enumerate(pubs):
+                    nal = bytes([0x65, 0x10 + k]) + bytes([i]) * 20
+                    pub.apply(EventBox.just(CodedMediaSample(
+                        buffer=len(nal).to_bytes(4, "big") + nal,
+                        pts_value=TimePoint(i * 33, 1000),
+                        dts_value=TimePoint(i * 33, 1000),
+                        media_type=MediaType.video,
+                        media_format=MediaFormat.avc, id_asset="cam0",
+                        side={"config": config})))
+                await asyncio.sleep(0.01)
+            await asyncio.sleep(0.3)
+            for _, pub in pubs:
+                pub.close()
+
+        asyncio.run(publish())
+        proc.wait(timeout=12)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    recorded = sorted(p.name for p in rec.glob("*.h264"))
+    assert recorded == ["a_cam0.h264", "b_cam0.h264"], recorded
+    # the two recordings carry their own publisher's payloads, not a mix
+    from swiftvideo_tpu.codec.ffmpeg_subprocess import split_annexb
+    for k, name in enumerate(recorded):
+        nals = split_annexb((rec / name).read_bytes())
+        idrs = [n for n in nals if n and n[0] & 0x1F == 5]
+        assert idrs and all(n[1] == 0x10 + k for n in idrs), (name, idrs)
+
+
 def test_y4m_writer_fps_from_frame_spacing(tmp_path):
     """The Y4M header frame rate comes from pts spacing, not the pts
     timebase (a 30 fps stream with scale-1000 pts must NOT declare
@@ -422,12 +497,19 @@ def test_serve_workers_reuseport_sharding(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)
     try:
         # both worker processes announce themselves on the shared stdout
+        # generous deadline (1-core box, two interpreter starts), and
+        # regex over the accumulated stream rather than per-line parsing:
+        # the two workers share the stdout pipe
+        import re
         pids = set()
-        deadline = time.time() + 10
+        buf = b""
+        deadline = time.time() + 60
         while len(pids) < 2 and time.time() < deadline:
-            line = proc.stdout.readline().decode()
-            if "pid " in line:
-                pids.add(line.split("pid ")[1].split(",")[0])
+            chunk = proc.stdout.readline()
+            if not chunk:
+                break
+            buf += chunk
+            pids = set(re.findall(rb"pid (\d+)", buf))
         assert len(pids) == 2, f"expected 2 workers, saw {pids}"
 
         from swiftvideo_tpu.core import EventBox, TimePoint, WallClock
