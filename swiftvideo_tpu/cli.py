@@ -332,10 +332,113 @@ class _AudioFileWriter:
         self.fh.close()
 
 
+class _ContainerFileWriter:
+    """Mux video+audio CodedMediaSamples into a real container (mp4/flv/
+    mkv/webm) via libavformat — one shared writer when --video-out and
+    --audio-out name the same file.  Same ``write(sample) -> bool`` duck
+    type as the elementary-stream writers.
+
+    Stream declaration is lazy (geometry/rate parsed from the first
+    sample's config record); packets arriving before every expected
+    stream is declared are buffered, because the container header must
+    list all streams up front."""
+
+    def __init__(self, path: str, *, expect_video: bool, expect_audio: bool):
+        from .codec.avformat import MediaFileWriter
+
+        self.path = path
+        self._mux = MediaFileWriter(path)
+        self._expect = {"video": expect_video, "audio": expect_audio}
+        self._idx = {}
+        self._buffer = []
+        self._started = False
+        self.count = 0
+
+    def _declare(self, sample, kind: str) -> bool:
+        from .codec import bitstream, containers
+        from .codec.ffmpeg_subprocess import sps_pps_from_avcdcr
+        from .media.coded import MediaFormat
+
+        config = sample.side_data().get("config", b"")
+        try:
+            if kind == "video":
+                if sample.media_format == MediaFormat.avc:
+                    sps_list, _ = sps_pps_from_avcdcr(config)
+                    w, h = bitstream.h264_sps_frame_size(sps_list[0])
+                elif sample.media_format == MediaFormat.hevc:
+                    params = containers.params_from_hvcc(config)
+                    w, h = bitstream.h265_sps_frame_size(params[33][0])
+                elif sample.media_format == MediaFormat.vp9:
+                    w, h = bitstream.vp9_frame_size(sample.data())
+                elif sample.media_format == MediaFormat.av1:
+                    w, h = bitstream.av1_frame_size(sample.data())
+                else:
+                    w, h = bitstream.vp8_frame_size(sample.data())
+                self._idx[kind] = self._mux.add_video_stream(
+                    sample.media_format, w, h, config)
+            else:
+                if sample.media_format == MediaFormat.aac:
+                    channels, rate, _ = bitstream.aac_parse_asc(config)
+                else:
+                    head = (containers.parse_opus_head(config)
+                            if config[:8] == b"OpusHead" else None)
+                    channels = head["channels"] if head else 2
+                    rate = 48000
+                self._idx[kind] = self._mux.add_audio_stream(
+                    sample.media_format, rate, channels, config)
+            return True
+        except (ValueError, KeyError, IndexError):
+            return False     # no/corrupt config yet: try again later
+
+    def write(self, sample) -> bool:
+        from .media.coded import MediaType
+
+        kind = ("video" if sample.media_type == MediaType.video
+                else "audio")
+        if not self._expect[kind]:
+            return False
+        if not self._started:
+            if kind not in self._idx and not self._declare(sample, kind):
+                return False
+            if all(k in self._idx
+                   for k, want in self._expect.items() if want):
+                self._started = True
+                self._mux.write_header()
+                for pend_kind, pend in self._buffer:
+                    self._mux.write(self._idx[pend_kind], pend)
+                    self.count += 1
+                self._buffer = []
+            else:
+                self._buffer.append((kind, sample))
+                return True
+        self._mux.write(self._idx[kind], sample)
+        self.count += 1
+        return True
+
+    def close(self) -> None:
+        if not self._started and self._idx:
+            # EOF with an expected track that never arrived: write the
+            # header with the streams that DID declare, drain their
+            # buffered packets (an absent track must not void the file)
+            self._started = True
+            self._mux.write_header()
+            for kind, pend in self._buffer:
+                if kind in self._idx:
+                    self._mux.write(self._idx[kind], pend)
+                    self.count += 1
+            self._buffer = []
+        self._mux.close()
+
+
 _VIDEO_EXT = {".h264": "avc", ".avc": "avc", ".264": "avc",
               ".h265": "hevc", ".hevc": "hevc", ".265": "hevc",
               ".ivf": "vp9", ".y4m": "uncompressed"}
 _AUDIO_EXT = {".aac": "aac", ".adts": "aac", ".opus": "opus"}
+# container outputs (muxed via libavformat): default codec per extension
+_CONTAINER_VCODEC = {".mp4": "avc", ".mov": "avc", ".flv": "avc",
+                     ".mkv": "avc", ".webm": "vp9"}
+_CONTAINER_ACODEC = {".mp4": "aac", ".mov": "aac", ".flv": "aac",
+                     ".mkv": "aac", ".webm": "opus"}
 
 
 def _fmt_for(path: str, table, override: Optional[str]):
@@ -355,7 +458,7 @@ def cmd_transcode(args: argparse.Namespace) -> int:
     import time
 
     from .codec.codecs import (AudioDecoder, AudioEncoder, VideoDecoder,
-                               VideoEncoder, ffmpeg_available)
+                               VideoEncoder, bitstream_backend)
     from .codec.file_source import open_media_file, open_media_file_av
     from .codec.transcode import asset_rename, flat
     from .core import EventBox, StepClock, TimePoint, Tx
@@ -367,12 +470,12 @@ def cmd_transcode(args: argparse.Namespace) -> int:
 
     clock = StepClock(TimePoint(10, 1000))
     vsrc = asrc = None
-    if ffmpeg_available():
+    if bitstream_backend() is not None:
         vsrc, asrc = open_media_file_av(clock, args.input, asset_id="in")
     else:
         vsrc = open_media_file(clock, args.input, asset_id="in")
         if args.audio_out:
-            print("warning: no ffmpeg binary; cv2 path demuxes video only",
+            print("warning: no codec backend; cv2 path demuxes video only",
                   file=sys.stderr)
 
     chains = []
@@ -380,10 +483,32 @@ def cmd_transcode(args: argparse.Namespace) -> int:
     counts = {"video": 0, "audio": 0}
     vdec = venc = adec = aenc = None
 
+    # container outputs: --video-out and --audio-out may name the SAME
+    # mp4/flv/mkv/webm file — one muxer receives both encoded tracks
+    def _container_ext(path):
+        ext = os.path.splitext(path or "")[1].lower()
+        return ext if ext in _CONTAINER_VCODEC else None
+
+    if any(_container_ext(p) for p in (args.video_out, args.audio_out)
+           if p) and bitstream_backend() != "libav":
+        raise SystemExit("container output needs the libav backend")
+    shared_container = None
+    if args.video_out and _container_ext(args.video_out):
+        shared_container = _ContainerFileWriter(
+            args.video_out, expect_video=True,
+            expect_audio=(args.audio_out == args.video_out))
+        writers.append(shared_container)
+
     if args.video_out and vsrc is not None:
-        vfmt = _fmt_for(args.video_out, _VIDEO_EXT, args.vcodec)
-        vw = _VideoFileWriter(args.video_out, vfmt)
-        writers.append(vw)
+        cext = _container_ext(args.video_out)
+        if cext:
+            vfmt = _fmt_for(args.video_out,
+                            {cext: _CONTAINER_VCODEC[cext]}, args.vcodec)
+            vw = shared_container
+        else:
+            vfmt = _fmt_for(args.video_out, _VIDEO_EXT, args.vcodec)
+            vw = _VideoFileWriter(args.video_out, vfmt)
+            writers.append(vw)
         vdec, venc = VideoDecoder(), VideoEncoder(vfmt)
 
         def wv(s, _w=vw):
@@ -398,9 +523,21 @@ def cmd_transcode(args: argparse.Namespace) -> int:
         chains.append(vsrc >> asset_rename("out") >> vdec >> flat(venc)
                       >> wv_tx)
     if args.audio_out and asrc is not None:
-        afmt = _fmt_for(args.audio_out, _AUDIO_EXT, args.acodec)
-        aw = _AudioFileWriter(args.audio_out, afmt)
-        writers.append(aw)
+        aext = _container_ext(args.audio_out)
+        if aext:
+            afmt = _fmt_for(args.audio_out,
+                            {aext: _CONTAINER_ACODEC[aext]}, args.acodec)
+            if args.audio_out == args.video_out:
+                aw = shared_container      # one muxed A+V file
+            else:
+                aw = _ContainerFileWriter(args.audio_out,
+                                          expect_video=False,
+                                          expect_audio=True)
+                writers.append(aw)
+        else:
+            afmt = _fmt_for(args.audio_out, _AUDIO_EXT, args.acodec)
+            aw = _AudioFileWriter(args.audio_out, afmt)
+            writers.append(aw)
         adec, aenc = AudioDecoder(), AudioEncoder(afmt, 1024)
         src_stage = AudioSampleRateConversion(args.rate, 2, AudioFormat.s16i)
 
@@ -423,8 +560,16 @@ def cmd_transcode(args: argparse.Namespace) -> int:
             time.sleep(0.02)      # paced: let the codec subprocesses run
         if all(not getattr(s, "_playing", False)
                for s in (vsrc, asrc) if s is not None):
-            # drain: read-ahead-scheduled emits + subprocess replies
-            for _ in range(64):
+            # drain: the sources stopped pulling, but their read-ahead
+            # (2 s of stream time) is still scheduled on the clock — step
+            # until the schedule queue is empty, not a guessed tick count
+            drained = 0
+            while clock.pending_count() and drained < 4096:
+                clock.step()
+                drained += 1
+                if drained % 32 == 31:
+                    time.sleep(0.02)   # let codec subprocess replies land
+            for _ in range(8):         # subprocess-backend reply tail
                 clock.step()
                 time.sleep(0.005)
             break

@@ -2,12 +2,14 @@
 
 from . import bitstream, containers
 from .codecs import (AudioDecoder, AudioEncoder, VideoDecoder, VideoEncoder,
-                     ffmpeg_available, pack_uncompressed_audio,
-                     pack_uncompressed_picture, unpack_uncompressed_audio,
-                     unpack_uncompressed_picture)
+                     bitstream_backend, ffmpeg_available, libav_available,
+                     pack_uncompressed_audio, pack_uncompressed_picture,
+                     unpack_uncompressed_audio, unpack_uncompressed_picture)
 from .ffmpeg_subprocess import (FFmpegAudioDecoder, FFmpegAudioEncoder,
                                 FFmpegVideoDecoder, FFmpegVideoEncoder,
                                 ffmpeg_path)
+from .libav import (LibavAudioDecoder, LibavAudioEncoder, LibavVideoDecoder,
+                    LibavVideoEncoder)
 from .file_source import (SyntheticSource, open_media_file,
                           open_media_file_av)
 from .text import TextRenderer, TextSample, render_text_rgba
@@ -17,7 +19,10 @@ from .transcode import (TranscodeContainer, asset_rename, flat,
 __all__ = [
     "bitstream", "containers",
     "VideoDecoder", "VideoEncoder", "AudioDecoder", "AudioEncoder",
-    "ffmpeg_available", "pack_uncompressed_picture",
+    "ffmpeg_available", "libav_available", "bitstream_backend",
+    "LibavVideoDecoder", "LibavVideoEncoder",
+    "LibavAudioDecoder", "LibavAudioEncoder",
+    "pack_uncompressed_picture",
     "unpack_uncompressed_picture", "pack_uncompressed_audio",
     "unpack_uncompressed_audio",
     "SyntheticSource", "open_media_file", "open_media_file_av",

@@ -42,6 +42,31 @@ def ffmpeg_available() -> bool:
     return ffmpeg_path() is not None
 
 
+def libav_available() -> bool:
+    from .libav import libav_available as _avail
+    return _avail()
+
+
+def bitstream_backend() -> Optional[str]:
+    """Which real-codec backend handles avc/hevc/vp8/vp9/av1/aac/opus:
+    ``"libav"`` (in-process libavcodec via csrc/libav_shim.cpp — the same
+    linkage model as the reference's SwiftFFmpeg) or ``"subprocess"`` (a
+    piped ffmpeg binary).  ``SV_CODEC_BACKEND`` forces one; in auto mode an
+    explicit ``SWIFTVIDEO_FFMPEG`` override wins (tests point it at mock
+    binaries), then in-process libav, then a PATH ffmpeg binary."""
+    import os
+    mode = os.environ.get("SV_CODEC_BACKEND", "auto")
+    if mode == "subprocess":
+        return "subprocess" if ffmpeg_available() else None
+    if mode == "libav":
+        return "libav" if libav_available() else None
+    if os.environ.get("SWIFTVIDEO_FFMPEG") and ffmpeg_available():
+        return "subprocess"
+    if libav_available():
+        return "libav"
+    return "subprocess" if ffmpeg_available() else None
+
+
 # --- uncompressed picture packing -----------------------------------------
 
 def pack_uncompressed_picture(sample: PictureSample) -> bytes:
@@ -147,16 +172,21 @@ class VideoDecoder(Tx):
                                          MediaFormat.apng):
                 pict = _decode_image_cv2(sample)
             elif sample.media_format in _BITSTREAM_VIDEO and \
-                    ffmpeg_available():
+                    (backend := bitstream_backend()) is not None:
                 if self._ffmpeg is None:
-                    from .ffmpeg_subprocess import FFmpegVideoDecoder
-                    self._ffmpeg = FFmpegVideoDecoder()
+                    if backend == "libav":
+                        from .libav import LibavVideoDecoder
+                        self._ffmpeg = LibavVideoDecoder()
+                    else:
+                        from .ffmpeg_subprocess import FFmpegVideoDecoder
+                        self._ffmpeg = FFmpegVideoDecoder()
                 return self._ffmpeg(sample)
             else:
                 return EventBox.error(EventError(
                     "dec.video", -10,
                     f"no backend for {sample.media_format.name}"
-                    + ("" if ffmpeg_available() else " (ffmpeg not present)")))
+                    + ("" if bitstream_backend()
+                       else " (no libav shim or ffmpeg binary)")))
             return EventBox.just(pict.with_(
                 pts=sample.pts(), time=sample.time(),
                 constituents=sample.constituents(),
@@ -188,11 +218,17 @@ class VideoEncoder(Tx):
         super().__init__(self._impl)
 
     def _impl(self, sample: PictureSample) -> EventBox:
-        if self.fmt in _BITSTREAM_VIDEO and ffmpeg_available():
+        if self.fmt in _BITSTREAM_VIDEO and \
+                (backend := bitstream_backend()) is not None:
             if self._ffmpeg is None:
-                from .ffmpeg_subprocess import FFmpegVideoEncoder
-                self._ffmpeg = FFmpegVideoEncoder(self.fmt,
-                                                  **self._ffmpeg_kwargs)
+                if backend == "libav":
+                    from .libav import LibavVideoEncoder
+                    self._ffmpeg = LibavVideoEncoder(self.fmt,
+                                                     **self._ffmpeg_kwargs)
+                else:
+                    from .ffmpeg_subprocess import FFmpegVideoEncoder
+                    self._ffmpeg = FFmpegVideoEncoder(self.fmt,
+                                                      **self._ffmpeg_kwargs)
             return self._ffmpeg(sample)
         try:
             if self.fmt == MediaFormat.uncompressed:
@@ -218,7 +254,8 @@ class VideoEncoder(Tx):
                 return EventBox.error(EventError(
                     "enc.video", -10,
                     f"no backend for {self.fmt.name}"
-                    + ("" if ffmpeg_available() else " (ffmpeg not present)")))
+                    + ("" if bitstream_backend()
+                       else " (no libav shim or ffmpeg binary)")))
             return EventBox.just(CodedMediaSample(
                 buffer=data, pts_value=sample.pts(), dts_value=sample.pts(),
                 media_type=MediaType.video, media_format=self.fmt,
@@ -260,14 +297,20 @@ class AudioDecoder(Tx):
             return EventBox.just(audio.with_(pts=sample.pts(),
                                              time=sample.time(),
                                              event_info=sample.info()))
-        if sample.media_format in _BITSTREAM_AUDIO and ffmpeg_available():
+        if sample.media_format in _BITSTREAM_AUDIO and \
+                (backend := bitstream_backend()) is not None:
             if self._ffmpeg is None:
-                from .ffmpeg_subprocess import FFmpegAudioDecoder
-                self._ffmpeg = FFmpegAudioDecoder()
+                if backend == "libav":
+                    from .libav import LibavAudioDecoder
+                    self._ffmpeg = LibavAudioDecoder()
+                else:
+                    from .ffmpeg_subprocess import FFmpegAudioDecoder
+                    self._ffmpeg = FFmpegAudioDecoder()
             return self._ffmpeg(sample)
         return EventBox.error(EventError(
             "dec.audio", -10, f"no backend for {sample.media_format.name}"
-            + ("" if ffmpeg_available() else " (ffmpeg not present)")))
+            + ("" if bitstream_backend()
+               else " (no libav shim or ffmpeg binary)")))
 
     def flush(self):
         return self._ffmpeg.flush() if self._ffmpeg is not None else []
@@ -293,16 +336,23 @@ class AudioEncoder(Tx):
 
     def _impl(self, sample: AudioSample) -> EventBox:
         from ..mix.segmenter import AudioPacketSegmenter
-        if self.fmt in _BITSTREAM_AUDIO and ffmpeg_available():
+        if self.fmt in _BITSTREAM_AUDIO and \
+                (backend := bitstream_backend()) is not None:
             if self._ffmpeg is None:
-                from .ffmpeg_subprocess import FFmpegAudioEncoder
-                self._ffmpeg = FFmpegAudioEncoder(self.fmt,
-                                                  **self._ffmpeg_kwargs)
+                if backend == "libav":
+                    from .libav import LibavAudioEncoder
+                    self._ffmpeg = LibavAudioEncoder(self.fmt,
+                                                     **self._ffmpeg_kwargs)
+                else:
+                    from .ffmpeg_subprocess import FFmpegAudioEncoder
+                    self._ffmpeg = FFmpegAudioEncoder(self.fmt,
+                                                      **self._ffmpeg_kwargs)
             return self._ffmpeg(sample)
         if self.fmt != MediaFormat.uncompressed:
             return EventBox.error(EventError(
                 "enc.audio", -10, f"no backend for {self.fmt.name}"
-                + ("" if ffmpeg_available() else " (ffmpeg not present)")))
+                + ("" if bitstream_backend()
+                   else " (no libav shim or ffmpeg binary)")))
         if self._segmenter is None:
             self._segmenter = AudioPacketSegmenter(
                 TimePoint(self.frame_size, sample.sample_rate()))

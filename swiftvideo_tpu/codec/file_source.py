@@ -140,25 +140,32 @@ def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
                        sample_rate: int = 48000, channels: int = 2,
                        audio_chunk: int = 1024):
     """Demux EVERY track of a container file like the reference
-    (file.ffmpeg.swift:44-72 maps all streams), via the gated ffmpeg
-    subprocess backend: returns ``(video_source, audio_source_or_None)``.
+    (file.ffmpeg.swift:44-72 maps all streams): returns
+    ``(video_source, audio_source_or_None)``.
 
-    Two decoder processes run faster than realtime behind blocking pullers;
-    the SyntheticSource pacing (2 s read-ahead, 250 ms emit-ahead) applies
-    per track.  Audio is emitted as uncompressed s16i CodedMediaSamples in
-    ``audio_chunk``-sample packets.  Requires an ffmpeg binary; the
-    cv2-backed :func:`open_media_file` below is the video-only fallback.
+    Prefers the in-process libav backend (real demux + decode, loop
+    support via container seek); falls back to the gated ffmpeg subprocess
+    backend.  The SyntheticSource pacing (2 s read-ahead, 250 ms
+    emit-ahead) applies per track.  Audio is emitted as uncompressed s16i
+    CodedMediaSamples in ``audio_chunk``-sample packets at
+    ``sample_rate``/``channels``.
     """
     import subprocess
-    from .codecs import pack_uncompressed_audio
+    from .codecs import bitstream_backend, pack_uncompressed_audio
     from .ffmpeg_subprocess import ffmpeg_path
     from .containers import Y4MReader
     from ..media.audio import AudioSample
     import numpy as np
 
+    if bitstream_backend() == "libav":
+        return _open_media_file_libav(
+            clock, path, asset_id=asset_id, workspace_id=workspace_id,
+            loop=loop, sample_rate=sample_rate, channels=channels,
+            audio_chunk=audio_chunk)
+
     exe = ffmpeg_path()
     if exe is None:
-        raise RuntimeError("ffmpeg binary not available "
+        raise RuntimeError("no libav shim or ffmpeg binary "
                            "(use open_media_file for cv2 video-only)")
 
     def spawn(args):
@@ -280,6 +287,185 @@ def open_media_file_av(clock: Clock, path: str, *, asset_id: str = "file",
         audio_src.on_close = lambda: reap(aproc)
     else:
         reap(aproc)
+    return video, audio_src
+
+
+def _open_media_file_libav(clock: Clock, path: str, *, asset_id: str,
+                           workspace_id: str, loop: bool, sample_rate: int,
+                           channels: int, audio_chunk: int):
+    """In-process demux + decode FileSource backend: one MediaFileReader
+    shared by per-track pullers (packets interleave in container order,
+    so each puller pumps the shared reader and queues the other track's
+    output).  Loop rewinds via container seek + decoder restart — the
+    reference's seek-and-rebase (file.ffmpeg.swift:101-113,208-216)."""
+    import numpy as np
+
+    from ..media.audio import AudioSample
+    from ..mix.src_audio import AudioSampleRateConversion
+    from .avformat import MediaFileReader
+    from .codecs import pack_uncompressed_audio
+    from .libav import LibavAudioDecoder, LibavVideoDecoder
+
+    reader = MediaFileReader(path, asset_id=asset_id,
+                             workspace_id=workspace_id)
+    vstream = next((s for s in reader.streams
+                    if s.media_type == MediaType.video
+                    and s.media_format is not None), None)
+    astream = next((s for s in reader.streams
+                    if s.media_type == MediaType.audio
+                    and s.media_format is not None), None)
+    if vstream is None and astream is None:
+        reader.close()
+        raise ValueError(f"no decodable streams in {path}")
+
+    st = {"packets": reader.packets(), "eof": False, "closed": False,
+          "vq": [], "aq": [], "pcm": None,
+          "vdec": LibavVideoDecoder() if vstream is not None else None,
+          "adec": LibavAudioDecoder() if astream is not None else None,
+          "src": (AudioSampleRateConversion(sample_rate, channels, "s16i")
+                  if astream is not None else None)}
+    lock = threading.Lock()
+
+    def push_video(picts) -> None:
+        for pict in picts:
+            st["vq"].append(CodedMediaSample(
+                buffer=pack_uncompressed_picture(pict),
+                pts_value=pict.pts(), dts_value=pict.pts(),
+                media_type=MediaType.video,
+                media_format=MediaFormat.uncompressed,
+                id_asset=asset_id, id_workspace=workspace_id))
+
+    def push_audio(samples) -> None:
+        for audio in samples:
+            box = st["src"](audio)
+            if box.is_just():
+                _append_pcm(box.value())
+
+    def _append_pcm(converted) -> None:
+        for audio in (converted if isinstance(converted, list)
+                      else [converted]):
+            pcm = np.asarray(audio.data()[0]).reshape(-1, channels)
+            st["pcm"] = (pcm if st["pcm"] is None
+                         else np.concatenate([st["pcm"], pcm], axis=0))
+        while st["pcm"] is not None and st["pcm"].shape[0] >= audio_chunk:
+            chunk, st["pcm"] = (st["pcm"][:audio_chunk],
+                                st["pcm"][audio_chunk:])
+            _emit_audio_chunk(chunk)
+
+    def _emit_audio_chunk(chunk) -> None:
+        audio = AudioSample(
+            buffers=(np.ascontiguousarray(chunk).reshape(-1),),
+            frequency=sample_rate, channels=channels, format="s16i",
+            sample_count=chunk.shape[0], id_asset=asset_id,
+            id_workspace=workspace_id)
+        st["aq"].append(CodedMediaSample(
+            buffer=pack_uncompressed_audio(audio),
+            pts_value=TimePoint(0, 1000), dts_value=TimePoint(0, 1000),
+            media_type=MediaType.audio,
+            media_format=MediaFormat.uncompressed,
+            id_asset=asset_id, id_workspace=workspace_id))
+
+    def _finish_eof() -> None:
+        if st["vdec"] is not None:
+            push_video(st["vdec"].flush())
+        if st["adec"] is not None:
+            push_audio(st["adec"].flush())
+            for tail in st["src"].flush():
+                _append_pcm(tail)
+            if st["pcm"] is not None and st["pcm"].shape[0]:
+                _emit_audio_chunk(st["pcm"])
+                st["pcm"] = None
+        st["eof"] = True
+
+    def pump(queue_key: str) -> None:
+        """Demux until the wanted queue has something or the file ends."""
+        while not st[queue_key] and not st["eof"]:
+            try:
+                idx, sample = next(st["packets"])
+            except StopIteration:
+                _finish_eof()
+                return
+            if vstream is not None and idx == vstream.index:
+                box = st["vdec"](sample)
+                if box.is_just():
+                    push_video(box.value())
+            elif astream is not None and idx == astream.index:
+                box = st["adec"](sample)
+                if box.is_just():
+                    push_audio(box.value())
+
+    def restart() -> None:
+        """Loop: rewind the container and restart both decode chains."""
+        reader.seek_start()
+        if st["vdec"] is not None:
+            st["vdec"].close()
+            st["vdec"] = LibavVideoDecoder()
+        if st["adec"] is not None:
+            st["adec"].close()
+            st["adec"] = LibavAudioDecoder()
+            st["src"] = AudioSampleRateConversion(sample_rate, channels,
+                                                  "s16i")
+            st["pcm"] = None
+        st["packets"] = reader.packets()
+        st["eof"] = False
+
+    def make_puller(queue_key: str):
+        def puller(index: int) -> Optional[CodedMediaSample]:
+            with lock:
+                if st["closed"]:
+                    return None
+                pump(queue_key)
+                if not st[queue_key] and st["eof"] and loop:
+                    # both tracks drained? rewind once; samples still
+                    # queued on the OTHER track keep stream order there
+                    restart()
+                    pump(queue_key)
+                if st[queue_key]:
+                    return st[queue_key].pop(0)
+                return None
+        return puller
+
+    def close_all() -> None:
+        with lock:
+            if st["closed"]:
+                return
+            st["closed"] = True
+            if st["vdec"] is not None:
+                st["vdec"].close()
+            if st["adec"] is not None:
+                st["adec"].close()
+            reader.close()
+
+    video = None
+    if vstream is not None:
+        num, den = vstream.fps if vstream.fps[0] else (30, 1)
+        video = SyntheticSource(
+            clock, make_puller("vq"),
+            frame_duration=TimePoint(den * 1000, num * 1000),
+            asset_id=asset_id, workspace_id=workspace_id, loop=loop)
+        video.on_close = close_all
+
+    audio_src = None
+    if astream is not None:
+        # probe one chunk: audio-less containers return None
+        head = make_puller("aq")(0)
+        if head is not None:
+            queued = [head]
+            pull = make_puller("aq")
+
+            def apull(index: int) -> Optional[CodedMediaSample]:
+                if queued:
+                    return queued.pop(0)
+                return pull(index)
+
+            audio_src = SyntheticSource(
+                clock, apull,
+                frame_duration=TimePoint(audio_chunk, sample_rate),
+                asset_id=asset_id, workspace_id=workspace_id, loop=loop)
+            audio_src.on_close = (close_all if video is None
+                                  else (lambda: None))
+    if video is None and audio_src is not None:
+        audio_src.on_close = close_all
     return video, audio_src
 
 

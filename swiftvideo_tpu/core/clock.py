@@ -173,6 +173,14 @@ class StepClock:
             with self._lock:
                 self._scheduled.append((at, fn))
 
+    def pending_count(self) -> int:
+        """Number of not-yet-due scheduled callbacks.  Drivers that step
+        the clock to exhaustion (CLI transcode drain) poll this instead of
+        guessing a fixed tick budget — a FileSource's read-ahead can leave
+        minutes of emits scheduled past the moment pulling hits EOF."""
+        with self._lock:
+            return len(self._scheduled)
+
     def _run_events(self) -> TimePoint:
         cur = self.current()
         with self._lock:

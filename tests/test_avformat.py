@@ -1,0 +1,239 @@
+"""Real container contact: mux and demux MP4/FLV/MKV via libavformat.
+
+A real MP4 is authored with real libx264 + AAC packets, then demuxed and
+decoded back — end-to-end real-media coverage of the FileSource stream
+mapping the reference gets from file.ffmpeg.swift:44-72.
+"""
+
+import numpy as np
+import pytest
+
+from swiftvideo_tpu.codec.libav import (LibavAudioDecoder, LibavAudioEncoder,
+                                        LibavVideoDecoder, LibavVideoEncoder,
+                                        libav_available)
+from swiftvideo_tpu.core import TimePoint
+from swiftvideo_tpu.core.time import seconds
+from swiftvideo_tpu.media.coded import MediaFormat, MediaType
+
+pytestmark = pytest.mark.skipif(not libav_available(),
+                                reason="libav shim not available")
+
+
+def _encode_media(n_frames=10, w=64, h=48):
+    """Real AVC packets + real AAC packets with aligned timelines."""
+    from tests.test_libav import make_audio, make_frame
+    venc = LibavVideoEncoder(MediaFormat.avc, bitrate=300_000, fps=30)
+    vpkts = []
+    for i in range(n_frames):
+        box = venc(make_frame(w, h, i))
+        if box.is_just():
+            vpkts.extend(box.value())
+    vpkts.extend(venc.flush())
+    venc.close()
+    aenc = LibavAudioEncoder(MediaFormat.aac, bitrate=96_000)
+    apkts = []
+    for i in range(n_frames):
+        box = aenc(make_audio(i, n=1600))   # 1600 smp/frame @ 48k = 33.3 ms
+        if box.is_just():
+            apkts.extend(box.value())
+    apkts.extend(aenc.flush())
+    aenc.close()
+    return vpkts, apkts
+
+
+def _write_mp4(path, vpkts, apkts, container=None):
+    from swiftvideo_tpu.codec.avformat import MediaFileWriter
+    with MediaFileWriter(str(path), format=container) as mux:
+        v = mux.add_video_stream(MediaFormat.avc, 64, 48,
+                                 vpkts[0].side_data()["config"])
+        a = mux.add_audio_stream(MediaFormat.aac, 48000, 2,
+                                 apkts[0].side_data()["config"])
+        for p in vpkts:
+            mux.write(v, p, duration=TimePoint(33, 1000))
+        for p in apkts:
+            mux.write(a, p, duration=TimePoint(1024, 48000))
+
+
+@pytest.mark.parametrize("ext,container,a_exact", [
+    ("mp4", None, True),          # mp4 audio tb == sample rate: exact pts
+    ("flv", None, False),         # flv/mkv timestamps are 1/1000: ±0.5 ms
+    ("mkv", "matroska", False)])
+def test_mux_demux_roundtrip(tmp_path, ext, container, a_exact):
+    """Packets written into a container come back byte-identical with
+    exact pts and the config record recovered from the container header."""
+    from swiftvideo_tpu.codec.avformat import MediaFileReader
+    vpkts, apkts = _encode_media()
+    path = tmp_path / f"t.{ext}"
+    _write_mp4(path, vpkts, apkts, container)
+    assert path.stat().st_size > 1000
+
+    with MediaFileReader(str(path), asset_id="f") as reader:
+        kinds = {s.media_format for s in reader.streams}
+        assert kinds == {MediaFormat.avc, MediaFormat.aac}
+        vstream = next(s for s in reader.streams
+                       if s.media_format == MediaFormat.avc)
+        astream = next(s for s in reader.streams
+                       if s.media_format == MediaFormat.aac)
+        assert (vstream.width, vstream.height) == (64, 48)
+        assert (astream.sample_rate, astream.channels) == (48000, 2)
+        # the container carries the real avcC / ASC records
+        assert vstream.config == vpkts[0].side_data()["config"]
+        assert astream.config == apkts[0].side_data()["config"]
+        got_v, got_a = [], []
+        for idx, sample in reader.packets():
+            (got_v if sample.media_type == MediaType.video
+             else got_a).append(sample)
+    assert [p.data() for p in got_v] == [p.data() for p in vpkts]
+    assert len(got_a) == len(apkts)
+    # exact pts round trip through the container time base
+    for orig, got in zip(vpkts, got_v):
+        assert seconds(got.pts()) == pytest.approx(
+            seconds(orig.pts()), abs=1.5e-4)
+    for orig, got in zip(apkts, got_a):
+        if a_exact:
+            assert got.pts() == orig.pts()
+        else:
+            assert seconds(got.pts()) == pytest.approx(
+                seconds(orig.pts()), abs=1.1e-3)
+
+
+def test_demuxed_packets_decode(tmp_path):
+    """Demuxed MP4 packets feed the decoders directly (the side config from
+    the container primes them) and every frame/sample decodes."""
+    vpkts, apkts = _encode_media(n_frames=6)
+    path = tmp_path / "t.mp4"
+    _write_mp4(path, vpkts, apkts)
+    from swiftvideo_tpu.codec.avformat import MediaFileReader
+    vdec, adec = LibavVideoDecoder(), LibavAudioDecoder()
+    frames, pcm = [], []
+    with MediaFileReader(str(path)) as reader:
+        for _idx, sample in reader.packets():
+            if sample.media_type == MediaType.video:
+                box = vdec(sample)
+                if box.is_just():
+                    frames.extend(box.value())
+                assert not box.is_error(), box.err()
+            else:
+                box = adec(sample)
+                if box.is_just():
+                    pcm.extend(box.value())
+                assert not box.is_error(), box.err()
+    frames.extend(vdec.flush())
+    pcm.extend(adec.flush())
+    vdec.close()
+    adec.close()
+    assert len(frames) == 6
+    assert all(f.size() == (64, 48) for f in frames)
+    assert sum(a.number_samples() for a in pcm) >= 6 * 1600 - 1024
+
+
+def test_seek_start_replays(tmp_path):
+    """seek_start() rewinds the demuxer for FileSource looping."""
+    from swiftvideo_tpu.codec.avformat import MediaFileReader
+    vpkts, apkts = _encode_media(n_frames=4)
+    path = tmp_path / "t.mp4"
+    _write_mp4(path, vpkts, apkts)
+    with MediaFileReader(str(path)) as reader:
+        first = [s.data() for _i, s in reader.packets()
+                 if s.media_type == MediaType.video]
+        reader.seek_start()
+        second = [s.data() for _i, s in reader.packets()
+                  if s.media_type == MediaType.video]
+    assert first and first == second
+
+
+def test_file_source_real_mp4(tmp_path):
+    """FileSource over a REAL MP4 through the in-process backend: both
+    tracks arrive paced, video at container fps, audio resampled/chunked
+    (file.ffmpeg.swift:44-72 topology with real media)."""
+    from swiftvideo_tpu.codec.codecs import (unpack_uncompressed_audio,
+                                             unpack_uncompressed_picture)
+    from swiftvideo_tpu.codec.file_source import open_media_file_av
+    from swiftvideo_tpu.core import EventBox, StepClock, Tx
+
+    vpkts, apkts = _encode_media(n_frames=10)
+    path = tmp_path / "clip.mp4"
+    _write_mp4(path, vpkts, apkts)
+
+    clock = StepClock(TimePoint(20, 1000))
+    vsrc, asrc = open_media_file_av(clock, str(path), asset_id="clip",
+                                    audio_chunk=1024)
+    assert vsrc is not None and asrc is not None
+    vids, auds = [], []
+    vchain = vsrc >> Tx(lambda s: (vids.append(s), EventBox.just(s))[1])
+    achain = asrc >> Tx(lambda s: (auds.append(s), EventBox.just(s))[1])
+    vsrc.play()
+    asrc.play()
+    for _ in range(400):
+        clock.step()
+    assert len(vids) == 10
+    # container-derived fps: the authored pts step is 33 ms, so the mp4
+    # reports 1000/33 fps and pacing follows the container, not a guess
+    assert seconds(vids[1].pts() - vids[0].pts()) == pytest.approx(0.033)
+    pic = unpack_uncompressed_picture(vids[0].data(), asset_id="clip",
+                                      workspace_id="")
+    assert pic.size() == (64, 48)
+    # decoded real x264 content: compare against the original frame
+    from tests.test_libav import make_frame
+    ref = np.asarray(make_frame(64, 48, 0).planes()[0]).astype(np.int16)
+    got = np.asarray(pic.planes()[0]).astype(np.int16)
+    assert float(np.abs(got - ref).mean()) < 12.0
+    # ~10*1600 samples decoded (minus AAC delay) in exact 1024 chunks
+    assert len(auds) >= 13
+    a = unpack_uncompressed_audio(auds[0].data(), asset_id="clip",
+                                  workspace_id="")
+    assert a.number_samples() == 1024
+    assert a.sample_rate() == 48000 and a.number_channels() == 2
+    vsrc.close()
+    asrc.close()
+
+
+def test_file_source_real_mp4_loops(tmp_path):
+    """loop=True rewinds the real container (seek + decoder restart) —
+    the subprocess backend could not do this (one-shot pipes)."""
+    from swiftvideo_tpu.codec.codecs import unpack_uncompressed_picture
+    from swiftvideo_tpu.codec.file_source import open_media_file_av
+    from swiftvideo_tpu.core import EventBox, StepClock, Tx
+
+    vpkts, apkts = _encode_media(n_frames=4)
+    path = tmp_path / "clip.mp4"
+    _write_mp4(path, vpkts, apkts)
+    clock = StepClock(TimePoint(20, 1000))
+    vsrc, asrc = open_media_file_av(clock, str(path), asset_id="clip",
+                                    loop=True)
+    vids = []
+    vchain = vsrc >> Tx(lambda s: (vids.append(s), EventBox.just(s))[1])
+    if asrc is not None:
+        asrc.play()
+    vsrc.play()
+    for _ in range(600):
+        clock.step()
+        if len(vids) >= 10:
+            break
+    assert len(vids) >= 10        # 4-frame file looped 2+ times
+    # frame content repeats with period 4; pts keeps advancing
+    p0 = unpack_uncompressed_picture(vids[0].data(), asset_id="c",
+                                     workspace_id="")
+    p4 = unpack_uncompressed_picture(vids[4].data(), asset_id="c",
+                                     workspace_id="")
+    y0 = np.asarray(p0.planes()[0]).astype(np.int16)
+    y4 = np.asarray(p4.planes()[0]).astype(np.int16)
+    assert float(np.abs(y0 - y4).mean()) < 6.0
+    assert vids[4].pts() > vids[3].pts()
+    vsrc.close()
+    if asrc is not None:
+        asrc.close()
+
+
+def test_reader_reports_duration_and_fps(tmp_path):
+    from swiftvideo_tpu.codec.avformat import MediaFileReader
+    vpkts, apkts = _encode_media(n_frames=10)
+    path = tmp_path / "t.mp4"
+    _write_mp4(path, vpkts, apkts)
+    with MediaFileReader(str(path)) as reader:
+        v = next(s for s in reader.streams
+                 if s.media_format == MediaFormat.avc)
+        assert v.duration is not None
+        assert seconds(v.duration) == pytest.approx(10 / 30, rel=0.1)
+        num, den = v.fps
+        assert num / den == pytest.approx(30, rel=0.05)

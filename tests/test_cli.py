@@ -116,6 +116,52 @@ def test_transcode_uncompressed_y4m_flush_tail(tmp_path, mock_ffmpeg):
     assert data.count(b"FRAME") == 5       # every decoded frame written
 
 
+def test_transcode_container_passes_every_frame(tmp_path, monkeypatch):
+    """Real-media CLI transcode: mp4 in -> hevc+opus mkv out, and EVERY
+    source frame reaches the output.  Regression: the post-EOF drain used
+    a fixed 64-tick budget, but a FileSource's 2 s read-ahead leaves the
+    whole tail scheduled on the clock the moment pulling hits EOF — a
+    45-frame file came out as 13 frames (StepClock.pending_count drain)."""
+    from swiftvideo_tpu.codec.codecs import bitstream_backend
+    from swiftvideo_tpu.codec.libav import LibavVideoDecoder
+    monkeypatch.delenv("SWIFTVIDEO_FFMPEG", raising=False)
+    if bitstream_backend() != "libav":
+        pytest.skip("libav backend not available")
+    from tests.test_avformat import _encode_media, _write_mp4
+    from swiftvideo_tpu.codec.avformat import MediaFileReader
+    from swiftvideo_tpu.media.coded import MediaFormat, MediaType
+
+    n = 40                                # > 0.64 s of 30 fps stream time
+    vpkts, apkts = _encode_media(n_frames=n)
+    src = tmp_path / "clip.mp4"
+    _write_mp4(src, vpkts, apkts)
+    out = tmp_path / "out.mkv"
+    rc = cli.main(["transcode", str(src), "--video-out", str(out),
+                   "--audio-out", str(out),
+                   "--vcodec", "hevc", "--acodec", "opus"])
+    assert rc == 0
+    with MediaFileReader(str(out)) as rd:
+        fmts = {s.media_type: s.media_format for s in rd.streams}
+        assert fmts[MediaType.video] == MediaFormat.hevc
+        assert fmts[MediaType.audio] == MediaFormat.opus
+        vcount = acount = 0
+        dec = LibavVideoDecoder()
+        frames = []
+        for idx, pkt in rd.packets():
+            if rd.streams[idx].media_type == MediaType.video:
+                vcount += 1
+                box = dec(pkt)
+                if box.is_just():
+                    frames.extend(box.value())
+            else:
+                acount += 1
+        frames.extend(dec.flush())
+    assert vcount == n                    # the drain bug dropped 2/3 here
+    assert acount > 0
+    assert len(frames) == n
+    assert tuple(frames[0].img.size) == (64, 48)
+
+
 def test_transcode_annexb_h264(tmp_path, mock_ffmpeg):
     src = tmp_path / "clip.mockav"
     _write_mockav(src)

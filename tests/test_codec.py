@@ -74,7 +74,10 @@ def test_png_codec_roundtrip():
     assert np.array_equal(np.asarray(decoded.planes()[0]), rgba)  # lossless
 
 
-def test_unsupported_codec_errors_cleanly():
+def test_unsupported_codec_errors_cleanly(monkeypatch):
+    import swiftvideo_tpu.codec.codecs as codecs_mod
+    # with no real-codec backend at all, bitstream formats error cleanly
+    monkeypatch.setattr(codecs_mod, "bitstream_backend", lambda: None)
     s = CodedMediaSample(buffer=b"x", pts_value=TimePoint(0, 1),
                          dts_value=TimePoint(0, 1),
                          media_type=MediaType.video,
@@ -82,6 +85,22 @@ def test_unsupported_codec_errors_cleanly():
     box = VideoDecoder()(s)
     assert box.is_error()
     assert "avc" in box.err().desc
+
+
+def test_garbage_bitstream_errors_cleanly():
+    """With a live backend, undecodable bytes come back as an error box,
+    not an exception (reference propagates libav errors the same way,
+    dec.video.ffmpeg.swift:142-156)."""
+    from swiftvideo_tpu.codec.codecs import bitstream_backend
+    if bitstream_backend() is None:
+        import pytest
+        pytest.skip("no real-codec backend in this image")
+    s = CodedMediaSample(buffer=b"x", pts_value=TimePoint(0, 1),
+                         dts_value=TimePoint(0, 1),
+                         media_type=MediaType.video,
+                         media_format=MediaFormat.avc, id_asset="a")
+    box = VideoDecoder()(s)
+    assert box.is_error() or box.is_nothing()
 
 
 def test_asset_rename_provenance():

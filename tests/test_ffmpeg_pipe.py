@@ -125,6 +125,8 @@ def test_video_decoder_pts_queue_depth(fake_pipe):
 def test_generic_video_decoder_routes_to_ffmpeg(fake_pipe, monkeypatch):
     import swiftvideo_tpu.codec.codecs as codecs_mod
     monkeypatch.setattr(codecs_mod, "ffmpeg_available", lambda: True)
+    # force the subprocess backend: in auto mode in-process libav wins
+    monkeypatch.setenv("SV_CODEC_BACKEND", "subprocess")
     y4m = containers.make_y4m_header(W, H)
     fake_pipe.script = [y4m + b"FRAME\n" + _frame(9)]
     dec = VideoDecoder()
