@@ -740,6 +740,39 @@ def main() -> None:
         log("config6 grouped ssd motion failed:", exc)
     try:
         from swiftvideo_tpu.ops import motion
+        prog_d = motion._me_ssd_pallas_program(1080, 1920, 16, 64)
+        # candidate-exactness on the record: the dense Pallas kernel must
+        # match the grouped XLA program bit-for-bit on this frame pair
+        dout = np.asarray(prog_d(curd, refd))
+        gout = np.asarray(motion._me_mxu_program(1080, 1920, 16, 64,
+                                                 True)(curd, refd))
+        assert np.array_equal(dout, gout), "dense pallas ME parity FAILED"
+        log("config6 dense pallas ME parity vs grouped: exact")
+
+        def me_body_d(i, carry):
+            c, r, _prev = carry
+            out = prog_d(c, r)
+            return (c.at[0, 0].set(out[0, 0, 0]), r, out)
+
+        dt6d = time_device_loop(me_body_d, (curd, refd, prog_d(curd, refd)),
+                                iters=20, reps=6, label="config6-ssd-dense")
+        log(f"config6 1080p ME 16/64 (dense Pallas SSD, production): "
+            f"{dt6d*1e3:.3f} ms/frame = {1/dt6d:.1f} fps")
+        record_spread("config6-ssd-dense")
+        # MXU accounting: the dense formulation issues 48 dy-candidate
+        # [128,256]@[256,1920] matmuls per strip x 67 strips = 404 GFLOP
+        # per frame against the v5e bf16 peak (197 TFLOP/s)
+        gflop = 67 * 48 * 2 * 128 * 256 * 1920 / 1e9
+        CONFIGS["config6-ssd-dense"]["gflop"] = round(gflop, 1)
+        CONFIGS["config6-ssd-dense"]["mxu_pct"] = round(
+            100 * gflop / 1e3 / dt6d / 197.0, 1)
+        log(f"config6 dense pallas MXU: {gflop:.0f} GFLOP at {dt6d*1e3:.3f}"
+            f" ms = {gflop/1e3/dt6d:.1f} TFLOP/s "
+            f"({100*gflop/1e3/dt6d/197.0:.0f}% of v5e bf16 peak)")
+    except Exception as exc:  # noqa: BLE001
+        log("config6 dense pallas motion failed:", exc)
+    try:
+        from swiftvideo_tpu.ops import motion
         prog_p = motion._me_pyramid_program(1080, 1920, 16, 64, 2, "ssd")
 
         def me_body_p(i, carry):

@@ -442,9 +442,14 @@ def me_fullsearch_device(cur, ref, block: int = 16, search: int = 64,
     cur = jnp.asarray(cur)
     h, w = cur.shape
     if metric == "ssd":
-        # grouped x-segments are the fastest measured formulation
-        # (16.9 ms vs 24 ms dense at 1080p/16/64); falls back to dense
-        # internally when no group size divides the block columns
+        # fastest measured formulations (1080p/16/64, v5e): the dense
+        # single-kernel Pallas search (3.56 ms — one [128,256]@[256,W]
+        # MXU matmul per dy candidate, dy-reduce in VMEM) on supported
+        # TPU geometry; else the grouped-conv XLA program (15.3 ms)
+        if (jax.default_backend() == "tpu"
+                and me_ssd_pallas_supported(h, w, block, search)):
+            return _me_ssd_pallas_program(h, w, block,
+                                          search)(cur, jnp.asarray(ref))
         return _me_mxu_program(h, w, block, search,
                                True)(cur, jnp.asarray(ref))
     on_tpu = jax.default_backend() == "tpu"   # pltpu kernels are TPU-only
@@ -909,6 +914,277 @@ def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64,
                                        search)(cur, jnp.asarray(ref))
     return _me_mxu_program(h, w, block, search,
                            grouped)(cur, jnp.asarray(ref))
+
+
+# --- dense single-kernel Pallas SSD search -----------------------------------
+#
+# The grouped-conv XLA program above is lowering-bound, not FLOP-bound:
+# its feature_group_count conv has C_out=8 lanes per group (94% of the
+# MXU's 128 output lanes idle) and kw=16 decomposes into K=16
+# contractions (15/16 of the 128-deep systolic contraction idle) — the
+# measured 10.8 ms "conv floor" is ~1.5% MXU utilization, and the score
+# stage re-reads the materialized correlation volume from HBM.  This
+# kernel restructures the WHOLE search around MXU-native shapes:
+#
+#   * dense candidate positions: every (tx, block) pair is scored as ONE
+#     [128, 256] @ [256, W] matmul per dy candidate — M=128 output
+#     sublanes (block columns), K=256 (the full 16x16 patch contraction),
+#     N=W lanes.  The ~26x positional over-compute vs the grouped
+#     formulation is the PRICE of full MXU shapes, and it wins: peak-rate
+#     dense work is ~2 ms where the "efficient" grouped conv measures
+#     10.8 ms;
+#   * the im2col matrix is FREE per dy candidate: SH2[16*y + i, tx] =
+#     win[y, tx+i] (built once per strip as a repeat + 4-step log-roll,
+#     32-bit rolls only), so candidate dy=j's [256, W] operand is the
+#     contiguous 16-aligned sublane slice SH2[16j : 16j+256] — no
+#     per-candidate assembly at all;
+#   * the dy reduction runs in VMEM while the matmul output is hot
+#     (running lexicographic (score, j) min — the correlation volume
+#     never touches HBM, vs ~284 MB/frame materialized by the XLA path);
+#   * the per-block candidate bands (dx = tx - 16*b, the only ~4% of
+#     positions that are real candidates) come out via a 7-step log-roll
+#     that aligns row b's band to lane dx - d_lo, turning the diagonal
+#     gather the v1 pyramid died on into 7 uniform 32-bit rotates; the
+#     kernel emits only the [blocks, n_d] dy-reduced plane per strip and
+#     the tiny outer tx stage stays in (tested) XLA.
+#
+# Exactness: identical to `me_ssd_golden` / the grouped program.  u8
+# pixels are exact in bf16; 256-product cross terms accumulate exactly in
+# f32; t = r2 - 2*cross is the correctly-rounded f32 of the exact integer
+# (IEEE subtraction of exact-int f32 operands == rounding the true
+# difference, the same value the i32 path converts); the 2^-4 score scale
+# is a power of two (FMA == two-step); ascending-j strict-< updates keep
+# the earliest dy like the oracle's inner loop; the outer stage is the
+# grouped program's own code on the same dy-reduced plane.
+#
+# Kernel-shape rules honored (pallas_frame.py header, hardware-sweep
+# findings): no strided refs; dynamic sublane starts are provably
+# 16-aligned (pl.multiple_of on 128*jslab + 16*i) with the sub-slab
+# residual statically unrolled (8 dy candidates per fori_loop step, so
+# the r2 slab load is 8-aligned); rotates only on 32-bit data (the bf16
+# SH2 is never rolled — it is written once, post-roll).
+
+_ME_DENSE_WBP = 128   # padded block-column count == one MXU M tile
+
+
+def me_ssd_pallas_supported(h: int, w: int, block: int, search: int) -> bool:
+    """Geometry gate for the dense Pallas SSD kernel: the K=256 im2col
+    trick needs 16x16 blocks; one M tile caps block columns at 128."""
+    return (block == 16 and search > block and search % 2 == 0
+            and h >= block and w >= search
+            and w // block <= _ME_DENSE_WBP
+            and search - block >= 8)
+
+
+@lru_cache(maxsize=8)
+def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
+                           interpret: bool = False, raw: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert me_ssd_pallas_supported(h, w, block, search)
+    strips, wb = h // block, w // block
+    wbp = _ME_DENSE_WBP
+    d_lo = block // 2 - search // 2            # < 0
+    d_hi = search - block - 1
+    n_d = d_hi - d_lo + 1
+    n_j = search - block
+    n_jp = -(-n_j // 8) * 8                    # 8-aligned dy slabs
+    n_slab = n_jp // 8
+    win_rows = n_jp + block                    # covers j + r, 16-aligned
+    neg, pos = -d_lo, d_hi + 1                 # band split: dx<0 / dx>=0
+    kk = block * block                         # 256 contraction depth
+
+    oy = np.arange(strips, dtype=np.int32) * block
+    ylo = np.clip(oy + d_lo, 0, h)
+    yhi = np.minimum(ylo + search, h) - block
+    nvy = np.maximum(yhi - ylo, 0)
+    jgbase = (ylo - oy) - d_lo
+    ox = np.arange(wb, dtype=np.int32) * block
+    xlo = np.clip(ox + d_lo, 0, w)
+    xhi = np.minimum(xlo + search, w) - block
+    dxs = np.arange(d_lo, d_hi + 1, dtype=np.int32)
+    txg = ox[:, None] + dxs[None, :]
+    xmask = jnp.asarray((txg >= xlo[:, None]) & (txg < xhi[:, None]))
+
+    dvals = (d_lo + np.arange(n_d)).astype(np.float64)
+    cx_tab = jnp.asarray(_axis_cost(-dvals).astype(np.float32))
+    cy_np = _axis_cost(-dvals).astype(np.float32)
+    jj = np.arange(n_jp, dtype=np.int32)
+    cyv_np = cy_np[np.clip(jgbase[:, None] + jj[None, :], 0, n_d - 1)]
+    cyv_np = np.where(jj[None, :] < nvy[:, None], cyv_np,
+                      np.inf).astype(np.float32)
+    big_key = np.int32(2 ** 30)
+
+    if interpret:
+        def roll_left(x, n):
+            return jnp.roll(x, -n, axis=1)
+    else:
+        def roll_left(x, n):
+            # pltpu.roll rejects negative shifts; left-roll n == size - n
+            return pltpu.roll(x, shift=x.shape[1] - n, axis=1)
+
+    def rep16(x):
+        # element repeat (row y -> rows 16y..16y+15).  NOT pltpu.repeat,
+        # whose hardware semantics are TILE (whole-array concat copies:
+        # row r = x[r % rows]) — measured on-chip; broadcast+reshape
+        # lowers to the intended element repeat in both modes.
+        return jnp.broadcast_to(x[:, None, :],
+                                (win_rows, block, w)).reshape(
+                                    win_rows * block, w)
+
+    def kernel(cyv_ref, win_ref, r2_ref, f_ref, d_ref, j_ref,
+               sh2_ref, best_ref, jb_ref):
+        # im2col once per strip: SH2[16y+i, tx] = win[y, tx+i].
+        # repeat puts win[y] at rows 16y..16y+15; the 4-step log-roll
+        # then rotates row r left by (r % 16) — all on f32 (32-bit).
+        s_id = pl.program_id(0)
+        st = rep16(win_ref[0])                 # [16*win_rows, w] f32
+        riota = lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        for p in range(4):
+            sh = 1 << p
+            bit = ((riota >> p) & 1) == 1
+            st = jnp.where(bit, roll_left(st, sh), st)
+        sh2_ref[...] = st.astype(jnp.bfloat16)
+
+        best_ref[...] = jnp.full((wbp, w), jnp.inf, jnp.float32)
+        jb_ref[...] = jnp.zeros((wbp, w), jnp.int32)
+        filt = f_ref[0]                        # [wbp, 256] bf16
+
+        def slab(jslab, carry):
+            base8 = pl.multiple_of(jslab * 8, 8)
+            r2slab = r2_ref[0, pl.ds(base8, 8), :]          # [8, w]
+            for i in range(8):                 # static residual unroll
+                j = jslab * 8 + i
+                off = pl.multiple_of(jslab * (8 * block) + i * block,
+                                     block)
+                rhs = sh2_ref[pl.ds(off, kk), :]            # [256, w]
+                cross = jnp.dot(filt, rhs,
+                                preferred_element_type=jnp.float32)
+                # f32(r2 - 2*cross) == f32(exact int partial): both
+                # operands are exact ints in f32, IEEE sub rounds the
+                # true difference (the oracle's i64 -> f32 value)
+                t = r2slab[i:i + 1, :] - 2.0 * cross        # [wbp, w]
+                inner = t * _SCALE2 + cyv_ref[s_id, j]
+                m = inner < best_ref[...]
+                best_ref[...] = jnp.where(m, inner, best_ref[...])
+                jb_ref[...] = jnp.where(m, j, jb_ref[...])
+            return carry
+
+        lax.fori_loop(0, n_slab, slab, 0)
+
+        # band extraction: rotate row b left by 16*b (7-step log-roll on
+        # the block-index bits), putting candidate dx at lane dx for
+        # dx >= 0 and lane w+dx for dx < 0; wrapped lanes correspond
+        # exactly to out-of-frame dx, masked by xmask in the outer stage
+        best = best_ref[...]
+        jb = jb_ref[...]
+        biota = lax.broadcasted_iota(jnp.int32, (wbp, w), 0)
+        for p in range(7):                     # wbp == 128 -> 7 bits
+            sh = (block << p) % w
+            if sh == 0:
+                continue
+            bit = ((biota >> p) & 1) == 1
+            best = jnp.where(bit, roll_left(best, sh), best)
+            jb = jnp.where(bit, roll_left(jb, sh), jb)
+        d_ref[0, :, :neg] = best[:, w - neg:]
+        d_ref[0, :, neg:] = best[:, :pos]
+        j_ref[0, :, :neg] = jb[:, w - neg:]
+        j_ref[0, :, neg:] = jb[:, :pos]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(strips,),
+        in_specs=[
+            # whole array (Mosaic requires SMEM blocks to be unblocked
+            # or tile-aligned); rows indexed by program_id in-kernel
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, win_rows, w), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_jp, w), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wbp, kk), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, wbp, n_d), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wbp, n_d), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((strips, wbp, n_d), jnp.float32),
+                   jax.ShapeDtypeStruct((strips, wbp, n_d), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((block * win_rows, w), jnp.bfloat16),
+            pltpu.VMEM((wbp, w), jnp.float32),
+            pltpu.VMEM((wbp, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    cyv_j = jnp.asarray(cyv_np)
+    rows_np = np.clip(ylo[:, None] + np.arange(n_jp)[None, :], 0, h - block)
+    win_idx = jnp.asarray(ylo[:, None] + np.arange(win_rows)[None, :])
+    rows_j = jnp.asarray(rows_np)
+    dxs_j = jnp.asarray(dxs)
+    oy_j = jnp.asarray(oy)
+    ylo_j = jnp.asarray(ylo)
+
+    def run(cur_u8, ref_u8):
+        cur_u8 = cur_u8[:strips * block, :wb * block]
+        refp = jnp.pad(ref_u8, ((0, search), (0, 0)))
+        r2c = lax.reduce_window(refp.astype(jnp.int32) ** 2, 0, lax.add,
+                                (block, 1), (1, 1), "valid")
+        s2 = lax.reduce_window(r2c, 0, lax.add, (1, block), (1, 1),
+                               "valid")
+        wins = jnp.take(refp, win_idx, axis=0).astype(jnp.float32)
+        r2f = jnp.pad(s2[rows_j], ((0, 0), (0, 0), (0, block - 1))
+                      ).astype(jnp.float32)
+        filt = (cur_u8.reshape(strips, block, wb, block)
+                .transpose(0, 2, 1, 3)        # [S, b, r, i]
+                .reshape(strips, wb, kk).astype(jnp.bfloat16))
+        filt = jnp.pad(filt, ((0, 0), (0, wbp - wb), (0, 0)))
+        dd, jg = call(cyv_j, wins, r2f, filt)
+        tg = dd[:, :wb, :]
+        jg = jg[:, :wb, :]
+        # outer tx stage — same expressions as the grouped program
+        score = tg + cx_tab[None, None, :]
+        score = jnp.where(xmask[None], score, jnp.inf)
+        m = jnp.min(score, axis=2)
+        km = jnp.min(jnp.where(score == m[..., None],
+                               jnp.arange(n_d, dtype=jnp.int32)[None, None],
+                               big_key), axis=2)
+        j_best = jnp.take_along_axis(jg, km[..., None], axis=2)[..., 0]
+        valid = jnp.isfinite(m)
+        mvx = jnp.where(valid, (-dxs_j)[km].astype(jnp.float32), 0.0)
+        mvy = jnp.where(
+            valid,
+            (oy_j[:, None] - (ylo_j[:, None] + j_best)).astype(jnp.float32),
+            0.0)
+        if raw:
+            return mvx, mvy
+        return _mv_rgba(mvx, mvy, search, jnp)
+
+    return jax.jit(run)
+
+
+def me_fullsearch_ssd_pallas(cur, ref, block: int = 16, search: int = 64,
+                             interpret: bool = False):
+    """Dense single-kernel Pallas SSD search (see section notes above).
+
+    Candidate-exact vs ``me_ssd_golden`` — same score algebra and tie
+    order as `me_fullsearch_mxu`, restructured for full MXU utilization.
+    """
+    import jax.numpy as jnp
+    cur = jnp.asarray(cur)
+    h, w = cur.shape
+    return _me_ssd_pallas_program(h, w, block, search,
+                                  interpret)(cur, jnp.asarray(ref))
 
 
 # --- hierarchical (two-stage) production mode --------------------------------

@@ -159,10 +159,12 @@ def run_compute_kernel(ctx: ComputeContext, images, target: PictureSample,
         # motion estimation: images = [current, reference] luma samples;
         # emits an RGBA MV map at block resolution (kernels.metal:206-267).
         # The _ssd variant runs the MXU formulation (documented metric
-        # deviation, ops/motion.py module notes; ~2x the fps on TPU) —
-        # the production speed mode; _pyramid is the experimental
+        # deviation, ops/motion.py module notes) — the production speed
+        # mode: the dense single-kernel Pallas search on supported TPU
+        # geometry (3.56 ms/frame at 1080p/16/64, 8.2x the SAD mode),
+        # grouped-conv XLA otherwise; _pyramid is the experimental
         # two-stage mode (stride-2 coarse grid + exact local refine),
-        # measured at parity with _ssd on the chip, not faster.
+        # measured at parity with grouped on the chip, not faster.
         from ..media.picture import ImageBuffer
         from ..media.pixel import planes_for_format
         from . import motion

@@ -324,6 +324,48 @@ def test_motion_mxu_ssd_grouped_matches_golden(geom):
     assert np.array_equal(gold, grp)
 
 
+@pytest.mark.parametrize("geom", [(96, 160, 64), (64, 128, 64),
+                                  (96, 96, 32), (128, 2048, 64)])
+def test_motion_ssd_pallas_dense_matches_golden(geom):
+    """The dense single-kernel Pallas SSD search (interpret mode) is
+    candidate-exact vs the scalar oracle AND the grouped XLA program,
+    including clipped top/bottom dy windows (strips 0/1 and the last
+    strips), wrapped roll lanes at both frame edges, and the padded-j
+    tail when n_j is not a slab multiple."""
+    h, w, search = geom
+    rng = np.random.default_rng(h * w + search + 1)
+    ref = rng.integers(0, 255, (h, w), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    assert motion.me_ssd_pallas_supported(h, w, 16, search)
+    out = np.asarray(motion.me_fullsearch_ssd_pallas(cur, ref, 16, search,
+                                                     interpret=True))
+    gold = motion.me_ssd_golden(cur, ref, 16, search)
+    assert np.array_equal(gold, out)
+    grp = np.asarray(motion.me_fullsearch_mxu(cur, ref, 16, search,
+                                              grouped=True))
+    assert np.array_equal(grp, out)
+
+
+def test_motion_ssd_pallas_translation_recovered():
+    rng = np.random.default_rng(27)
+    ref = rng.integers(0, 255, (128, 128), np.uint8)
+    shift = 6
+    cur = np.roll(ref, (shift, shift), axis=(0, 1))
+    out = np.asarray(motion.me_fullsearch_ssd_pallas(cur, ref, 16, 64,
+                                                     interpret=True))
+    expect = int(round((shift / 32 * 0.5 + 0.5) * 255))
+    inner = out[2:6, 2:6]
+    assert np.all(inner[..., 0] == expect) and np.all(inner[..., 2] == expect)
+
+
+def test_motion_ssd_pallas_gate():
+    assert not motion.me_ssd_pallas_supported(64, 48, 16, 64)   # w < search
+    assert not motion.me_ssd_pallas_supported(64, 64, 8, 64)    # block != 16
+    assert not motion.me_ssd_pallas_supported(64, 4096, 16, 64)  # wb > 128
+    assert motion.me_ssd_pallas_supported(1080, 1920, 16, 64)
+
+
 # --- hierarchical (pyramid) motion mode ------------------------------------
 
 def test_motion_pyramid_matches_golden_even_shift():

@@ -177,6 +177,21 @@ def test_motion_pallas_compiled_matches_oracle():
     assert np.array_equal(gold, np.asarray(out))
 
 
+def test_motion_ssd_dense_pallas_compiled_matches_oracle():
+    """Compiled dense single-kernel SSD search vs the scalar oracle —
+    catches compiled-only Mosaic divergence (pltpu.repeat's tile
+    semantics was the first catch: interpret mode passed while the
+    compiled im2col built wrong rows)."""
+    from swiftvideo_tpu.ops import motion
+    rng = np.random.default_rng(15)
+    ref = rng.integers(0, 255, (256, 256), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    gold = motion.me_ssd_golden(cur, ref, 16, 64)
+    out = motion.me_fullsearch_ssd_pallas(cur, ref, 16, 64)
+    assert np.array_equal(gold, np.asarray(out))
+
+
 # --- device audio mix (ops/audio.py) --------------------------------------
 
 def test_audio_mix_device_matches_host():
