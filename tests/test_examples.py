@@ -80,6 +80,15 @@ def test_motion_demo():
     assert "motion demo OK" in out
 
 
+def test_real_codec_demo():
+    from swiftvideo_tpu.codec.libav import libav_available
+    if not libav_available():
+        pytest.skip("libav shim not available")
+    out = _run("real_codec_demo.py")
+    assert "authored" in out and "H.264" in out
+    assert "tone recovered" in out
+
+
 def test_proto_interop_demo():
     out = _run("proto_interop_demo.py")
     assert "proto interop demo OK" in out
