@@ -964,15 +964,17 @@ def me_fullsearch_mxu(cur, ref, block: int = 16, search: int = 64,
 # the r2 slab load is 8-aligned); rotates only on 32-bit data (the bf16
 # SH2 is never rolled — it is written once, post-roll).
 
-_ME_DENSE_WBP = 128   # padded block-column count == one MXU M tile
+_ME_DENSE_MT = 128      # MXU M-tile: block columns per matmul
+_ME_DENSE_MAX_WB = 256  # 2 M tiles — covers 4K (wb=240); VMEM-bounded
 
 
 def me_ssd_pallas_supported(h: int, w: int, block: int, search: int) -> bool:
     """Geometry gate for the dense Pallas SSD kernel: the K=256 im2col
-    trick needs 16x16 blocks; one M tile caps block columns at 128."""
+    trick needs 16x16 blocks; the M-tile loop caps block columns at 256
+    (two tiles — 4K width; wider frames would need ~80 MB of VMEM)."""
     return (block == 16 and search > block and search % 2 == 0
             and h >= block and w >= search
-            and w // block <= _ME_DENSE_WBP
+            and w // block <= _ME_DENSE_MAX_WB
             and search - block >= 8)
 
 
@@ -987,7 +989,7 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
 
     assert me_ssd_pallas_supported(h, w, block, search)
     strips, wb = h // block, w // block
-    wbp = _ME_DENSE_WBP
+    wbp = -(-wb // _ME_DENSE_MT) * _ME_DENSE_MT   # M tiles of 128 blocks
     d_lo = block // 2 - search // 2            # < 0
     d_hi = search - block - 1
     n_d = d_hi - d_lo + 1
@@ -1062,16 +1064,20 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
                 off = pl.multiple_of(jslab * (8 * block) + i * block,
                                      block)
                 rhs = sh2_ref[pl.ds(off, kk), :]            # [256, w]
-                cross = jnp.dot(filt, rhs,
-                                preferred_element_type=jnp.float32)
-                # f32(r2 - 2*cross) == f32(exact int partial): both
-                # operands are exact ints in f32, IEEE sub rounds the
-                # true difference (the oracle's i64 -> f32 value)
-                t = r2slab[i:i + 1, :] - 2.0 * cross        # [wbp, w]
-                inner = t * _SCALE2 + cyv_ref[s_id, j]
-                m = inner < best_ref[...]
-                best_ref[...] = jnp.where(m, inner, best_ref[...])
-                jb_ref[...] = jnp.where(m, j, jb_ref[...])
+                cy = cyv_ref[s_id, j]
+                for t0 in range(0, wbp, _ME_DENSE_MT):      # M tiles
+                    t1 = t0 + _ME_DENSE_MT
+                    cross = jnp.dot(filt[t0:t1], rhs,
+                                    preferred_element_type=jnp.float32)
+                    # f32(r2 - 2*cross) == f32(exact int partial): both
+                    # operands are exact ints in f32, IEEE sub rounds the
+                    # true difference (the oracle's i64 -> f32 value)
+                    t = r2slab[i:i + 1, :] - 2.0 * cross    # [128, w]
+                    inner = t * _SCALE2 + cy
+                    cur = best_ref[t0:t1, :]
+                    m = inner < cur
+                    best_ref[t0:t1, :] = jnp.where(m, inner, cur)
+                    jb_ref[t0:t1, :] = jnp.where(m, j, jb_ref[t0:t1, :])
             return carry
 
         lax.fori_loop(0, n_slab, slab, 0)
@@ -1083,7 +1089,7 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
         best = best_ref[...]
         jb = jb_ref[...]
         biota = lax.broadcasted_iota(jnp.int32, (wbp, w), 0)
-        for p in range(7):                     # wbp == 128 -> 7 bits
+        for p in range((wbp - 1).bit_length()):   # 7 bits at wbp=128
             sh = (block << p) % w
             if sh == 0:
                 continue

@@ -362,8 +362,24 @@ def test_motion_ssd_pallas_translation_recovered():
 def test_motion_ssd_pallas_gate():
     assert not motion.me_ssd_pallas_supported(64, 48, 16, 64)   # w < search
     assert not motion.me_ssd_pallas_supported(64, 64, 8, 64)    # block != 16
-    assert not motion.me_ssd_pallas_supported(64, 4096, 16, 64)  # wb > 128
+    assert not motion.me_ssd_pallas_supported(64, 8192, 16, 64)  # wb > 256
     assert motion.me_ssd_pallas_supported(1080, 1920, 16, 64)
+    assert motion.me_ssd_pallas_supported(2160, 3840, 16, 64)   # 4K: 2 tiles
+
+
+def test_motion_ssd_pallas_dense_two_m_tiles():
+    """wb > 128 runs the M-tile loop (the 4K shape, scaled down): two
+    [128, 256] filter tiles against one shared rhs, per-tile best/jb
+    slab updates, 8-bit band log-roll."""
+    h, w, search = 64, 2176, 64          # wb = 136 -> wbp = 256
+    rng = np.random.default_rng(136)
+    ref = rng.integers(0, 255, (h, w), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    out = np.asarray(motion.me_fullsearch_ssd_pallas(cur, ref, 16, search,
+                                                     interpret=True))
+    gold = motion.me_ssd_golden(cur, ref, 16, search)
+    assert np.array_equal(gold, out)
 
 
 # --- hierarchical (pyramid) motion mode ------------------------------------
