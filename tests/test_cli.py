@@ -394,13 +394,16 @@ def test_serve_record_paths_app_qualified(tmp_path):
         assert idrs and all(n[1] == 0x10 + k for n in idrs), (name, idrs)
 
 
-def test_serve_records_real_h264_decodable(tmp_path):
-    """REAL media over the wire: libav-encoded H.264 is published via a
-    real RTMP loopback to `serve --record`, and the recorded Annex-B file
-    decodes back through libavcodec to the original frame content.  This
-    closes the full network<->codec loop the reference exercises with its
-    linked FFmpeg (Examples/RtmpServer + dec.video.ffmpeg.swift:24-221)
-    using real codec bytes end to end."""
+@pytest.mark.parametrize("codec", ["avc", "hevc"])
+def test_serve_records_real_video_decodable(tmp_path, codec):
+    """REAL media over the wire: libav-encoded H.264/H.265 is published
+    via a real RTMP loopback to `serve --record`, and the recorded
+    Annex-B file decodes back through libavcodec to the original frame
+    content.  This closes the full network<->codec loop the reference
+    exercises with its linked FFmpeg (Examples/RtmpServer +
+    dec.video.ffmpeg.swift:24-221) using real codec bytes end to end —
+    and for HEVC it drives the E-RTMP fourCC wire path (beyond the
+    reference's AVC-only RTMP) with real bitstream bytes."""
     from swiftvideo_tpu.codec.libav import libav_available
     if not libav_available():
         pytest.skip("libav shim not available")
@@ -412,11 +415,13 @@ def test_serve_records_real_h264_decodable(tmp_path):
                                             LibavVideoEncoder)
     from swiftvideo_tpu.core import EventBox, WallClock
     from swiftvideo_tpu.media import MediaFormat
+
     from tests.test_libav import make_frame
 
+    fmt = MediaFormat[codec]
     # encode real frames up front (the publish loop just ships bytes)
     sent = [make_frame(64, 48, i) for i in range(8)]
-    enc = LibavVideoEncoder(MediaFormat.avc, bitrate=400_000, fps=30)
+    enc = LibavVideoEncoder(fmt, bitrate=400_000, fps=30)
     packets = []
     for f in sent:
         box = enc(f)
@@ -463,21 +468,28 @@ def test_serve_records_real_h264_decodable(tmp_path):
             proc.kill()
             proc.wait()
 
-    recorded = list(rec.glob("*.h264"))
+    recorded = list(rec.glob("*.h264" if codec == "avc" else "*.h265"))
     assert recorded, f"nothing recorded in {rec}"
     data = recorded[0].read_bytes()
     # decode the recording: parameter sets travel in-band in Annex-B, so
     # the decoder opens with no extradata (start-code packet mode)
     from swiftvideo_tpu.codec.ffmpeg_subprocess import split_annexb
     nals = split_annexb(data)
-    assert any(n[0] & 0x1F == 7 for n in nals if n)  # in-band SPS
-    # group NALs into access units: a slice NAL (1/5) terminates its AU
+    if codec == "avc":
+        assert any(n[0] & 0x1F == 7 for n in nals if n)   # in-band SPS
+        def is_slice(n):
+            return n[0] & 0x1F in (1, 5)
+    else:
+        assert any((n[0] >> 1) & 0x3F == 33 for n in nals if n)  # SPS
+        def is_slice(n):
+            return (n[0] >> 1) & 0x3F <= 21                # VCL NAL
+    # group NALs into access units: a slice/VCL NAL terminates its AU
     aus, cur = [], []
     for n in nals:
         if not n:
             continue
         cur.append(b"\x00\x00\x00\x01" + n)
-        if n[0] & 0x1F in (1, 5):
+        if is_slice(n):
             aus.append(b"".join(cur))
             cur = []
     assert len(aus) == len(sent), len(aus)
