@@ -237,3 +237,79 @@ def test_reader_reports_duration_and_fps(tmp_path):
         assert seconds(v.duration) == pytest.approx(10 / 30, rel=0.1)
         num, den = v.fps
         assert num / den == pytest.approx(30, rel=0.05)
+
+
+# --- robustness: corrupt/truncated containers must fail cleanly ------------
+
+def test_demux_truncated_mp4_fails_cleanly(tmp_path):
+    """Every truncation point either opens-and-stops-early or raises a
+    Python exception — never a crash or a hang (the reference relies on
+    lavf's own resilience through SwiftFFmpeg; so do we, but the ctypes
+    boundary must translate errors, not segfault)."""
+    from swiftvideo_tpu.codec.avformat import MediaFileReader
+    vpkts, apkts = _encode_media(n_frames=4)
+    path = tmp_path / "t.mp4"
+    _write_mp4(path, vpkts, apkts)
+    data = path.read_bytes()
+    for frac in (0.05, 0.3, 0.6, 0.9):
+        cut = tmp_path / f"cut{int(frac*100)}.mp4"
+        cut.write_bytes(data[:int(len(data) * frac)])
+        try:
+            with MediaFileReader(str(cut)) as reader:
+                n = sum(1 for _ in reader.packets())
+                assert n <= len(vpkts) + len(apkts)
+        except (FileNotFoundError, RuntimeError, OSError):
+            pass  # clean Python-level failure is acceptable
+
+
+def test_demux_bitflipped_mp4_fails_cleanly(tmp_path):
+    """Deterministic bit flips across the file body: packets may come
+    back damaged (lavf does not checksum mp4 payloads) but the process
+    must survive and decoders must error or skip, not crash."""
+    from swiftvideo_tpu.codec.avformat import MediaFileReader
+    vpkts, apkts = _encode_media(n_frames=4)
+    path = tmp_path / "t.mp4"
+    _write_mp4(path, vpkts, apkts)
+    base = bytearray(path.read_bytes())
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        data = bytearray(base)
+        for _ in range(8):
+            pos = int(rng.integers(0, len(data)))
+            data[pos] ^= 1 << int(rng.integers(0, 8))
+        bad = tmp_path / f"bad{trial}.mp4"
+        bad.write_bytes(bytes(data))
+        vdec = LibavVideoDecoder()
+        try:
+            with MediaFileReader(str(bad)) as reader:
+                for _idx, sample in reader.packets():
+                    if sample.media_type == MediaType.video:
+                        box = vdec(sample)   # errors allowed, crashes not
+                        assert box is not None
+        except (FileNotFoundError, RuntimeError, OSError, ValueError):
+            pass
+        finally:
+            try:
+                vdec.flush()
+            except RuntimeError:
+                pass
+            vdec.close()
+
+
+def test_decoder_garbage_packet_errors_cleanly():
+    """Pure garbage bytes in an otherwise-valid AVCC stream produce an
+    error box or empty output, never a native crash."""
+    vpkts, _ = _encode_media(n_frames=2)
+    dec = LibavVideoDecoder()
+    ok = dec(vpkts[0])
+    assert not ok.is_error(), ok.err()
+    junk = vpkts[1].with_(buffer=b"\x00\x00\x00\x08" + b"\xde\xad\xbe\xef" * 2)
+    box = dec(junk)
+    assert box is not None       # error box or nothing — both fine
+    tail = dec(vpkts[1])
+    assert tail is not None      # decoder object still usable or errored
+    try:
+        dec.flush()
+    except RuntimeError:
+        pass
+    dec.close()
