@@ -315,3 +315,95 @@ def test_decode_mixed_aac_framing():
     got.extend(dec.flush())
     dec.close()
     assert sum(a.number_samples() for a in got) >= 4 * 1024
+
+
+def test_decoder_reorders_bframe_stream():
+    """External real-world streams carry B-frames: decode order !=
+    presentation order and dts != pts.  The in-process ENCODERS are
+    zero-latency by design (bframes=0), so author a bframes=2 stream
+    through the shim directly and prove the DECODER returns frames in
+    presentation order with an exact pts round trip (the _PtsMap key
+    rides libavcodec's own frame reordering)."""
+    import ctypes
+
+    from swiftvideo_tpu.codec import libav as lv
+    from swiftvideo_tpu.codec.ffmpeg_subprocess import (annexb_to_avcc,
+                                                        make_avcdcr,
+                                                        split_annexb)
+
+    lib = lv._load()
+    opts = (b"preset=veryfast,x264-params=keyint=32:min-keyint=32:"
+            b"scenecut=0:bframes=2:b-adapt=0:rc-lookahead=8")
+    h = lib.sv_venc_open(b"libx264", 64, 48, b"yuv420p", 30, 1,
+                         400_000, 32, opts)
+    assert h
+    n = 12
+    frames = [make_frame(64, 48, i) for i in range(n)]
+    pkts = []    # (annexb payload, pts_key, dts_key)
+
+    def drain():
+        while True:
+            data = ctypes.c_void_p()
+            size = ctypes.c_int()
+            ptsk = ctypes.c_int64()
+            dtsk = ctypes.c_int64()
+            flags = ctypes.c_int()
+            rc = lib.sv_enc_recv(h, ctypes.byref(data), ctypes.byref(size),
+                                 ctypes.byref(ptsk), ctypes.byref(dtsk),
+                                 ctypes.byref(flags))
+            if rc <= 0:
+                return
+            pkts.append((lv._copy_bytes(data, size.value), ptsk.value,
+                         dtsk.value))
+
+    for i, f in enumerate(frames):
+        arrs = [np.ascontiguousarray(np.asarray(p)) for p in f.planes()]
+        planes = (ctypes.c_void_p * 3)(*[a.ctypes.data for a in arrs])
+        strides = (ctypes.c_int * 3)(*[a.shape[-1] for a in arrs])
+        assert lib.sv_venc_send(h, planes, strides, i, 0) == 0
+        drain()
+    lib.sv_venc_send(h, None, None, 0, 0)
+    drain()
+    ptr = ctypes.c_void_p()
+    size = ctypes.c_int()
+    lib.sv_enc_extradata(h, ctypes.byref(ptr), ctypes.byref(size))
+    extra = lv._copy_bytes(ptr, size.value)
+    lib.sv_codec_free(h)
+    nals = split_annexb(extra)
+    sps = next(x for x in nals if x and x[0] & 0x1F == 7)
+    pps = next(x for x in nals if x and x[0] & 0x1F == 8)
+    config = make_avcdcr(sps, pps)
+
+    assert len(pkts) == n
+    keys = [p[1] for p in pkts]
+    assert keys != sorted(keys), "stream has no B-frames (x264-params " \
+                                 "did not override max_b_frames)"
+    assert any(p[1] != p[2] for p in pkts)      # dts != pts somewhere
+
+    from swiftvideo_tpu.media.coded import CodedMediaSample
+    dec = LibavVideoDecoder()
+    got = []
+    for payload, ptsk, dtsk, in pkts:
+        body = annexb_to_avcc(b"".join(
+            b"\x00\x00\x00\x01" + x for x in split_annexb(payload)
+            if x and x[0] & 0x1F not in (7, 8, 9)))
+        s = CodedMediaSample(buffer=body,
+                             pts_value=TimePoint(ptsk * 33, 1000),
+                             dts_value=TimePoint(dtsk * 33, 1000),
+                             media_type=MediaType.video,
+                             media_format=MediaFormat.avc,
+                             id_asset="b", id_workspace="ws",
+                             side={"config": config})
+        box = dec(s)
+        assert not box.is_error(), box.err()
+        if box.is_just():
+            got.extend(box.value())
+    got.extend(dec.flush())
+    dec.close()
+    assert len(got) == n
+    assert [g.pts() for g in got] == [TimePoint(i * 33, 1000)
+                                      for i in range(n)]
+    for orig, g in zip(frames, got):
+        dy = (np.asarray(g.planes()[0]).astype(np.int16)
+              - np.asarray(orig.planes()[0]).astype(np.int16))
+        assert float(np.abs(dy).mean()) < 12.0, float(np.abs(dy).mean())
