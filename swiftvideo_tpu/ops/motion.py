@@ -1183,9 +1183,13 @@ def me_fullsearch_ssd_pallas(cur, ref, block: int = 16, search: int = 64,
                              interpret: bool = False):
     """Dense single-kernel Pallas SSD search (see section notes above).
 
-    Candidate-exact vs ``me_ssd_golden`` — same score algebra and tie
-    order as `me_fullsearch_mxu`, restructured for full MXU utilization.
-    """
+    Same search geometry, clamped windows, MV-cost and x-major tie
+    order as the reference's ``me_fullsearch`` (kernels.metal:130-267);
+    SSD distortion is the documented metric deviation shared with
+    `me_fullsearch_mxu`.  Candidate-exact vs ``me_ssd_golden``,
+    restructured for full MXU utilization: 3.56 ms/frame at 1080p/16/64
+    and 25 ms at 4K on v5e (vs 15.3 / 69.7 ms for the grouped XLA
+    formulation)."""
     import jax.numpy as jnp
     cur = jnp.asarray(cur)
     h, w = cur.shape
