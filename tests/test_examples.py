@@ -120,3 +120,21 @@ def test_wall_demo():
 def test_live_station_demo():
     out = _run("live_station_demo.py", timeout=360)
     assert "[station] ok" in out
+
+
+def test_live_station_demo_real_codecs():
+    """The FULL production topology (2 RTMP cams -> decode -> Composer
+    -> encode -> RTMP program out) on REAL codecs: with no
+    SWIFTVIDEO_FFMPEG override, dispatch routes avc/aac through the
+    in-process libav backend end to end."""
+    from swiftvideo_tpu.codec.libav import libav_available
+    if not libav_available():
+        pytest.skip("libav shim not available")
+    env = _demo_env()
+    env.pop("SWIFTVIDEO_FFMPEG", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "live_station_demo.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=360)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "[station] ok" in proc.stdout
+    assert "mixed video frames" in proc.stdout
