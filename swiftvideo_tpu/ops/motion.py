@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -980,7 +980,8 @@ def me_ssd_pallas_supported(h: int, w: int, block: int, search: int) -> bool:
 
 @lru_cache(maxsize=8)
 def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
-                           interpret: bool = False, raw: bool = False):
+                           interpret: bool = False, raw: bool = False,
+                           global_sh2: Optional[bool] = None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -999,6 +1000,17 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
     win_rows = n_jp + block                    # covers j + r, 16-aligned
     neg, pos = -d_lo, d_hi + 1                 # band split: dx<0 / dx>=0
     kk = block * block                         # 256 contraction depth
+    # frame-GLOBAL im2col: consecutive strips share (win_rows - block)
+    # of their window rows, so building SH2 once over the whole padded
+    # reference (at s == 0, in win_rows-row chunks) instead of per strip
+    # cuts the measured ~0.97 ms assembly stage ~4x and drops the f32
+    # wins input (33 MB/frame at 1080p) to the 2 MB u8 refp.  Gated on
+    # the bf16 plane fitting VMEM (1080p: 70.8 MB) — 4K keeps the
+    # per-strip build.
+    hr_p = -(-(h + search) // win_rows) * win_rows
+    if global_sh2 is None:
+        global_sh2 = block * hr_p * w * 2 <= 72 * 1024 * 1024
+    sh2_rows = block * (hr_p if global_sh2 else win_rows)
 
     oy = np.arange(strips, dtype=np.int32) * block
     ylo = np.clip(oy + d_lo, 0, h)
@@ -1038,19 +1050,38 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
                                 (win_rows, block, w)).reshape(
                                     win_rows * block, w)
 
-    def kernel(cyv_ref, win_ref, r2_ref, f_ref, d_ref, j_ref,
-               sh2_ref, best_ref, jb_ref):
-        # im2col once per strip: SH2[16y+i, tx] = win[y, tx+i].
-        # repeat puts win[y] at rows 16y..16y+15; the 4-step log-roll
-        # then rotates row r left by (r % 16) — all on f32 (32-bit).
-        s_id = pl.program_id(0)
-        st = rep16(win_ref[0])                 # [16*win_rows, w] f32
+    def build_chunk(rows_u8):
+        # im2col of win_rows u8 reference rows: SH2[16y+i, tx] =
+        # rows[y, tx+i].  repeat puts rows[y] at 16y..16y+15; the 4-step
+        # log-roll rotates row r left by (r % 16) — all 32-bit.
+        st = rep16(rows_u8.astype(jnp.int32).astype(jnp.float32))
         riota = lax.broadcasted_iota(jnp.int32, st.shape, 0)
         for p in range(4):
             sh = 1 << p
             bit = ((riota >> p) & 1) == 1
             st = jnp.where(bit, roll_left(st, sh), st)
-        sh2_ref[...] = st.astype(jnp.bfloat16)
+        return st.astype(jnp.bfloat16)
+
+    def kernel(cyv_ref, ylo_ref, src_ref, r2_ref, f_ref, d_ref, j_ref,
+               sh2_ref, best_ref, jb_ref):
+        s_id = pl.program_id(0)
+        if global_sh2:
+            # whole-frame im2col ONCE (strips share all but block rows
+            # of their windows); strip s slices at 16*ylo[s]
+            @pl.when(s_id == 0)
+            def _build():
+                def chunk(c, carry):
+                    base = pl.multiple_of(c * win_rows, 8)
+                    rows = src_ref[pl.ds(base, win_rows), :]
+                    dst = pl.multiple_of(c * block * win_rows, 16)
+                    sh2_ref[pl.ds(dst, block * win_rows), :] = \
+                        build_chunk(rows)
+                    return carry
+                lax.fori_loop(0, hr_p // win_rows, chunk, 0)
+            ybase = ylo_ref[s_id] * block
+        else:
+            sh2_ref[...] = build_chunk(src_ref[0])
+            ybase = 0
 
         best_ref[...] = jnp.full((wbp, w), jnp.inf, jnp.float32)
         jb_ref[...] = jnp.zeros((wbp, w), jnp.int32)
@@ -1061,8 +1092,8 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
             r2slab = r2_ref[0, pl.ds(base8, 8), :]          # [8, w]
             for i in range(8):                 # static residual unroll
                 j = jslab * 8 + i
-                off = pl.multiple_of(jslab * (8 * block) + i * block,
-                                     block)
+                off = pl.multiple_of(
+                    ybase + jslab * (8 * block) + i * block, block)
                 rhs = sh2_ref[pl.ds(off, kk), :]            # [256, w]
                 cy = cyv_ref[s_id, j]
                 for t0 in range(0, wbp, _ME_DENSE_MT):      # M tiles
@@ -1101,6 +1132,9 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
         j_ref[0, :, :neg] = jb[:, w - neg:]
         j_ref[0, :, neg:] = jb[:, :pos]
 
+    src_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if global_sh2
+                else pl.BlockSpec((1, win_rows, w), lambda s: (s, 0, 0),
+                                  memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         grid=(strips,),
@@ -1108,8 +1142,8 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
             # whole array (Mosaic requires SMEM blocks to be unblocked
             # or tile-aligned); rows indexed by program_id in-kernel
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, win_rows, w), lambda s: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            src_spec,
             pl.BlockSpec((1, n_jp, w), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wbp, kk), lambda s: (s, 0, 0),
@@ -1124,12 +1158,12 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
         out_shape=(jax.ShapeDtypeStruct((strips, wbp, n_d), jnp.float32),
                    jax.ShapeDtypeStruct((strips, wbp, n_d), jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((block * win_rows, w), jnp.bfloat16),
+            pltpu.VMEM((sh2_rows, w), jnp.bfloat16),
             pltpu.VMEM((wbp, w), jnp.float32),
             pltpu.VMEM((wbp, w), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=(112 if global_sh2 else 96) * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -1140,6 +1174,7 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
     dxs_j = jnp.asarray(dxs)
     oy_j = jnp.asarray(oy)
     ylo_j = jnp.asarray(ylo)
+    ylo_smem = jnp.asarray(ylo, jnp.int32)
 
     def run(cur_u8, ref_u8):
         cur_u8 = cur_u8[:strips * block, :wb * block]
@@ -1148,14 +1183,17 @@ def _me_ssd_pallas_program(h: int, w: int, block: int, search: int,
                                 (block, 1), (1, 1), "valid")
         s2 = lax.reduce_window(r2c, 0, lax.add, (1, block), (1, 1),
                                "valid")
-        wins = jnp.take(refp, win_idx, axis=0).astype(jnp.float32)
+        if global_sh2:
+            src = jnp.pad(refp, ((0, hr_p - h - search), (0, 0)))
+        else:
+            src = jnp.take(refp, win_idx, axis=0)
         r2f = jnp.pad(s2[rows_j], ((0, 0), (0, 0), (0, block - 1))
                       ).astype(jnp.float32)
         filt = (cur_u8.reshape(strips, block, wb, block)
                 .transpose(0, 2, 1, 3)        # [S, b, r, i]
                 .reshape(strips, wb, kk).astype(jnp.bfloat16))
         filt = jnp.pad(filt, ((0, 0), (0, wbp - wb), (0, 0)))
-        dd, jg = call(cyv_j, wins, r2f, filt)
+        dd, jg = call(cyv_j, ylo_smem, src, r2f, filt)
         tg = dd[:, :wb, :]
         jg = jg[:, :wb, :]
         # outer tx stage — same expressions as the grouped program
@@ -1187,7 +1225,7 @@ def me_fullsearch_ssd_pallas(cur, ref, block: int = 16, search: int = 64,
     order as the reference's ``me_fullsearch`` (kernels.metal:130-267);
     SSD distortion is the documented metric deviation shared with
     `me_fullsearch_mxu`.  Candidate-exact vs ``me_ssd_golden``,
-    restructured for full MXU utilization: 3.56 ms/frame at 1080p/16/64
+    restructured for full MXU utilization: 3.03 ms/frame at 1080p/16/64
     and 25 ms at 4K on v5e (vs 15.3 / 69.7 ms for the grouped XLA
     formulation)."""
     import jax.numpy as jnp

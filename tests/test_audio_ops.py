@@ -359,6 +359,21 @@ def test_motion_ssd_pallas_translation_recovered():
     assert np.all(inner[..., 0] == expect) and np.all(inner[..., 2] == expect)
 
 
+def test_motion_ssd_pallas_per_strip_variant_matches():
+    """The per-strip im2col build (the 4K/VMEM-fallback path) stays
+    exact when the geometry would default to the frame-global build."""
+    h, w, search = 96, 160, 64
+    rng = np.random.default_rng(61)
+    ref = rng.integers(0, 255, (h, w), np.uint8)
+    cur = np.clip(ref.astype(int) + rng.integers(-12, 12, ref.shape),
+                  0, 255).astype(np.uint8)
+    prog = motion._me_ssd_pallas_program(h, w, 16, search, True, False,
+                                         global_sh2=False)
+    out = np.asarray(prog(cur, ref))
+    gold = motion.me_ssd_golden(cur, ref, 16, search)
+    assert np.array_equal(gold, out)
+
+
 def test_motion_ssd_pallas_gate():
     assert not motion.me_ssd_pallas_supported(64, 48, 16, 64)   # w < search
     assert not motion.me_ssd_pallas_supported(64, 64, 8, 64)    # block != 16
