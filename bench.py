@@ -452,7 +452,11 @@ def main() -> None:
                 # achieved tick is to its slowest leg).
                 comp_s = dtq if dtq else dtp
                 slowest = max(up_s, comp_s, down_s)
-                overlap_eff = slowest / dt8 if dt8 > 0 else 0.0
+                # clamp: the legs and the tick are sampled in different
+                # tunnel windows, so a tick drawn in a faster window can
+                # beat legs drawn in a slower one (>1 is window skew, not
+                # super-unity pipelining)
+                overlap_eff = min(slowest / dt8, 1.0) if dt8 > 0 else 0.0
                 model = {}
                 rows = [("tunnel-measured", up_mb / up_s / 1e3,
                          down_mb / down_s / 1e3),
