@@ -890,12 +890,15 @@ def main() -> None:
     # fold the cross-run headline windows in: each sampled the SAME
     # compiled prepad (or pallas) program, so their min is a valid
     # observation of the headline capability
+    hl_window_tag = None
     if windows:
-        best_w = min(w["min_ms"] for w in windows) * 1e-3
+        best_window = min(windows, key=lambda wd: wd["min_ms"])
+        best_w = best_window["min_ms"] * 1e-3
         if best_w < dt:
             dt, fps = best_w, 1.0 / best_w
             hl_label = ("config3-pallas-prepad"
                         if late_probe_pre is not None else "config3-pallas")
+            hl_window_tag = "hl-" + best_window["tag"]
             log(f"headline: clean window beat the early measures: "
                 f"{dt*1e3:.3f} ms = {fps:.1f} fps")
 
@@ -906,6 +909,11 @@ def main() -> None:
         hl = hl + LAST_REP_SLOPES.get("config3-pallas-prepad-late", [])
     if hl_label == "config3-batched-x8":
         hl = [s / 8 for s in hl]
+    if hl_window_tag is not None:
+        # the recorded value came from a cross-run window sample of the
+        # same compiled program: include that window's rep slopes so the
+        # published value is contained in its own evidence list
+        hl = hl + LAST_REP_SLOPES.get(hl_window_tag, [])
     hl_gbps, hl_pct = roofline("headline", dt, HL_IN, HL_OUT)
     result = {
         "metric": "1080p 4-source csc+scale+composite fps/chip",

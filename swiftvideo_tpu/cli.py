@@ -399,7 +399,12 @@ class _ContainerFileWriter:
             return False
         if not self._started:
             if kind not in self._idx and not self._declare(sample, kind):
-                return False
+                # no usable config yet (e.g. inter frames before the
+                # first keyframe header): buffer as promised — the
+                # packets are written once the stream declares (or
+                # dropped at close if it never does)
+                self._buffer.append((kind, sample))
+                return True
             if all(k in self._idx
                    for k, want in self._expect.items() if want):
                 self._started = True

@@ -319,12 +319,30 @@ def _open_media_file_libav(clock: Clock, path: str, *, asset_id: str,
         raise ValueError(f"no decodable streams in {path}")
 
     st = {"packets": reader.packets(), "eof": False, "closed": False,
-          "vq": [], "aq": [], "pcm": None,
+          "vq": [], "aq": [], "pcm": None, "warned": False,
           "vdec": LibavVideoDecoder() if vstream is not None else None,
           "adec": LibavAudioDecoder() if astream is not None else None,
           "src": (AudioSampleRateConversion(sample_rate, channels, "s16i")
                   if astream is not None else None)}
     lock = threading.Lock()
+
+    # one demux pump feeds both tracks, so a track nobody consumes
+    # would grow without bound (uncompressed 1080p is ~3 MB/frame; the
+    # subprocess backend's full pipes blocked instead).  Bound each
+    # queue and drop the OLDEST beyond it — live semantics for an
+    # unconsumed track; interleaved containers never come close.
+    _VQ_CAP, _AQ_CAP = 128, 4096
+
+    def _bound(key: str, cap: int) -> None:
+        if len(st[key]) > cap:
+            if not st["warned"]:
+                st["warned"] = True
+                import logging
+                logging.getLogger("swiftvideo_tpu.codec").warning(
+                    "open_media_file_av(%s): %s overflow (unconsumed "
+                    "track or non-interleaved container); dropping "
+                    "oldest beyond %d", path, key, cap)
+            del st[key][:len(st[key]) - cap]
 
     def push_video(picts) -> None:
         for pict in picts:
@@ -334,6 +352,7 @@ def _open_media_file_libav(clock: Clock, path: str, *, asset_id: str,
                 media_type=MediaType.video,
                 media_format=MediaFormat.uncompressed,
                 id_asset=asset_id, id_workspace=workspace_id))
+        _bound("vq", _VQ_CAP)
 
     def push_audio(samples) -> None:
         for audio in samples:
@@ -364,6 +383,7 @@ def _open_media_file_libav(clock: Clock, path: str, *, asset_id: str,
             media_type=MediaType.audio,
             media_format=MediaFormat.uncompressed,
             id_asset=asset_id, id_workspace=workspace_id))
+        _bound("aq", _AQ_CAP)
 
     def _finish_eof() -> None:
         if st["vdec"] is not None:

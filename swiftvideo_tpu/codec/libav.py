@@ -508,11 +508,12 @@ class LibavVideoEncoder(Tx):
 # --------------------------------------------------------------------------
 
 def _strip_adts(payload: bytes) -> bytes:
-    """Raw AAC frame from a possibly ADTS-framed packet."""
+    """Raw AAC frame from a possibly ADTS-framed packet (syncword guard
+    around the shared header-length logic in ffmpeg_subprocess)."""
     if len(payload) >= 7 and payload[0] == 0xFF and \
             (payload[1] & 0xF0) == 0xF0:
-        header_len = 7 if payload[1] & 0x01 else 9
-        return payload[header_len:]
+        from .ffmpeg_subprocess import adts_payload
+        return adts_payload(payload)
     return payload
 
 
@@ -535,7 +536,6 @@ class LibavAudioDecoder(Tx):
         self._rate: Optional[int] = None
         self._channels: Optional[int] = None
         self._pcm: Optional[np.ndarray] = None   # (n, ch) s16 carry
-        self._pts = _PtsMap()
         self._next_pts: Optional[TimePoint] = None
         self._first_pts: Optional[TimePoint] = None
         self._meta: Optional[CodedMediaSample] = None
@@ -666,8 +666,11 @@ class LibavAudioDecoder(Tx):
             if sample.media_format == MediaFormat.aac:
                 data = _strip_adts(data)
             lib = _load()
-            rc = lib.sv_dec_send(self._h, data, len(data),
-                                 self._pts.put(sample.pts()))
+            # opaque id 0: audio pts is derived from the first-pts /
+            # priming anchor in _emit_chunks, never from the frame's
+            # returned id — putting every packet here leaked one map
+            # entry per packet for the decoder's lifetime
+            rc = lib.sv_dec_send(self._h, data, len(data), 0)
             if rc < 0:
                 raise RuntimeError(_err(self._h))
             self._receive_pcm()
@@ -781,13 +784,14 @@ class LibavAudioEncoder(Tx):
             if rc < 0:
                 raise RuntimeError(_err(self._h))
 
-    def _emit(self, payload: bytes, duration: int) -> CodedMediaSample:
+    def _emit(self, payload: bytes,
+              duration: TimePoint) -> CodedMediaSample:
         meta = self._meta
         if self._next_pts is None:
             self._next_pts = (self._first_pts if self._first_pts is not None
                               else meta.pts())
         pts = self._next_pts
-        self._next_pts = pts + TimePoint(duration, self._rate)
+        self._next_pts = pts + duration
         side = {"config": self._config} if self._config else {}
         return CodedMediaSample(
             buffer=payload, pts_value=pts, dts_value=pts,
@@ -813,9 +817,12 @@ class LibavAudioEncoder(Tx):
                 raise RuntimeError(_err(self._h))
             payload = _copy_bytes(data, size.value)
             if self.fmt == MediaFormat.aac:
-                duration = self._frame_size
+                duration = TimePoint(self._frame_size, self._rate)
             else:
-                duration = containers.opus_packet_samples(payload)
+                # Opus TOC durations are ALWAYS in 48 kHz units
+                # regardless of the encoder input rate (RFC 6716 3.1)
+                duration = TimePoint(
+                    containers.opus_packet_samples(payload), 48000)
             out.append(self._emit(payload, duration))
 
     def _impl(self, sample: AudioSample) -> EventBox:

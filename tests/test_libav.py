@@ -407,3 +407,27 @@ def test_decoder_reorders_bframe_stream():
         dy = (np.asarray(g.planes()[0]).astype(np.int16)
               - np.asarray(orig.planes()[0]).astype(np.int16))
         assert float(np.abs(dy).mean()) < 12.0, float(np.abs(dy).mean())
+
+
+def test_opus_pts_at_non_48k_input_rate():
+    """Opus TOC durations are ALWAYS 48 kHz units (RFC 6716 3.1): at a
+    16 kHz input rate each 20 ms packet reports 960 samples, and packet
+    pts must still advance by exactly 20 ms — not by 960/16000 = 60 ms
+    (a 3x stretched timeline, caught by review)."""
+    from swiftvideo_tpu.core.time import seconds
+    enc = LibavAudioEncoder(MediaFormat.opus, bitrate=32_000)
+    packets = []
+    for i in range(8):
+        a = make_audio(i, n=640, rate=16000, channels=2, freq=330.0)
+        box = enc(a)
+        assert not box.is_error(), box.err()
+        if box.is_just():
+            packets.extend(box.value())
+    packets.extend(enc.flush())
+    enc.close()
+    assert len(packets) >= 4
+    from swiftvideo_tpu.codec.containers import opus_packet_samples
+    assert all(opus_packet_samples(p.data()) == 960 for p in packets)
+    for prev, nxt in zip(packets, packets[1:]):
+        assert abs(seconds(nxt.pts() - prev.pts()) - 0.020) < 1e-9, \
+            (prev.pts(), nxt.pts())
