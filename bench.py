@@ -480,6 +480,7 @@ def main() -> None:
                     "up_mb": round(up_mb, 2), "down_mb": round(down_mb, 2),
                     "overlap_eff": round(overlap_eff, 3),
                     "model_tick_ms": model}
+                sample_headline("after-config8")
     except Exception as exc:  # noqa: BLE001
         log("pallas frame kernel unavailable:", exc)
 
