@@ -128,7 +128,7 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
                   n_sources: int, h: int, w: int, h_in: int, w_in: int,
                   bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
                   pgrps: Tuple[int, ...], has1: bool, ww: int,
-                  chained: bool):
+                  chained: bool, prelerp: bool = True):
     from jax.experimental import pallas as pl
 
     n_groups = len(pgrps)
@@ -253,13 +253,19 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
                 def _p1():
                     plain()
 
-    def col_blend(rows0, rows1, acc, tile_j, n_rows, oy, ox, padl, wfull,
-                  cx0, ax, gv, ay, by, p_off, fill, clamp_lo, src_h,
+    def col_blend(rows0, rows1, gv, acc, tile_j, n_rows, oy, ox, padl,
+                  wfull, cx0, ax, ay, by, p_off, fill, clamp_lo, src_h,
                   src_w):
-        """Sample one [n_rows, TILE_W] column tile by banded matmuls over
-        the two unlerped vertical-tap buffers — the vertical lerp lives
-        in the weights: samp = win0 @ (Ct*(1-g)) + win1 @ (Ct*g) — then
-        z-blend into the accumulator (golden.apply_composite algebra).
+        """Sample one [n_rows, TILE_W] column tile by a banded matmul over
+        the vertically PRE-LERPED rows buffer (see _vlerp below): samp =
+        win @ Ct — then z-blend into the accumulator
+        (golden.apply_composite algebra).  One window read + one matmul
+        per tile, vs two of each in the round-2..4 folded-weights form
+        (samp = win0 @ (Ct*(1-g)) + win1 @ (Ct*g)); the tile stage is
+        VMEM-read bound, so halving the window traffic is the win —
+        interleaved A/B at config3 (benchmarks/hl_probe.py, contended
+        window): prelerp min-t 0.210-0.238 ms vs folded 0.238-0.248 ms,
+        prelerp won all three pairs; parity <=1 LSB both forms.
         The window is clamped to the rows scratch; positions it cannot
         cover get all-zero hat weights, and those are always
         out-of-texture (masked)."""
@@ -268,7 +274,6 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
         w0 = jnp.floor(base_x).astype(jnp.int32) - 2 + padl
         wstart = jnp.clip((w0 // 128) * 128, 0, wfull - ww_p)
         win0 = rows0[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
-        win1 = rows1[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
         us_ = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, 1), 0
                                        ).astype(jnp.float32)
         ks_c = (wstart - padl
@@ -278,11 +283,17 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
         xs_r = base_x + ax * jax.lax.broadcasted_iota(
             jnp.int32, (1, TILE_W), 1).astype(jnp.float32)
         Ct = jnp.maximum(0.0, 1.0 - jnp.abs(xs_r - ks_c))       # [WW, TW]
-        samp = (jnp.dot(win0, Ct * (1.0 - gv),
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(win1, Ct * gv,
-                          preferred_element_type=jnp.float32)
-                ) * (1.0 / 255.0)                               # [NR, TW]
+        if prelerp:
+            samp = jnp.dot(win0, Ct,
+                           preferred_element_type=jnp.float32
+                           ) * (1.0 / 255.0)                    # [NR, TW]
+        else:  # folded-weights form (rounds 2-4), kept for A/B timing
+            win1 = rows1[:, pl.ds(pl.multiple_of(wstart, 128), ww_p)]
+            samp = (jnp.dot(win0, Ct * (1.0 - gv),
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(win1, Ct * gv,
+                              preferred_element_type=jnp.float32)
+                    ) * (1.0 / 255.0)
 
         rows_g = (oy + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
                   ).astype(jnp.float32)
@@ -335,10 +346,23 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
     # write->read cross-step hazards (benchmarks/kern_ablate.py v2 vs v2f)
     _rows()
 
+    # vertical lerp ONCE per source over the aligned f32 tap buffers —
+    # exactly golden.bilinear_norm's row lerp (rows0*(1-g) + rows1*g).
+    # The taps themselves still store unlerped (a lerp over the
+    # MISALIGNED u8 slices in row_group costs ~5x the kernel; this
+    # aligned full-buffer VPU pass is ~free) and every column tile then
+    # reads ONE window instead of two (see col_blend).
+    gv_l = fparams_ref[s, 0]
+    gv_c = fparams_ref[s, 1]
+    if prelerp:
+        rowsy[...] = rowsy[...] * (1.0 - gv_l) + rowsy1[...] * gv_l
+        rowscb[...] = rowscb[...] * (1.0 - gv_c) + rowscb1[...] * gv_c
+        rowscr[...] = rowscr[...] * (1.0 - gv_c) + rowscr1[...] * gv_c
+
     def _luma(jj, carry):
         p_off_l = tuple(fparams_ref[s, k] for k in range(10, 18))
-        col_blend(rowsy, rowsy1, accy, jj, bh, oy, ox, PADL, wp,
-                  fparams_ref[s, 2], fparams_ref[s, 4], fparams_ref[s, 0],
+        col_blend(rowsy, rowsy1, gv_l, accy, jj, bh, oy, ox, PADL, wp,
+                  fparams_ref[s, 2], fparams_ref[s, 4],
                   fparams_ref[s, 6], fparams_ref[s, 7],
                   p_off_l, fparams_ref[s, 28], 0.0, h_in, w_in)
         return carry
@@ -347,15 +371,15 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 
     def _chroma(jj, carry):
         p_off_c = tuple(fparams_ref[s, k] for k in range(18, 26))
-        col_blend(rowscb, rowscb1, acccb, jj, bhc, oy // 2, ox // 2,
+        col_blend(rowscb, rowscb1, gv_c, acccb, jj, bhc, oy // 2, ox // 2,
                   PADL // 2, wpc,
-                  fparams_ref[s, 3], fparams_ref[s, 5], fparams_ref[s, 1],
+                  fparams_ref[s, 3], fparams_ref[s, 5],
                   fparams_ref[s, 8], fparams_ref[s, 9],
                   p_off_c, fparams_ref[s, 29], -1.0,
                   h_in // 2, w_in // 2)
-        col_blend(rowscr, rowscr1, acccr, jj, bhc, oy // 2, ox // 2,
+        col_blend(rowscr, rowscr1, gv_c, acccr, jj, bhc, oy // 2, ox // 2,
                   PADL // 2, wpc,
-                  fparams_ref[s, 3], fparams_ref[s, 5], fparams_ref[s, 1],
+                  fparams_ref[s, 3], fparams_ref[s, 5],
                   fparams_ref[s, 8], fparams_ref[s, 9],
                   p_off_c, fparams_ref[s, 30], -1.0,
                   h_in // 2, w_in // 2)
@@ -376,7 +400,8 @@ def _frame_kernel(iparams_ref, fparams_ref, *rest,
 def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
                    bh: int, bw: int, hp: int, wp: int, hpc: int, wpc: int,
                    pgrps, has1: bool, ww: int,
-                   chained: bool = False, interpret: bool = False):
+                   chained: bool = False, interpret: bool = False,
+                   prelerp: bool = True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -386,7 +411,7 @@ def _frame_program(h: int, w: int, h_in: int, w_in: int, n_sources: int,
     kern = partial(_frame_kernel, n_sources=n_sources, h=h, w=w,
                    h_in=h_in, w_in=w_in, bh=bh, bw=bw, hp=hp, wp=wp,
                    hpc=hpc, wpc=wpc, pgrps=pgrps, has1=has1, ww=ww,
-                   chained=chained)
+                   chained=chained, prelerp=prelerp)
     in_specs = []
     grp_scratch = []
     for p in pgrps:
