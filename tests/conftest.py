@@ -26,3 +26,19 @@ else:
     import jax  # noqa: E402
 
     jax.config.update("jax_platforms", "cpu")
+
+# Build the native shims on a fresh checkout (the .so files are
+# gitignored).  Failures are non-fatal: every native path has a tested
+# Python fallback and the libav suite skips itself when the shim is
+# absent — this hook just keeps that coverage ON wherever a compiler
+# and the system libav exist.
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "csrc")
+if not all(os.path.exists(os.path.join(_CSRC, so))
+           for so in ("libsvbitstream.so", "libsvrtmp.so", "libsvav.so")):
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", _CSRC], timeout=120,
+                       capture_output=True, check=False)
+    except Exception:  # noqa: BLE001
+        pass
